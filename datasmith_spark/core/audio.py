@@ -1,0 +1,168 @@
+"""Audio codec kernels: encode/decode for {pcm16, pcm8, float32, mulaw, alaw}.
+
+Vectorized numpy, per-row deterministic (no batch-level state), so results are
+invariant to Arrow batch size and partitioning. Decode returns float64 PCM in
+[-1, 1]. G.711 mu-law / A-law follow the classic CCITT g711 reference
+semantics (8-bit companded, 16/13-bit linear domain).
+
+The reference system has no audio path; this module is the graft's analogue of
+its blob handling (pickle BLOBs, /root/reference/src/datasmith/utils.py:106)
+re-expressed as typed binary columns + vectorized decode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+CODECS = ("pcm16", "pcm8", "float32", "mulaw", "alaw")
+
+# bytes per sample, used for native (Column-expr) alignment checks too
+ITEMSIZE = {"pcm16": 2, "pcm8": 1, "float32": 4, "mulaw": 1, "alaw": 1}
+
+_I16_MAX = 32767.0
+
+# ---------------------------------------------------------------- G.711 mu-law
+
+_MU_CLIP = 32635
+_MU_BIAS = 0x84
+# segment upper bounds for the biased magnitude (exponent search, exact ints)
+_MU_SEG_BOUNDS = np.array([0x100, 0x200, 0x400, 0x800, 0x1000, 0x2000, 0x4000], dtype=np.int32)
+
+
+def _mulaw_encode_i16(x: np.ndarray) -> np.ndarray:
+    """int16 -> mu-law byte (uint8)."""
+    x = x.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0).astype(np.int32)
+    mag = np.minimum(np.abs(x), _MU_CLIP) + _MU_BIAS
+    exponent = np.searchsorted(_MU_SEG_BOUNDS, mag, side="right").astype(np.int32)
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return (~(sign | (exponent << 4) | mantissa) & 0xFF).astype(np.uint8)
+
+
+def _mulaw_decode_table() -> np.ndarray:
+    """256-entry mu-law -> int16 lookup table."""
+    u = ~np.arange(256, dtype=np.int32) & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    mag = (((mantissa << 3) + _MU_BIAS) << exponent) - _MU_BIAS
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+_MU_DEC = _mulaw_decode_table()
+
+# ---------------------------------------------------------------- G.711 A-law
+
+# classic g711.c seg_aend table (13-bit domain upper bounds per segment)
+_ALAW_SEG_AEND = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF], dtype=np.int32)
+
+
+def _alaw_encode_i16(x: np.ndarray) -> np.ndarray:
+    """int16 -> A-law byte (uint8), classic g711.c semantics (13-bit domain)."""
+    x = x.astype(np.int32)
+    mask = np.where(x >= 0, 0xD5, 0x55).astype(np.int32)
+    pcm = x >> 3  # 16 -> 13 bit; pcm in [-4096, 4095]
+    pcm = np.where(pcm < 0, -pcm - 1, pcm)  # in [0, 4095], never exceeds seg 7
+    seg = np.searchsorted(_ALAW_SEG_AEND, pcm, side="left").astype(np.int32)
+    aval = seg << 4
+    low = (pcm >> 1) & 0x0F  # segments 0-1: linear step
+    high = (pcm >> seg) & 0x0F
+    aval = aval | np.where(seg < 2, low, high)
+    return ((aval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def _alaw_decode_table() -> np.ndarray:
+    """256-entry A-law -> int16 lookup table (inverse of _alaw_encode_i16).
+
+    g711.c alaw2linear: output is already in the 16-bit linear domain.
+    """
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    mag = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(a & 0x80, mag, -mag).astype(np.int16)
+
+
+_ALAW_DEC = _alaw_decode_table()
+
+# ------------------------------------------------------------------- encode
+
+
+def encode(pcm: np.ndarray, codec: str) -> bytes:
+    """float64/float32 PCM in [-1, 1] -> encoded bytes for `codec`."""
+    if codec == "float32":
+        return np.asarray(pcm, dtype="<f4").tobytes()
+    x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
+    i16 = np.rint(x * _I16_MAX).astype(np.int16)
+    if codec == "pcm16":
+        return i16.astype("<i2").tobytes()
+    if codec == "pcm8":
+        return ((i16.astype(np.int32) >> 8) + 128).astype(np.uint8).tobytes()
+    if codec == "mulaw":
+        return _mulaw_encode_i16(i16).tobytes()
+    if codec == "alaw":
+        return _alaw_encode_i16(i16).tobytes()
+    raise ValueError(f"unknown codec: {codec}")
+
+
+# ------------------------------------------------------------------- decode
+
+
+def decode(buf: bytes | None, codec: str) -> np.ndarray | None:
+    """Encoded bytes -> float64 PCM in [-1, 1]. None => undecodable.
+
+    Failure modes (all deterministic): unknown codec, empty buffer,
+    buffer length not a multiple of the codec itemsize.
+    Non-finite float32 payloads decode successfully here; the pipeline's
+    decode stage flags them via the finite-fraction feature.
+    """
+    if buf is None or codec not in ITEMSIZE:
+        return None
+    n = len(buf)
+    if n == 0 or n % ITEMSIZE[codec] != 0:
+        return None
+    if codec == "pcm16":
+        return np.frombuffer(buf, dtype="<i2").astype(np.float64) / _I16_MAX
+    if codec == "pcm8":
+        return (np.frombuffer(buf, dtype=np.uint8).astype(np.float64) - 128.0) * (256.0 / _I16_MAX)
+    if codec == "float32":
+        return np.frombuffer(buf, dtype="<f4").astype(np.float64)
+    if codec == "mulaw":
+        return _MU_DEC[np.frombuffer(buf, dtype=np.uint8)].astype(np.float64) / _I16_MAX
+    if codec == "alaw":
+        return _ALAW_DEC[np.frombuffer(buf, dtype=np.uint8)].astype(np.float64) / _I16_MAX
+    return None  # pragma: no cover
+
+
+# ------------------------------------------------------------------ features
+
+FEATURE_FIELDS = ("n_samples", "rms", "peak", "clip_rate", "finite_frac")
+
+
+def pcm_features(pcm: np.ndarray | None) -> tuple[int, float, float, float, float]:
+    """Per-row audio features: (n_samples, rms, peak, clip_rate, finite_frac).
+
+    Per-row-only math (no cross-row normalization) so features are invariant
+    to Arrow batch size — SURVEY.md §7.4 risk 1.
+    """
+    if pcm is None or pcm.size == 0:
+        return 0, 0.0, 0.0, 0.0, 0.0
+    finite = np.isfinite(pcm)
+    fin_frac = float(np.float64(finite.sum()) / pcm.size)
+    x = np.where(finite, pcm, 0.0)
+    rms = float(np.sqrt(np.mean(x * x, dtype=np.float64)))
+    peak = float(np.max(np.abs(x)))
+    clip_rate = float(np.mean(np.abs(x) >= 0.999, dtype=np.float64))
+    return int(pcm.size), rms, peak, clip_rate, fin_frac
+
+
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    """Signal-to-noise ratio of `test` against `ref`, in dB."""
+    ref = np.asarray(ref, dtype=np.float64)
+    test = np.asarray(test, dtype=np.float64)
+    n = min(ref.size, test.size)
+    ref, test = ref[:n], test[:n]
+    noise = ref - test
+    p_sig = float(np.mean(ref * ref)) + 1e-30
+    p_noise = float(np.mean(noise * noise)) + 1e-30
+    return 10.0 * np.log10(p_sig / p_noise)

@@ -1,0 +1,158 @@
+"""The composed curation pipeline: rules -> decode -> langid -> ppl -> scrub.
+
+One narrow Spark chain (zero shuffles until the metrics rollup), partition-
+level checkpoint/resume, per-partition lineage and salted per-(lang, codec)
+metrics side tables.
+
+Scale design (10^12 clips / 1000 executors):
+  * part_id = crc32(clip_id) % n_parts — uniform hash partitioning; the
+    labels table is directory/bucket-partitioned by it.
+  * the whole filter chain is narrow: scan -> codegen'd rule exprs ->
+    Arrow UDF stages; Python sees survivors only; `bytes` is dropped at the
+    decode stage so everything downstream moves ~100-byte rows.
+  * resume = left-anti join of parts against the checkpoints table
+    (reference cache semantics, /root/reference/src/datasmith/utils.py:69-144
+    incl. bypass_cache => force=True), then dynamic-partition-overwrite of
+    exactly the recomputed parts (idempotent rewrite).
+  * metrics rollup: two-phase salted aggregation (partial on (lang, codec,
+    salt), final on (lang, codec)) so the Zipf-hot language bucket cannot
+    straggle a reducer; AQE skew handling stays on as backstop.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core import rules as R
+from .operators.rules import with_rule_stage
+from .operators.stages import decode_stage, langid_stage, ppl_stage, scrub_stage
+from .tables import TableLayer
+
+LABEL_COLS = [
+    "clip_id", "part_id", "codec", "keep", "drop_stage", "drop_reasons",
+    "lang", "lang_prob", "ppl", "pii_count", "tox_count", "scrubbed_transcript",
+]
+
+ARROW_BATCH = 256  # bytes-carrying rows are ~0.2-1 MB; keep Arrow batches bounded
+
+
+def label_clips(clips: DataFrame, n_parts: int = 32) -> DataFrame:
+    """Full filter chain; returns the labels DataFrame (one row per clip)."""
+    df = with_rule_stage(clips, n_parts)
+    df = decode_stage(df)
+    df = langid_stage(df)
+    df = ppl_stage(df)
+    df = scrub_stage(df)
+    return df.withColumn("keep", F.col("drop_stage").isNull()).select(*LABEL_COLS)
+
+
+def _set_arrow_batch(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    clips: DataFrame,
+    out_dir: str,
+    n_parts: int = 32,
+    force: bool = False,
+    fail_after_parts: int | None = None,
+) -> dict:
+    """Run with partition-level checkpoint/resume.
+
+    force=True mirrors the reference's bypass_cache
+    (/root/reference/src/datasmith/utils.py:85-88): recompute all parts.
+    fail_after_parts: test hook — process only that many pending parts this
+    run (simulates a mid-job crash for resume-idempotency tests).
+    """
+    t0 = time.time()
+    _set_arrow_batch(spark)
+    tl = TableLayer(out_dir)
+    run_id = uuid.uuid4().hex[:12]
+
+    all_parts = list(range(n_parts))
+    done: set[int] = set()
+    if not force and tl.exists(spark, "checkpoints"):
+        done = {
+            r.part_id
+            for r in tl.read(spark, "checkpoints").filter(F.col("status") == "done").select("part_id").distinct().collect()
+        }
+    pending = [p for p in all_parts if p not in done]
+    if fail_after_parts is not None:
+        pending = pending[:fail_after_parts]
+    if not pending:
+        return {"run_id": run_id, "parts_processed": 0, "n_labeled": 0, "wall_sec": 0.0}
+
+    part_col = F.pmod(F.crc32(F.col("clip_id").cast("binary")), F.lit(n_parts)).cast("int")
+    subset = clips.filter(part_col.isin(pending))
+    labels = label_clips(subset, n_parts=n_parts)
+
+    tl.overwrite_partitions(labels, "labels", "part_id")
+
+    # ---- lineage: per-partition counts + stage drop breakdown (one shuffle,
+    # uniform key => no skew concern). Explicit schema: stays well-defined
+    # even when this run labeled zero rows.
+    lab = tl.read(spark, "labels", schema=labels.schema).filter(F.col("part_id").isin(pending))
+    lineage = lab.groupBy("part_id").agg(
+        F.count("*").alias("n_in"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        *[
+            F.sum((F.col("drop_stage") == s).cast("long")).alias(f"drop_{s}")
+            for s in R.STAGES
+        ],
+    ).withColumns({"run_id": F.lit(run_id), "ts": F.current_timestamp()})
+    tl.append(lineage, "lineage")
+
+    # ---- metrics: per-(lang, codec) keep rates; two-phase salted agg for the
+    # Zipf-hot (en, pcm16) bucket. codec rides along in labels, so no join
+    # back against the (huge) clips table is ever needed.
+    salt = F.pmod(F.crc32(F.col("clip_id").cast("binary")), F.lit(16))
+    partial = lab.groupBy(
+        F.coalesce(F.col("lang"), F.lit("?")).alias("lang"), F.col("codec"), salt.alias("_salt")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum("pii_count").alias("pii_total"),
+        F.sum("tox_count").alias("tox_total"),
+    )
+    metrics = (
+        partial.groupBy("lang", "codec")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("n_keep").alias("n_keep"),
+            F.sum("pii_total").alias("pii_total"),
+            F.sum("tox_total").alias("tox_total"),
+        )
+        .withColumns({
+            "keep_rate": F.col("n_keep") / F.col("n"),
+            "run_id": F.lit(run_id),
+            "ts": F.current_timestamp(),
+        })
+    )
+    tl.append(metrics, "metrics")
+
+    # ---- checkpoints last (a crash before this point leaves parts pending =>
+    # they are recomputed and idempotently overwritten on resume)
+    n_labeled = lab.count()
+    counted = {r.part_id for r in lab.select("part_id").distinct().collect()}
+    cp = spark.createDataFrame(
+        [(int(p), "done", run_id, int(p in counted)) for p in pending],
+        "part_id int, status string, run_id string, had_rows int",
+    ).withColumn("ts", F.current_timestamp())
+    tl.append(cp, "checkpoints")
+
+    return {
+        "run_id": run_id,
+        "parts_processed": len(pending),
+        "n_labeled": n_labeled,
+        "wall_sec": time.time() - t0,
+    }
+
+
+def default_out_dir(tag: str) -> str:
+    return os.path.join("/root/repo/.data/out", tag)

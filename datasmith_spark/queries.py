@@ -1,0 +1,446 @@
+"""Operator-coverage queries: SURVEY.md §2 inventory over /root/testdata.
+
+Each entry is a (spark, sf_dir) -> DataFrame callable plus (where SQL-
+expressible) a DuckDB oracle SQL string over the same parquet tables. Column
+names/aliases match pairwise; float outputs are rounded engine-side in BOTH
+implementations so value hashes are robust to summation-order differences.
+
+Conventions:
+  * every callable pins spark.sql.session.timeZone=UTC (the driver owns the
+    session; date/time semantics must not depend on its defaults)
+  * no bare limit() without a total order: top-k always breaks ties on a key
+  * joins annotate the intended physical strategy (broadcast hints where the
+    small side is bounded)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Relational core (SURVEY.md §2.1-2.8)
+# =====================================================================
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc,
+           round(avg(l_quantity), 6)                                   AS avg_qty,
+           count(*)                                                    AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark, sf_dir):
+    """S1 scan + P5 filter + A4 aggregation (TPC-H Q1 shape).
+
+    Ancestry: vectorized column masks + reductions
+    (/root/reference/src/datasmith/scrape/filter_dashboards.py:113-119).
+    Scale: filter + partial/final hash agg; predicate pushed to parquet.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q02_topk_customers",
+    """
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS total_price, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    ORDER BY total_price DESC, o_custkey ASC LIMIT 10
+    """,
+)
+def q02_topk_customers(spark, sf_dir):
+    """W3 top-k by ranking (sort_values().head(k),
+    /root/reference/scripts/filter_commits.py:89). Spark plans orderBy+limit
+    as TakeOrderedAndProject — no global sort materialization."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_price"), F.count("*").alias("n_orders"))
+        .orderBy(F.desc("total_price"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q03_right_join",
+    """
+    WITH top_cust AS (
+      SELECT c_custkey, c_acctbal FROM customer
+      ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 20
+    )
+    SELECT c.c_custkey,
+           count(o.o_orderkey)                        AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS revenue
+    FROM orders o RIGHT JOIN top_cust c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q03_right_join(spark, sf_dir):
+    """J1 right outer equi-join preserving the small side
+    (commits.merge(benchmarks, how='right'),
+    /root/reference/scripts/filter_commits.py:107). Small side broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    top = c.orderBy(F.desc("c_acctbal"), F.asc("c_custkey")).limit(20).select("c_custkey")
+    return (
+        o.join(F.broadcast(top), o.o_custkey == top.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q04_broadcast_map_join",
+    """
+    SELECT r.r_name AS region_name, count(*) AS n_nations
+    FROM nation n INNER JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q04_broadcast_map_join(spark, sf_dir):
+    """J3/J4 map-side dict-lookup join (revision->hash maps,
+    /root/reference/src/datasmith/scrape/scrape_dashboards.py:90-93) as a
+    broadcast hash join."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.count("*").alias("n_nations"))
+    )
+
+
+@register(
+    "q05_struct_flatten",
+    """
+    SELECT lower(trim(c_mktsegment)) AS segment,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+           count(*) AS n
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def q05_struct_flatten(spark, sf_dir):
+    """P4/J5: derive a struct column, flatten with select("s.*") — the Spark
+    replacement for pd.json_normalize + positional concat
+    (/root/reference/scripts/filter_commits.py:119-120)."""
+    c = _t(spark, sf_dir, "customer")
+    s = F.struct(
+        F.lower(F.trim(F.col("c_mktsegment"))).alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_bucket"),
+    )
+    return c.withColumn("s", s).select("s.*").groupBy("segment", "bal_bucket").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q06_null_hostile_filter",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    WHERE coalesce(value, -1.0) >= 10.0 AND event_type IS NOT NULL AND props IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q06_null_hostile_filter(spark, sf_dir):
+    """P5 boolean-mask filter with null-hostile defaults
+    (/root/reference/src/datasmith/scrape/filter_dashboards.py:113-121)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(
+            (F.coalesce(F.col("value"), F.lit(-1.0)) >= 10.0)
+            & F.col("event_type").isNotNull()
+            & F.col("props").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "q07_regex_any_word",
+    r"""
+    SELECT lang, count(*) AS n_match
+    FROM documents
+    WHERE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                          w -> regexp_matches(w, '^(join|query|window)$'))) > 0
+    GROUP BY lang
+    """,
+)
+def q07_regex_any_word(spark, sf_dir):
+    """P7 regex any-path-matches predicate over a token list
+    (/root/reference/scripts/filter_commits.py:46-81 applied at :122)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        d.filter(F.exists(words, lambda w: w.rlike("^(join|query|window)$")))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_match"))
+    )
+
+
+@register(
+    "q08_group_mean",
+    """
+    SELECT event_type, round(avg(value), 6) AS avg_value, count(*) AS n
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+)
+def q08_group_mean(spark, sf_dir):
+    """A2 dropna + group-by mean
+    (/root/reference/src/datasmith/scrape/build_reports.py:228)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.na.drop(subset=["value"])
+        .groupBy("event_type")
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q09_distinct_accum",
+    """
+    SELECT lang, count(DISTINCT source) AS n_sources, count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def q09_distinct_accum(spark, sf_dir):
+    """A3/A6 distinct accumulation (seen-set dedup,
+    /root/reference/src/datasmith/scrape/detect_dashboards.py:24,44-48)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.countDistinct("source").alias("n_sources"), F.count("*").alias("n_docs")
+    )
+
+
+@register(
+    "q10_last_write_wins",
+    """
+    SELECT user_id, event_type AS last_event_type, value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q10_last_write_wins(spark, sf_dir):
+    """A5 last-write-wins upsert fold (_update_dict,
+    /root/reference/src/datasmith/collation/collate_benchmark_results.py:22-43)
+    as a row_number()=1 window."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "q11_union_dedup",
+    """
+    SELECT event_type, count(*) AS n FROM (
+      SELECT * FROM events WHERE value > 400.0
+      UNION
+      SELECT * FROM events WHERE event_type = 'click' AND value > 350.0
+    ) GROUP BY event_type
+    """,
+)
+def q11_union_dedup(spark, sf_dir):
+    """U1 union-all + U4 dedup (pd.concat,
+    /root/reference/src/datasmith/scrape/scrape_dashboards.py:96,117).
+    event_id is the PK, so dropDuplicates(event_id) == full-row set union."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("value") > 400.0)
+    b = e.filter((F.col("event_type") == "click") & (F.col("value") > 350.0))
+    return (
+        a.unionByName(b)
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q12_anti_join_resume",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers_without_orders
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q12_anti_join_resume(spark, sf_dir):
+    """Left-anti join — the checkpoint-resume primitive ("clips not yet
+    processed"; SURVEY.md §2.3) and U3 set difference
+    (/root/reference/src/datasmith/scrape/build_reports.py:200)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers_without_orders"))
+    )
+
+
+@register(
+    "q13_scalar_datetime",
+    """
+    SELECT year(o_orderdate) AS yr,
+           CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS price_bucket,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q13_scalar_datetime(spark, sf_dir):
+    """F7 date/time + F8 math scalar families
+    (/root/reference/src/datasmith/scrape/build_reports.py:21-23,
+    detection/detect_breakpoints.py:26-28)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("price_bucket"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "q14_json_extract",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+           count(*) AS n
+    FROM events WHERE props IS NOT NULL GROUP BY event_type
+    """,
+)
+def q14_json_extract(spark, sf_dir):
+    """F11 JSON decode of a semi-structured column
+    (/root/reference/scripts/filter_commits.py:119-120 json_normalize)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("props").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg(F.get_json_object("props", "$.k").cast("int")), 6).alias("avg_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q15_changepoint_detect",
+    """
+    WITH s AS (
+      SELECT user_id, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+      FROM events
+    )
+    SELECT user_id, rn AS idx,
+           round((value - prev) / (prev + 1e-10) * 100.0, 6) AS delta_pct
+    FROM s
+    WHERE prev IS NOT NULL AND (value - prev) / (prev + 1e-10) * 100.0 < -95.0
+    """,
+)
+def q15_changepoint_detect(spark, sf_dir):
+    """A1/W1/D3: THE reference centerpiece — per-group ordered-series
+    detection via groupby().apply
+    (/root/reference/src/datasmith/detection/detect_breakpoints.py:86-103,
+    :15-38 delta_pct math incl. the 1e-10 epsilon guard) as applyInPandas.
+    The UDF emits breakpoint rows directly (U2 explode folded in)."""
+    import numpy as np
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def detect(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        if len(v) < 2:
+            return pd.DataFrame({"user_id": [], "idx": [], "delta_pct": []})
+        prev, cur = v[:-1], v[1:]
+        delta = (cur - prev) / (prev + 1e-10) * 100.0
+        pos = np.nonzero(delta < -95.0)[0]
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[0],
+                "idx": pos + 2,  # 1-based row_number of the post-shift element
+                "delta_pct": delta[pos],
+            }
+        )
+
+    out = e.groupBy("user_id").applyInPandas(detect, "user_id bigint, idx int, delta_pct double")
+    return out.withColumn("delta_pct", F.round("delta_pct", 6))
+
+
+@register(
+    "q16_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN extract(epoch FROM ts) - extract(epoch FROM lag(ts) OVER w) > 1800.0
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT user_id, 1 + sum(new_session) AS n_sessions FROM g GROUP BY user_id
+    """,
+)
+def q16_sessionize(spark, sf_dir):
+    """Gap-based sessionization (window lag + running flag) — the batch form
+    of the graft's event-stream handling; W-family ordered-series op."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # ts arrives as TIMESTAMP_NTZ; session TZ is pinned UTC, so NTZ ->
+    # TIMESTAMP -> double epoch-seconds matches DuckDB extract(epoch ...)
+    ep = F.col("ts").cast("timestamp").cast("double")
+    gap = ep - F.lag(ep).over(w)
+    return (
+        e.withColumn("new_session", F.when(gap > 1800.0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy("user_id")
+        .agg((F.lit(1) + F.sum("new_session")).alias("n_sessions"))
+    )

@@ -1,0 +1,61 @@
+"""Table layer: hash-partitioned parquet with Iceberg-ready semantics.
+
+The pipeline's tables (`labels`, `lineage`, `metrics`, `checkpoints`) are
+written through this module only, so swapping parquet for an Iceberg catalog
+(`bucket(N, clip_id)` partition transform, MERGE INTO checkpoints) is a
+config change, not a code fork (SURVEY.md §7.4 risk 5).
+
+Parquet mode semantics:
+  * labels: directory-partitioned by part_id, dynamic partition overwrite
+    => per-partition idempotent rewrite (the `replaceWhere` analogue).
+  * checkpoints/lineage/metrics: append-only logs; readers take the latest
+    row per key (last-write-wins upsert, mirroring the reference's
+    INSERT OR REPLACE cache at /root/reference/src/datasmith/utils.py:94-101).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class TableLayer:
+    def __init__(self, base_dir: str, catalog: str | None = None):
+        self.base = base_dir
+        self.catalog = catalog  # reserved: Iceberg catalog name when available
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.base, name)
+
+    def exists(self, spark: SparkSession, name: str) -> bool:
+        p = self.path(name)
+        if not os.path.isdir(p):
+            return False
+        return any(not f.startswith(("_", ".")) for f in os.listdir(p))
+
+    def read(self, spark: SparkSession, name: str, schema=None) -> DataFrame:
+        """Read a table; pass schema to stay well-defined on empty writes."""
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        return reader.parquet(self.path(name))
+
+    def overwrite_partitions(self, df: DataFrame, name: str, partition_col: str = "part_id") -> None:
+        """Idempotent per-partition overwrite (Iceberg replaceWhere analogue)."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(self.path(name))
+        )
+
+    def append(self, df: DataFrame, name: str) -> None:
+        df.write.mode("append").parquet(self.path(name))
+
+    def latest_per_key(self, spark: SparkSession, name: str, keys: list[str], order_col: str = "ts") -> DataFrame:
+        """Last-write-wins view over an append-only log."""
+        from pyspark.sql import Window
+
+        df = self.read(spark, name)
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

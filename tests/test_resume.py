@@ -1,0 +1,86 @@
+"""Checkpoint/resume: kill after k partitions, rerun, byte-identical output.
+
+SURVEY.md §5.4 — the Spark analogue of the reference's memo-cache semantics
+(/root/reference/src/datasmith/utils.py:69-144, bypass_cache => force).
+"""
+
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from datasmith_spark.pipeline import run_pipeline
+from datasmith_spark.tables import TableLayer
+
+from .conftest import N_PARTS, cache_dir
+
+
+def _labels_pdf(spark, out) -> pd.DataFrame:
+    return (
+        spark.read.parquet(f"{out}/labels")
+        .select("clip_id", "keep", "drop_stage", "lang", "scrubbed_transcript")
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture()
+def outdirs():
+    base = cache_dir() / "resume_test"
+    a, b = str(base / "single"), str(base / "resumed")
+    shutil.rmtree(base, ignore_errors=True)
+    yield a, b
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_resume_is_idempotent(spark, clips_path, outdirs):
+    single_dir, resumed_dir = outdirs
+    clips = spark.read.parquet(clips_path)
+
+    # one-shot run
+    r = run_pipeline(spark, clips, single_dir, n_parts=N_PARTS)
+    assert r["parts_processed"] == N_PARTS
+
+    # crashed run: only 5 parts complete, then resume
+    r1 = run_pipeline(spark, clips, resumed_dir, n_parts=N_PARTS, fail_after_parts=5)
+    assert r1["parts_processed"] == 5
+    r2 = run_pipeline(spark, clips, resumed_dir, n_parts=N_PARTS)
+    assert r2["parts_processed"] == N_PARTS - 5
+
+    a = _labels_pdf(spark, single_dir)
+    b = _labels_pdf(spark, resumed_dir)
+    pd.testing.assert_frame_equal(a, b)
+
+    # third run: everything checkpointed -> no-op
+    r3 = run_pipeline(spark, clips, resumed_dir, n_parts=N_PARTS)
+    assert r3["parts_processed"] == 0
+
+    # force=True recomputes all parts (bypass_cache semantics)
+    r4 = run_pipeline(spark, clips, resumed_dir, n_parts=N_PARTS, force=True)
+    assert r4["parts_processed"] == N_PARTS
+    pd.testing.assert_frame_equal(a, _labels_pdf(spark, resumed_dir))
+
+
+def test_lineage_counts_consistent(spark, clips_path, outdirs):
+    single_dir, _ = outdirs
+    clips = spark.read.parquet(clips_path)
+    run_pipeline(spark, clips, single_dir, n_parts=N_PARTS)
+    tl = TableLayer(single_dir)
+
+    lineage = tl.read(spark, "lineage")
+    agg = lineage.agg(
+        F.sum("n_in").alias("n_in"),
+        F.sum("n_keep").alias("n_keep"),
+        *[F.sum(f"drop_{s}").alias(f"drop_{s}") for s in ("rules", "decode", "langid", "ppl", "scrub")],
+    ).collect()[0]
+    assert agg.n_in == clips.count()
+    drops = sum(agg[f"drop_{s}"] for s in ("rules", "decode", "langid", "ppl", "scrub"))
+    assert agg.n_keep + drops == agg.n_in
+    # no duplicate lineage rows per (part, run)
+    assert lineage.groupBy("part_id", "run_id").count().filter("count > 1").count() == 0
+
+    metrics = tl.read(spark, "metrics")
+    m = metrics.agg(F.sum("n").alias("n"), F.sum("n_keep").alias("k")).collect()[0]
+    assert m.n == agg.n_in and m.k == agg.n_keep
