@@ -1,0 +1,182 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Scale design notes (the reason each op is shaped the way it is):
+  * exact dedup: one hash-groupBy on a 32-hex key — a single shuffle on a
+    uniform key; at 10^12 docs this is the cheapest possible global dedup.
+  * MinHash+LSH: signatures are computed with ONE explode + ONE groupBy
+    (K min-aggregates in the same pass, not K passes); candidate generation
+    joins on band digests only, so the join keys are tiny and uniformly
+    distributed — never a cross join.
+  * Jaccard verification runs ONLY on LSH candidates (semi-join first), the
+    standard verify-after-filter shape.
+  * SimHash: Arrow-batched pandas UDF (numpy bit-votes), banded for
+    candidate generation like MinHash.
+
+The md5-based hash family is shared verbatim with the DuckDB oracle SQL
+(string min over hex digests == a valid min-hash), making the whole dedup
+path value-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import fingerprint_col
+
+MINHASH_K = 4  # permutations; banded into pairs => 2 bands
+
+
+def exact_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Global exact-duplicate statistics over the md5 fingerprint."""
+    fp = docs.select(fingerprint_col(F.col("text")).alias("fp"))
+    groups = fp.groupBy("fp").agg(F.count("*").alias("cnt"))
+    return groups.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count("*").alias("n_fps"),
+        (F.sum("cnt") - F.count("*")).cast("long").alias("n_dup_rows"),
+        F.sum((F.col("cnt") > 1).cast("long")).alias("n_dup_groups"),
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, s).
+
+    One explode; documents shorter than n words drop out (no shingle).
+    """
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+    )
+    return (
+        docs.filter(F.size(w) >= n)
+        .select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(id, s0..s{k-1}): k min-hashes in ONE aggregation pass.
+
+    Hash family: md5 of "<perm>|<shingle>"; the lexicographic min over hex
+    digests is a valid (deterministic, well-mixed) min-hash and is
+    reproducible in any engine with md5.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")).cast("binary"))).alias(f"s{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Banded LSH: band digest = md5(concat of 2 signature parts); candidate
+    pairs = ids sharing any band. Joins are on 32-hex band keys (uniform),
+    so the shuffle is narrow even at extreme scale."""
+    bands = sig.select(
+        "id",
+        *[
+            F.md5(F.concat(F.col(f"s{2*b}"), F.col(f"s{2*b+1}")).cast("binary")).alias(f"b{b}")
+            for b in range(k // 2)
+        ],
+    )
+    pairs = None
+    for b in range(k // 2):
+        x = bands.select(F.col("id").alias("a"), F.col(f"b{b}").alias("bk"))
+        y = bands.select(F.col("id").alias("b"), F.col(f"b{b}").alias("bk"))
+        p = x.join(y, "bk").filter(F.col("a") < F.col("b")).select("a", "b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct().select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+
+
+def jaccard_verify(sh: DataFrame, cand: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only (verify-after-
+    filter). Intersections are computed by joining the two shingle sets of
+    each CANDIDATE pair — never all-pairs."""
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a_sh = sh.select(F.col("id").alias("doc_a"), F.col("s").alias("s"))
+    b_sh = sh.select(F.col("id").alias("doc_b"), F.col("s").alias("s"))
+    inter = (
+        cand.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "doc_a", "sz": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"id": "doc_b", "sz": "sz_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+# ----------------------------------------------------------------- SimHash
+
+_SIMHASH_SCHEMA = "id bigint, h0 string, h1 string, h2 string, h3 string"
+
+
+def simhash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc, emitted as four 16-bit hex bands.
+
+    Arrow-batched pandas UDF: per token, 64 hash bits vote +1/-1 weighted by
+    term frequency; the sign vector is the fingerprint. Near-duplicate docs
+    differ in few bits, so they collide on at least one 16-bit band with
+    high probability (banded exactly like MinHash-LSH).
+    """
+    sel = docs.select(F.col(id_col).alias("id"), "text")
+
+    def _simhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, hs = [], []
+            for did, text in zip(pdf["id"], pdf["text"]):
+                toks = (text or "").lower().split()
+                votes = np.zeros(64, dtype=np.int64)
+                if toks:
+                    uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+                    for tok, cnt in zip(uniq, counts):
+                        d = hashlib.md5(tok.encode("utf-8")).digest()[:8]
+                        bits = np.unpackbits(np.frombuffer(d, dtype=np.uint8)).astype(np.int64)
+                        votes += cnt * (2 * bits - 1)
+                h = int("".join("1" if v > 0 else "0" for v in votes), 2)
+                ids.append(did)
+                hs.append(h)
+            arr = np.array(hs, dtype=np.uint64)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    **{
+                        f"h{b}": [f"{(int(v) >> (16 * (3 - b))) & 0xFFFF:04x}" for v in arr]
+                        for b in range(4)
+                    },
+                }
+            )
+
+    return sel.mapInPandas(_simhash, schema=_SIMHASH_SCHEMA)
+
+
+def simhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup candidates: ids sharing any 16-bit SimHash band."""
+    bands = simhash_bands(docs, id_col)
+    pairs = None
+    for b in range(4):
+        x = bands.select(F.col("id").alias("a"), F.col(f"h{b}").alias("bk"))
+        y = bands.select(F.col("id").alias("b"), F.col(f"h{b}").alias("bk"))
+        p = x.join(y, "bk").filter(F.col("a") < F.col("b")).select("a", "b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct().select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))

@@ -1,0 +1,81 @@
+"""Text-analysis operators over a document/transcript table.
+
+All-native Column expressions (whole-stage codegen; regexes chosen to behave
+identically under Java regex and RE2 so DuckDB oracles can mirror them).
+
+These are the documents-table counterparts of the clips pipeline's transcript
+stages: token counting, quality scoring, marker-based classification and
+content fingerprinting for a training-data curation pipeline at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORD_PATTERN = r"\b(the|a|and|of|to|in)\b"
+SYMBOL_PATTERN = r"[^a-z0-9 ]"
+
+# marker-token classes for the SQL-expressible argmax classifier
+CLASS_MARKERS = {
+    "db": r"\b(table|row|column|index|key)\b",
+    "stream": r"\b(stream|batch|window|event)\b",
+    "compute": r"\b(scan|hash|sort|merge|join)\b",
+}
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-language token statistics (F12-family tokenizer counting,
+    /root/reference/src/datasmith/scrape/build_reports.py:235-246)."""
+    n_tok = F.size(tokens_col(F.col("text")))
+    return (
+        docs.withColumn("n_tokens", n_tok)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+def quality_flags(docs: DataFrame) -> DataFrame:
+    """Per-language heuristic quality-rule hit counts (the documents-table
+    mirror of the clips rules stage; ancestry filter_dashboards.py:113-121)."""
+    length = F.length("text").cast("double")
+    n_tok = F.size(tokens_col(F.col("text"))).cast("double")
+    sym_ratio = F.regexp_count(F.col("text"), F.lit(SYMBOL_PATTERN)).cast("double") / length
+    stop_ratio = F.regexp_count(F.col("text"), F.lit(STOPWORD_PATTERN)).cast("double") / n_tok
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((length < 100).cast("long")).alias("n_short"),
+        F.sum((sym_ratio > 0.05).cast("long")).alias("n_symbolic"),
+        F.sum((stop_ratio < 0.02).cast("long")).alias("n_low_stopword"),
+    )
+
+
+def classify_argmax(docs: DataFrame) -> DataFrame:
+    """Marker-token argmax classifier (fixed tie-break precedence db >
+    stream > compute) — the SQL-expressible skeleton of langid scoring."""
+    s = {k: F.regexp_count(F.col("text"), F.lit(p)) for k, p in CLASS_MARKERS.items()}
+    pred = (
+        F.when((s["db"] >= s["stream"]) & (s["db"] >= s["compute"]), F.lit("db"))
+        .when(s["stream"] >= s["compute"], F.lit("stream"))
+        .otherwise(F.lit("compute"))
+    )
+    return docs.withColumn("pred", pred).groupBy("lang", "pred").agg(F.count("*").alias("n"))
+
+
+def fingerprint_col(text: Column) -> Column:
+    """md5 over whitespace-normalized lowercase text — the exact-dedup key.
+
+    md5 hex is identical across Spark and DuckDB, so this fingerprint is
+    oracle-checkable end to end.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm.cast("binary"))

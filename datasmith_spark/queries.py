@@ -444,3 +444,350 @@ def q16_sessionize(spark, sf_dir):
         .groupBy("user_id")
         .agg((F.lit(1) + F.sum("new_session")).alias("n_sessions"))
     )
+
+
+# =====================================================================
+# Web-scale curation operators: text analysis, dedup, similarity
+# =====================================================================
+
+# shared dedup corpus: base docs + exact copies + near-duplicate copies,
+# constructed identically on both engines
+_CORPUS_SQL = """
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text || ' zz17 zz18 zz19' AS text
+      FROM documents WHERE doc_id < 100
+    )
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ex = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    nr = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz17 zz18 zz19")).alias("text"),
+    )
+    return d.unionByName(ex).unionByName(nr)
+
+
+@register(
+    "q17_token_stats",
+    r"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
+           round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4)       AS avg_tokens,
+           max(len(regexp_split_to_array(trim(text), '\s+')))                 AS max_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q17_token_stats(spark, sf_dir):
+    """Token counting over the documents table (F12 tokenizer family)."""
+    from .operators.text_analysis import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q18_quality_flags",
+    r"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           CAST(sum(CASE WHEN len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE
+                              / length(text)::DOUBLE > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_symbolic,
+           CAST(sum(CASE WHEN len(regexp_extract_all(text, '\b(the|a|and|of|to|in)\b'))::DOUBLE
+                              / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE < 0.02
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low_stopword
+    FROM documents GROUP BY lang
+    """,
+)
+def q18_quality_flags(spark, sf_dir):
+    """Heuristic quality scoring over documents (rules-stage mirror)."""
+    from .operators.text_analysis import quality_flags
+
+    return quality_flags(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q19_classify_argmax",
+    r"""
+    WITH s AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '\b(table|row|column|index|key)\b'))   AS s_db,
+             len(regexp_extract_all(text, '\b(stream|batch|window|event)\b'))    AS s_stream,
+             len(regexp_extract_all(text, '\b(scan|hash|sort|merge|join)\b'))    AS s_compute
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN s_db >= s_stream AND s_db >= s_compute THEN 'db'
+                WHEN s_stream >= s_compute THEN 'stream'
+                ELSE 'compute' END AS pred,
+           count(*) AS n
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q19_classify_argmax(spark, sf_dir):
+    """Marker-token argmax classification — SQL-checkable langid skeleton
+    (the full hashed-ngram model runs on the clips pipeline)."""
+    from .operators.text_analysis import classify_argmax
+
+    return classify_argmax(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q20_exact_dedup",
+    rf"""
+    WITH {_CORPUS_SQL},
+    fp AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ')) AS fp FROM corpus
+    ),
+    groups AS (SELECT fp, count(*) AS cnt FROM fp GROUP BY fp)
+    SELECT CAST(sum(cnt) AS BIGINT)            AS n_rows,
+           count(*)                            AS n_fps,
+           CAST(sum(cnt) - count(*) AS BIGINT) AS n_dup_rows,
+           CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+    FROM groups
+    """,
+)
+def q20_exact_dedup(spark, sf_dir):
+    """Exact dedup via md5 fingerprint hash-groupBy (single uniform-key
+    shuffle — the cheapest global dedup at 10^12 docs)."""
+    from .operators.dedup import exact_dedup_stats
+
+    return exact_dedup_stats(_corpus(spark, sf_dir))
+
+
+_MINHASH_SQL_BODY = r"""
+    tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+      FROM tok WHERE len(w) >= 3
+    ),
+    sig AS (
+      SELECT id,
+             min(md5('0|' || s)) AS s0, min(md5('1|' || s)) AS s1,
+             min(md5('2|' || s)) AS s2, min(md5('3|' || s)) AS s3
+      FROM sh GROUP BY id
+    ),
+    band AS (SELECT id, md5(s0 || s1) AS b0, md5(s2 || s3) AS b1 FROM sig),
+    cand AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT x.id AS a, y.id AS b FROM band x JOIN band y ON x.b0 = y.b0 AND x.id < y.id
+        UNION
+        SELECT x.id AS a, y.id AS b FROM band x JOIN band y ON x.b1 = y.b1 AND x.id < y.id
+      )
+    )
+"""
+
+
+@register(
+    "q21_minhash_lsh",
+    rf"""
+    WITH {_CORPUS_SQL},
+    {_MINHASH_SQL_BODY}
+    SELECT a AS doc_a, b AS doc_b FROM cand
+    """,
+)
+def q21_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-duplicate candidate pairs
+    (shingle -> K minhashes in one groupBy -> band-digest join)."""
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
+
+    sh = shingles(_corpus(spark, sf_dir))
+    return lsh_candidate_pairs(minhash_signatures(sh))
+
+
+@register(
+    "q22_ngram_jaccard",
+    rf"""
+    WITH {_CORPUS_SQL},
+    {_MINHASH_SQL_BODY},
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.a AS doc_a, c.b AS doc_b, count(*) AS inter
+      FROM cand c
+      JOIN sh sa ON sa.id = c.a
+      JOIN sh sb ON sb.id = c.b AND sb.s = sa.s
+      GROUP BY c.a, c.b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.inter::DOUBLE / (za.sz + zb.sz - i.inter)::DOUBLE, 4) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.id = i.doc_a
+    JOIN sizes zb ON zb.id = i.doc_b
+    WHERE i.inter::DOUBLE / (za.sz + zb.sz - i.inter)::DOUBLE >= 0.6
+    """,
+)
+def q22_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram-Jaccard verification of LSH candidates
+    (verify-after-filter: intersections only for candidate pairs)."""
+    from .operators.dedup import jaccard_verify, lsh_candidate_pairs, minhash_signatures, shingles
+
+    corpus = _corpus(spark, sf_dir)
+    sh = shingles(corpus)
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    out = jaccard_verify(sh, cand, threshold=0.6)
+    # SQL filters on the UNROUNDED ratio; mirror that exactly
+    return out
+
+
+@register(
+    "q23_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round(list_dot_product(q.qe, c.ce)
+                   / sqrt(list_dot_product(q.qe, q.qe) * list_dot_product(c.ce, c.ce)), 4) AS cos
+      FROM q JOIN c ON q.query_id != c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def q23_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (broadcast query set, corpus streamed once
+    — the exact-ANN baseline)."""
+    from .operators.similarity import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=3)
+
+
+def _lsh_planes_sql(dims: int = 64) -> str:
+    from .operators.similarity import hyperplanes
+
+    planes = hyperplanes(dims)
+    terms = []
+    for p in planes:
+        lit = "[" + ", ".join(f"{v!r}" for v in p) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(terms)
+
+
+@register(
+    "q24_lsh_ann_buckets",
+    f"""
+    SELECT {_lsh_planes_sql()} AS bucket, count(*) AS n
+    FROM embeddings GROUP BY 1
+    """,
+)
+def q24_lsh_ann_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucketing — the ANN scale path (candidate sets
+    for within-bucket exact search)."""
+    from .operators.similarity import lsh_bucket_counts
+
+    return lsh_bucket_counts(_t(spark, sf_dir, "embeddings"), dims=64)
+
+
+@register(
+    "q25_embedding_dup_pairs",
+    """
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
+                          * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4) AS cos
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.999
+    """,
+)
+def q25_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (corpus salted with known
+    duplicates; production path pre-buckets with q24's LSH)."""
+    from .operators.similarity import embedding_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return embedding_dup_pairs(emb.unionByName(dup), threshold=0.999)
+
+
+@register("q26_simhash_candidates")  # rows-only: 64-bit bit-vote SimHash is a UDF
+def q26_simhash_candidates(spark, sf_dir):
+    """SimHash near-dup candidates (Arrow-batched UDF, 16-bit bands).
+
+    No SQL oracle: the bit-vote kernel is not reasonably SQL-expressible;
+    the driver records a rows-only check and tests/test_webscale.py asserts
+    the planted near-duplicates are found.
+    """
+    from .operators.dedup import simhash_candidate_pairs
+
+    return simhash_candidate_pairs(_corpus(spark, sf_dir))
+
+
+# --------------------------------------------------------------- clips ops
+
+def _clips_cached(spark: SparkSession, sf_dir: str):
+    """Deterministic clips table scaled to the sf dir, cached as parquet."""
+    import os
+    import re
+
+    from . import datagen
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    n = min(4000, datagen.n_rows_for_sf(sf))  # bounded for correctness runs
+    path = f"/root/repo/.data/clips_cache/n{n}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        datagen.clips_df(spark, n).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@register("q27_clips_pipeline_summary")  # rows-only: full UDF pipeline
+def q27_clips_pipeline_summary(spark, sf_dir):
+    """Flagship curation chain over the synthetic clips table, summarized
+    per (drop_stage, lang). Correctness vs the single-process oracle is
+    asserted exactly (F1=1.0) by tests/test_pipeline.py."""
+    from .pipeline import ARROW_BATCH, label_clips
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
+    labels = label_clips(_clips_cached(spark, sf_dir), n_parts=32)
+    return (
+        labels.groupBy("drop_stage", "lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum("pii_count").alias("pii_total"),
+        )
+    )
+
+
+@register("q28_clips_decode_features")  # rows-only: audio decode is a UDF
+def q28_clips_decode_features(spark, sf_dir):
+    """Vectorized audio decode features aggregated per codec (multimodal
+    binary-payload path; decode parity asserted by tests/test_pipeline.py)."""
+    from .operators.rules import with_rule_stage
+    from .operators.stages import decode_stage
+    from .pipeline import ARROW_BATCH
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
+    df = decode_stage(with_rule_stage(_clips_cached(spark, sf_dir), 32))
+    return (
+        df.filter(F.col("decode_ok"))
+        .groupBy("codec")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("rms"), 6).alias("avg_rms"),
+            F.round(F.avg("n_samples"), 2).alias("avg_samples"),
+        )
+    )

@@ -1,0 +1,134 @@
+"""Dedup / similarity / multimodal operators: planted duplicates are found."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from datasmith_spark.queries import _corpus
+
+    return _corpus(spark, SF_DIR).cache()
+
+
+@pytest.fixture(scope="module")
+def planted(spark, corpus):
+    base_ids = [
+        r.doc_id for r in corpus.filter(F.col("doc_id") < 100).select("doc_id").distinct().collect()
+        if r.doc_id < 100
+    ]
+    return base_ids
+
+
+def test_minhash_finds_planted_dups(spark, corpus, planted):
+    from datasmith_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
+
+    sh = shingles(corpus)
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(minhash_signatures(sh)).collect()}
+    exact = [(i, i + 100000) for i in planted]
+    near = [(i, i + 200000) for i in planted]
+    assert sum(p in pairs for p in exact) == len(exact)  # identical text: always caught
+    assert sum(p in pairs for p in near) >= 0.8 * len(near)
+
+    # jaccard verification: exact pairs score 1.0, near pairs high
+    from datasmith_spark.operators.dedup import jaccard_verify
+
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    ver = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_verify(sh, cand, 0.6).collect()}
+    for p in exact:
+        assert ver.get(p) == 1.0
+    caught_near = [ver[p] for p in near if p in ver]
+    assert caught_near and min(caught_near) >= 0.6
+
+
+def test_simhash_finds_planted_dups(spark, corpus, planted):
+    from datasmith_spark.operators.dedup import simhash_candidate_pairs
+
+    pairs = {(r.doc_a, r.doc_b) for r in simhash_candidate_pairs(corpus).collect()}
+    exact = [(i, i + 100000) for i in planted]
+    assert sum(p in pairs for p in exact) == len(exact)
+
+
+def test_exact_dedup_counts(spark, corpus):
+    from datasmith_spark.operators.dedup import exact_dedup_stats
+
+    row = exact_dedup_stats(corpus).collect()[0]
+    n_base = row.n_rows - 2 * row.n_dup_groups  # 100 exact dups + 100 near (distinct)
+    assert row.n_dup_rows == row.n_dup_groups  # each planted fp appears exactly twice
+    assert row.n_fps == row.n_rows - row.n_dup_rows
+    assert n_base > 0
+
+
+def test_embedding_dup_pairs(spark):
+    from datasmith_spark.operators.similarity import embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") < 10).select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    pairs = {(r.vec_a, r.vec_b): r.cos for r in embedding_dup_pairs(emb.unionByName(dup), 0.999).collect()}
+    for i in range(10):
+        assert pairs.get((i, i + 10000)) == 1.0
+    assert len(pairs) == 10  # random vectors in 64-d never reach 0.999
+
+
+def test_cosine_topk_deterministic(spark):
+    from datasmith_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = sorted(map(tuple, cosine_topk(emb, 5, 3).collect()))
+    b = sorted(map(tuple, cosine_topk(emb, 5, 3).collect()))
+    assert a == b and len(a) == 15
+    # self-similarity excluded
+    assert all(q != n for q, n, _ in a)
+
+
+def test_image_features_and_stub(spark):
+    from datasmith_spark.operators.multimodal import image_features, synth_images
+
+    imgs = synth_images(spark, 100)
+    feats = image_features(imgs).toPandas().sort_values("img_id").reset_index(drop=True)
+    assert len(feats) == 100
+    ok = feats[feats.decode_ok]
+    stub = feats[~feats.decode_ok]
+    assert len(stub) == len(feats[feats.fmt == "jpeg"])  # stubbed codecs flagged, not crashed
+    assert ok.mean_r.between(100, 155).all()  # uniform-noise images
+    assert ok.std_gray.notna().all()
+    # decode parity with the local kernel on one row
+    import numpy as np
+
+    from datasmith_spark.operators.multimodal import decode_image
+
+    row = imgs.filter(F.col("fmt") == "rgb8").limit(1).collect()[0]
+    img = decode_image(row.bytes, row.width, row.height, row.fmt)
+    assert img.shape == (row.height, row.width, 3)
+
+
+def test_video_frame_sampling(spark):
+    import pandas as pd
+
+    from datasmith_spark.operators.multimodal import sample_video_frames
+
+    n_frames, w, h = 25, 8, 6
+    rng = np.random.default_rng(7)
+    rows = [
+        ("vid_a", rng.integers(0, 256, size=n_frames * w * h, dtype=np.uint8).tobytes(), w, h),
+        ("vid_b", b"", w, h),  # undecodable
+    ]
+    vids = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vid_id", "bytes", "width", "height"]),
+        "vid_id string, bytes binary, width int, height int",
+    )
+    out = sample_video_frames(vids, every_k=10).toPandas()
+    assert sorted(out[out.vid_id == "vid_a"].frame_idx) == [0, 10, 20]
+    assert (out.vid_id == "vid_b").sum() == 0
+
+
+def test_resize_rgb8():
+    from datasmith_spark.operators.multimodal import resize_rgb8
+
+    img = np.arange(24 * 32 * 3, dtype=np.uint8).reshape(24, 32, 3)
+    small = resize_rgb8(img, 8, 6)
+    assert small.shape == (6, 8, 3)
+    assert (small == resize_rgb8(img, 8, 6)).all()
