@@ -1,0 +1,39 @@
+"""Preloading pyspark worker daemon (spark.python.daemon.module).
+
+Python workers are forked from this daemon, so everything imported and
+materialized here is inherited by every worker via copy-on-write — paid
+once per executor instead of once per worker. That covers the heavy
+imports (numpy / pandas / pyarrow) and the frozen model artifacts
+(langid weights, LM count tables), which otherwise cost seconds of
+page-faulting per fresh worker on this sandbox's slow-fault kernel.
+
+Equivalent of the reference's one-time model load per process
+(tiktoken encoder init, /root/reference/src/datasmith/scrape/build_reports.py:235-246)
+hoisted to the process-tree root.
+"""
+
+from __future__ import annotations
+
+
+def _preload() -> None:
+    import numpy  # noqa: F401
+    import pandas  # noqa: F401
+    import pyarrow  # noqa: F401
+    import pyarrow.parquet  # noqa: F401
+
+    try:
+        from datasmith_spark.core import langid, lm
+
+        langid.model()
+        lm.model()
+    except Exception:
+        # never block worker startup on artifact problems; workers will
+        # rebuild lazily (correctness unaffected, only warmup cost)
+        pass
+
+
+if __name__ == "__main__":
+    _preload()
+    from pyspark.daemon import manager
+
+    manager()

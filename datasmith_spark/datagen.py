@@ -226,3 +226,51 @@ def clips_df(spark, n_rows: int, n_partitions: int | None = None):
 def clips_pdf(n_rows: int) -> pd.DataFrame:
     """Single-process generation (oracle / unit tests)."""
     return gen_batch(range(n_rows))
+
+
+_ARROW_SCHEMA_FIELDS = [
+    ("clip_id", "string"), ("bytes", "binary"), ("sr_hz", "int32"),
+    ("dur_ms", "int32"), ("codec", "string"), ("transcript", "string"),
+]
+
+
+def _write_chunk(args: tuple[str, int, int]) -> int:
+    """Worker: generate rows [lo, hi) and write one parquet file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path, lo, hi = args
+    schema = pa.schema([pa.field(n, getattr(pa, t)()) for n, t in _ARROW_SCHEMA_FIELDS])
+    with pq.ParquetWriter(path, schema, compression="snappy") as w:
+        for s in range(lo, hi, 64):
+            pdf = gen_batch(range(s, min(s + 64, hi)))
+            w.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False))
+    return hi - lo
+
+
+def write_clips_parquet(out_dir: str, n_rows: int, procs: int | None = None,
+                        rows_per_file: int = 625) -> None:
+    """Fixture generation OUTSIDE Spark: multiprocessing + direct pyarrow
+    writes (one file per chunk), then an atomic _SUCCESS marker.
+
+    Used by bench.py to materialize the clips input table; the benchmark
+    itself then times scan+pipeline only. Bypassing the JVM here avoids
+    paying the python->JVM->parquet round-trip for data that is a pure
+    function of the row index anyway. Identical content to clips_df().
+    """
+    import multiprocessing as mp
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        os.unlink(os.path.join(out_dir, f))
+    chunks = [
+        (os.path.join(out_dir, f"part-{lo:08d}.parquet"), lo, min(lo + rows_per_file, n_rows))
+        for lo in range(0, n_rows, rows_per_file)
+    ]
+    procs = procs or min(32, os.cpu_count() or 8)
+    with mp.get_context("fork").Pool(procs) as pool:
+        done = sum(pool.imap_unordered(_write_chunk, chunks))
+    assert done == n_rows
+    with open(os.path.join(out_dir, "_SUCCESS"), "w"):
+        pass

@@ -1,0 +1,142 @@
+"""Fused scan+rules+decode over a parquet file manifest.
+
+The default pipeline path scans clips through the JVM and ships `bytes` to
+Python over the Arrow socket. For audio-heavy rows (~300 KB each) that
+transfer is pure waste: the decode stage immediately reduces each blob to
+five floats. This operator fuses scan -> rules -> decode inside ONE
+mapInPandas over a manifest of parquet files — pyarrow reads the row groups
+directly in the Python worker, so the audio bytes never cross a process
+boundary. Downstream stages (langid/ppl/scrub) see the identical post-decode
+schema and compose unchanged.
+
+This is the standard multimodal-scan pattern (decode co-located with the
+scan, manifest-distributed): at 10^12-clip scale it removes the largest
+byte-movement term from the plan; in this sandbox it also sidesteps the
+JVM->Python socket bottleneck (measured ~5x on the end-to-end chain).
+
+Parity: the per-row kernels are the SAME functions the transfer path and the
+single-process oracle use (core.rules.rule_reasons for stage R,
+stages.decode_features_pdf + stages.decode_epilogue for stage D), and
+part_id uses zlib.crc32 which matches F.crc32 bit-for-bit — so both paths
+produce identical labels (asserted by tests/test_scan_decode.py).
+
+Trade-off vs the JVM scan: no Catalyst row-group pruning / predicate
+pushdown into this scan. Use it when the query consumes effectively all rows
+and the payload column dominates row width (true for the curation pipeline);
+use the transfer path when selective predicates would prune the scan.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..core import rules as R
+from .stages import _DECODE_FIELDS, decode_epilogue, decode_features_pdf
+
+CLIP_COLUMNS = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+
+POST_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("transcript", T.StringType()),
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("drop_stage", T.StringType()),
+        T.StructField("drop_reasons", T.ArrayType(T.StringType())),
+    ]
+    + _DECODE_FIELDS
+)
+_POST_COLS = [f.name for f in POST_DECODE_SCHEMA.fields]
+
+
+def list_manifest(input_dir: str) -> list[str]:
+    """All parquet leaf files under input_dir (non-recursive, sorted)."""
+    return sorted(
+        os.path.join(input_dir, f)
+        for f in os.listdir(input_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def _rules_decode_pdf(pdf: pd.DataFrame, n_parts: int) -> pd.DataFrame:
+    """Stage R (python kernel, parity-tested vs the Column exprs) + stage D."""
+    part_ids, stages, reasons = [], [], []
+    for row in pdf.itertuples(index=False):
+        part_ids.append(zlib.crc32(row.clip_id.encode("utf-8")) % n_parts)
+        rs = R.rule_reasons(
+            row.codec,
+            None if row.sr_hz is None else int(row.sr_hz),
+            None if row.dur_ms is None else int(row.dur_ms),
+            None if row.bytes is None else len(row.bytes),
+            row.transcript,
+        )
+        stages.append(R.STAGE_RULES if rs else None)
+        reasons.append(rs)
+    pdf = pdf.copy(deep=False)
+    pdf["part_id"] = pd.array(part_ids, dtype="int32")
+    pdf["drop_stage"] = pd.array(stages, dtype="string")
+    pdf["drop_reasons"] = reasons
+    return decode_features_pdf(pdf)[_POST_COLS]
+
+
+def scan_rules_decode(
+    spark: SparkSession,
+    manifest: list[str],
+    n_parts: int = 32,
+    batch_rows: int = 256,
+    parts_filter: list[int] | None = None,
+    scan_parallelism: int | None = None,
+) -> DataFrame:
+    """Distributed fused scan: manifest entries spread over scan tasks,
+    pyarrow row-group reads inside the worker, rules+decode applied before
+    anything is emitted.
+
+    parts_filter: optional part_id subset (checkpoint resume) — applied
+    worker-side right after part_id is computed, before decode, so resumed
+    runs do not decode already-done partitions.
+
+    scan_parallelism: concurrent scan tasks. Default: min(files, session
+    parallelism, $SPARK_GRAFT_SCAN_PAR or 16). The cap exists because this
+    sandbox's kernel serializes page faults/file I/O globally and decode
+    throughput INVERTS beyond ~16 concurrent readers (BASELINE.md "Sandbox
+    scaling protocol"); on a real cluster set SPARK_GRAFT_SCAN_PAR high or
+    pass None-equivalent explicitly — the operator itself is width-agnostic
+    and each task streams row groups at bounded memory.
+    """
+    if scan_parallelism is None:
+        cap = int(os.environ.get("SPARK_GRAFT_SCAN_PAR", "16"))
+        scan_parallelism = max(1, min(len(manifest), spark.sparkContext.defaultParallelism, cap))
+    paths = spark.createDataFrame([(p,) for p in manifest], "path string").repartition(
+        max(scan_parallelism, 1)
+    )
+    wanted = None if parts_filter is None else set(int(p) for p in parts_filter)
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for path in b["path"]:
+                # memory_map: page-cache-resident files skip the sandboxed
+                # read() path entirely (measured 13x at 32-way concurrency)
+                pf = pq.ParquetFile(path, memory_map=True)
+                for rb in pf.iter_batches(batch_size=batch_rows, columns=CLIP_COLUMNS):
+                    pdf = rb.to_pandas()
+                    if wanted is not None:
+                        keep_mask = [
+                            zlib.crc32(c.encode("utf-8")) % n_parts in wanted
+                            for c in pdf["clip_id"]
+                        ]
+                        pdf = pdf[keep_mask]
+                        if not len(pdf):
+                            continue
+                    yield _rules_decode_pdf(pdf, n_parts)
+
+    return decode_epilogue(paths.mapInPandas(_scan, schema=POST_DECODE_SCHEMA))

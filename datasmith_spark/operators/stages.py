@@ -42,51 +42,53 @@ _DECODE_FIELDS = [
 ]
 
 
-def decode_stage(df: DataFrame) -> DataFrame:
-    """mapInPandas: decode audio of still-alive rows into features.
+DECODE_FEATURE_COLS = ("n_samples", "rms", "peak", "clip_rate", "finite_frac", "decode_ok")
 
-    Consumes the `bytes` column (dropped from the output — after this stage
-    the rows are ~100 bytes, so downstream stages are cheap to move).
+
+def decode_features_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch decode kernel: add feature columns, drop `bytes`.
+
+    Shared by the transfer path (decode_stage mapInPandas) and the fused
+    scan path (operators/scan_decode.py) — one implementation, bit-identical
+    features either way. Rows already dropped (drop_stage set) are skipped
+    and get null features.
     """
-    in_schema = df.schema
-    out_schema = T.StructType(
-        [f for f in in_schema.fields if f.name != "bytes"] + _DECODE_FIELDS
-    )
-    out_cols = [f.name for f in out_schema.fields]
+    n = len(pdf)
+    ns = np.zeros(n, dtype=np.int64)
+    rms = np.zeros(n, dtype=np.float64)
+    peak = np.zeros(n, dtype=np.float64)
+    clip = np.zeros(n, dtype=np.float64)
+    fin = np.zeros(n, dtype=np.float64)
+    ok = np.zeros(n, dtype=bool)
+    alive = pdf["drop_stage"].isna().to_numpy()
+    bufs = pdf["bytes"].to_numpy()
+    codecs = pdf["codec"].to_numpy()
+    for i in np.flatnonzero(alive):
+        pcm = audio.decode(bufs[i], codecs[i])
+        ok[i] = pcm is not None
+        ns[i], rms[i], peak[i], clip[i], fin[i] = audio.pcm_features(pcm)
+    out = pdf.drop(columns=["bytes"])
+    out["n_samples"] = ns
+    out["rms"] = rms
+    out["peak"] = peak
+    out["clip_rate"] = clip
+    out["finite_frac"] = fin
+    out["decode_ok"] = ok
+    # dead rows: feature columns are meaningless -> null them
+    dead = ~alive
+    if dead.any():
+        for c in DECODE_FEATURE_COLS:
+            out[c] = out[c].astype(object)
+            out.loc[dead, c] = None
+    return out
 
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
-            ns = np.zeros(n, dtype=np.int64)
-            rms = np.zeros(n, dtype=np.float64)
-            peak = np.zeros(n, dtype=np.float64)
-            clip = np.zeros(n, dtype=np.float64)
-            fin = np.zeros(n, dtype=np.float64)
-            ok = np.zeros(n, dtype=bool)
-            alive = pdf["drop_stage"].isna().to_numpy()
-            bufs = pdf["bytes"].to_numpy()
-            codecs = pdf["codec"].to_numpy()
-            for i in np.flatnonzero(alive):
-                pcm = audio.decode(bufs[i], codecs[i])
-                ok[i] = pcm is not None
-                ns[i], rms[i], peak[i], clip[i], fin[i] = audio.pcm_features(pcm)
-            out = pdf.drop(columns=["bytes"])
-            out["n_samples"] = ns
-            out["rms"] = rms
-            out["peak"] = peak
-            out["clip_rate"] = clip
-            out["finite_frac"] = fin
-            out["decode_ok"] = ok
-            # dead rows: feature columns are meaningless -> null them
-            dead = ~alive
-            if dead.any():
-                for c in ("n_samples", "rms", "peak", "clip_rate", "finite_frac", "decode_ok"):
-                    out[c] = out[c].astype(object)
-                    out.loc[dead, c] = None
-            yield out[out_cols]
 
-    mapped = df.mapInPandas(_decode, schema=out_schema)
-    # native mirror of core.rules.decode_reasons (exclusive when-chain = elif)
+def decode_schema_for(in_schema: T.StructType) -> T.StructType:
+    return T.StructType([f for f in in_schema.fields if f.name != "bytes"] + _DECODE_FIELDS)
+
+
+def decode_epilogue(mapped: DataFrame) -> DataFrame:
+    """Native mirror of core.rules.decode_reasons (exclusive when-chain = elif)."""
     alive = F.col("drop_stage").isNull()
     reason = (
         F.when(~F.coalesce(F.col("decode_ok"), F.lit(False)), F.lit("decode_error"))
@@ -102,6 +104,22 @@ def decode_stage(df: DataFrame) -> DataFrame:
         })
         .drop("_dr")
     )
+
+
+def decode_stage(df: DataFrame) -> DataFrame:
+    """mapInPandas: decode audio of still-alive rows into features.
+
+    Consumes the `bytes` column (dropped from the output — after this stage
+    the rows are ~100 bytes, so downstream stages are cheap to move).
+    """
+    out_schema = decode_schema_for(df.schema)
+    out_cols = [f.name for f in out_schema.fields]
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield decode_features_pdf(pdf)[out_cols]
+
+    return decode_epilogue(df.mapInPandas(_decode, schema=out_schema))
 
 
 # --------------------------------------------------------------- langid (L)

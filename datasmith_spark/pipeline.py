@@ -51,17 +51,37 @@ def label_clips(clips: DataFrame, n_parts: int = 32) -> DataFrame:
     return df.withColumn("keep", F.col("drop_stage").isNull()).select(*LABEL_COLS)
 
 
+def label_clips_fused(
+    spark: SparkSession,
+    input_dir: str,
+    n_parts: int = 32,
+    parts_filter: list[int] | None = None,
+) -> DataFrame:
+    """Full filter chain with the fused manifest scan (scan+rules+decode in
+    one Python stage — audio bytes never cross a process boundary; see
+    operators/scan_decode.py). Produces labels identical to label_clips()
+    over the same parquet directory (tests/test_scan_decode.py)."""
+    from .operators.scan_decode import list_manifest, scan_rules_decode
+
+    df = scan_rules_decode(spark, list_manifest(input_dir), n_parts, parts_filter=parts_filter)
+    df = langid_stage(df)
+    df = ppl_stage(df)
+    df = scrub_stage(df)
+    return df.withColumn("keep", F.col("drop_stage").isNull()).select(*LABEL_COLS)
+
+
 def _set_arrow_batch(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
 
 
 def run_pipeline(
     spark: SparkSession,
-    clips: DataFrame,
+    clips: DataFrame | None,
     out_dir: str,
     n_parts: int = 32,
     force: bool = False,
     fail_after_parts: int | None = None,
+    input_dir: str | None = None,
 ) -> dict:
     """Run with partition-level checkpoint/resume.
 
@@ -69,6 +89,9 @@ def run_pipeline(
     (/root/reference/src/datasmith/utils.py:85-88): recompute all parts.
     fail_after_parts: test hook — process only that many pending parts this
     run (simulates a mid-job crash for resume-idempotency tests).
+    input_dir: when the clips live in a parquet directory, pass it (clips
+    may be None) to use the fused manifest scan — scan+rules+decode in one
+    Python stage, pending-partition pruning applied before decode.
     """
     t0 = time.time()
     _set_arrow_batch(spark)
@@ -88,9 +111,12 @@ def run_pipeline(
     if not pending:
         return {"run_id": run_id, "parts_processed": 0, "n_labeled": 0, "wall_sec": 0.0}
 
-    part_col = F.pmod(F.crc32(F.col("clip_id").cast("binary")), F.lit(n_parts)).cast("int")
-    subset = clips.filter(part_col.isin(pending))
-    labels = label_clips(subset, n_parts=n_parts)
+    if input_dir is not None:
+        labels = label_clips_fused(spark, input_dir, n_parts=n_parts, parts_filter=pending)
+    else:
+        part_col = F.pmod(F.crc32(F.col("clip_id").cast("binary")), F.lit(n_parts)).cast("int")
+        subset = clips.filter(part_col.isin(pending))
+        labels = label_clips(subset, n_parts=n_parts)
 
     tl.overwrite_partitions(labels, "labels", "part_id")
 

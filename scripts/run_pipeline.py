@@ -28,6 +28,10 @@ def main() -> None:
     ap.add_argument("--parts", type=int, default=32)
     ap.add_argument("--force", action="store_true", help="bypass checkpoints (recompute all)")
     ap.add_argument("--cores", default=None, help="local[N] cores (default: env/all)")
+    ap.add_argument(
+        "--transfer-scan", action="store_true",
+        help="scan clips through the JVM instead of the fused manifest scan",
+    )
     args = ap.parse_args()
 
     from datasmith_spark import datagen
@@ -37,12 +41,17 @@ def main() -> None:
     spark = get_spark(app="datasmith-pipeline", cores=args.cores)
     spark.sparkContext.setLogLevel("WARN")
 
+    clips, input_dir = None, None
     if args.input.startswith("synth:"):
         clips = datagen.clips_df(spark, int(args.input.split(":", 1)[1]))
-    else:
+    elif args.transfer_scan:
         clips = spark.read.parquet(args.input)
+    else:
+        input_dir = args.input  # fused manifest scan (default for parquet input)
 
-    stats = run_pipeline(spark, clips, args.out, n_parts=args.parts, force=args.force)
+    stats = run_pipeline(
+        spark, clips, args.out, n_parts=args.parts, force=args.force, input_dir=input_dir
+    )
     print(json.dumps(stats))
     spark.stop()
 
