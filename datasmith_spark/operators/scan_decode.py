@@ -32,6 +32,7 @@ import os
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -85,6 +86,151 @@ def _rules_decode_pdf(pdf: pd.DataFrame, n_parts: int) -> pd.DataFrame:
     pdf["drop_stage"] = pd.array(stages, dtype="string")
     pdf["drop_reasons"] = reasons
     return decode_features_pdf(pdf)[_POST_COLS]
+
+
+LABELS_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("keep", T.BooleanType()),
+        T.StructField("drop_stage", T.StringType()),
+        T.StructField("drop_reasons", T.ArrayType(T.StringType())),
+        T.StructField("lang", T.StringType()),
+        T.StructField("lang_prob", T.DoubleType()),
+        T.StructField("ppl", T.DoubleType()),
+        T.StructField("pii_count", T.IntegerType()),
+        T.StructField("tox_count", T.IntegerType()),
+        T.StructField("scrubbed_transcript", T.StringType()),
+    ]
+)
+_LABEL_COLS = [f.name for f in LABELS_SCHEMA.fields]
+
+
+def label_batch_pdf(pdf: pd.DataFrame, n_parts: int) -> pd.DataFrame:
+    """Whole filter chain for one Arrow batch of raw clips rows.
+
+    Python analogue of the staged chain (with_rule_stage -> decode_stage ->
+    langid_stage -> ppl_stage -> scrub_stage) composed from the SAME core
+    kernels, with identical stage precedence and identical retained values
+    (a row dropped at stage k keeps every enrichment computed at stages < k
+    plus the one that failed it, exactly like the staged Column logic).
+    Fusing the chain into one batch kernel removes three JVM<->Python hops
+    per row — the python-side analogue of whole-stage codegen.
+    """
+    from ..core import langid as L
+    from ..core import lm as M
+    from ..core.scrub import count_words, scrub_text
+
+    post = _rules_decode_pdf(pdf.reset_index(drop=True), n_parts)
+    n = len(post)
+    stage = np.array([None if pd.isna(s) else s for s in post["drop_stage"]], dtype=object)
+    reasons = list(post["drop_reasons"])
+    # decode-stage drop (mirrors stages.decode_epilogue / rules.decode_reasons)
+    for i in range(n):
+        if stage[i] is not None:
+            continue
+        d = R.decode_reasons(
+            bool(post["decode_ok"].iat[i]),
+            float(post["rms"].iat[i]),
+            float(post["peak"].iat[i]),
+            float(post["finite_frac"].iat[i]),
+        )
+        if d:
+            stage[i] = R.STAGE_DECODE
+            reasons[i] = d
+
+    lid = L.model()
+    lm_ = M.model()
+    texts = post["transcript"].to_numpy(dtype=object)
+    lang = np.full(n, None, dtype=object)
+    # lang_prob: object (None for never-scored) -> null, matching the staged
+    # langid UDF; ppl: float64 (NaN for never-scored), matching the staged
+    # ppl UDF's float series
+    prob: list = [None] * n
+    ppl = np.full(n, np.nan)
+    pii = np.full(n, np.nan)
+    tox = np.full(n, np.nan)
+    scrubbed = np.full(n, None, dtype=object)
+    for i in range(n):
+        if stage[i] is not None:
+            continue
+        lg, p = lid.predict_one(texts[i])
+        lang[i], prob[i] = lg, p
+        if lg is None or p < R.LANG_PROB_MIN:
+            stage[i] = R.STAGE_LANGID
+            reasons[i] = ["lang_confidence"]
+            continue
+        v = lm_.ppl_one(texts[i], lg)
+        ppl[i] = v
+        if not lm_.in_band(v, lg):
+            stage[i] = R.STAGE_PPL
+            reasons[i] = ["ppl_outlier"]
+            continue
+        s, pc, tc = scrub_text(texts[i])
+        nw = count_words(texts[i])
+        scrubbed[i], pii[i], tox[i] = s, pc, tc
+        if nw > 0 and tc / nw > R.TOX_RATIO_MAX:
+            stage[i] = R.STAGE_SCRUB
+            reasons[i] = ["toxicity"]
+
+    out = pd.DataFrame(
+        {
+            "clip_id": post["clip_id"],
+            "part_id": post["part_id"],
+            "codec": post["codec"],
+            "keep": pd.array([s is None for s in stage], dtype="boolean"),
+            "drop_stage": pd.array(list(stage), dtype="string"),
+            "drop_reasons": reasons,
+            "lang": pd.array(list(lang), dtype="string"),
+            "lang_prob": prob,
+            "ppl": ppl,
+            "pii_count": pd.array(pii, dtype="Int32"),
+            "tox_count": pd.array(tox, dtype="Int32"),
+            "scrubbed_transcript": pd.array(list(scrubbed), dtype="string"),
+        }
+    )
+    return out[_LABEL_COLS]
+
+
+def scan_labels(
+    spark: SparkSession,
+    manifest: list[str],
+    n_parts: int = 32,
+    batch_rows: int = 256,
+    parts_filter: list[int] | None = None,
+    scan_parallelism: int | None = None,
+) -> DataFrame:
+    """Fully-fused pipeline: parquet manifest -> final labels in ONE
+    mapInPandas stage (scan+rules+decode+langid+ppl+scrub). Same label
+    output as the staged chain (tests/test_scan_decode.py)."""
+    if scan_parallelism is None:
+        cap = int(os.environ.get("SPARK_GRAFT_SCAN_PAR", "16"))
+        scan_parallelism = max(1, min(len(manifest), spark.sparkContext.defaultParallelism, cap))
+    paths = spark.createDataFrame([(p,) for p in manifest], "path string").repartition(
+        max(scan_parallelism, 1)
+    )
+    wanted = None if parts_filter is None else set(int(p) for p in parts_filter)
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for path in b["path"]:
+                pf = pq.ParquetFile(path, memory_map=True)
+                for rb in pf.iter_batches(batch_size=batch_rows, columns=CLIP_COLUMNS):
+                    pdf = rb.to_pandas()
+                    if wanted is not None:
+                        keep_mask = [
+                            zlib.crc32(c.encode("utf-8")) % n_parts in wanted
+                            for c in pdf["clip_id"]
+                        ]
+                        pdf = pdf[keep_mask]
+                        if not len(pdf):
+                            continue
+                    yield label_batch_pdf(pdf, n_parts)
+
+    return paths.mapInPandas(_scan, schema=LABELS_SCHEMA)
 
 
 def scan_rules_decode(

@@ -57,17 +57,14 @@ def label_clips_fused(
     n_parts: int = 32,
     parts_filter: list[int] | None = None,
 ) -> DataFrame:
-    """Full filter chain with the fused manifest scan (scan+rules+decode in
-    one Python stage — audio bytes never cross a process boundary; see
-    operators/scan_decode.py). Produces labels identical to label_clips()
+    """Full filter chain fused into ONE mapInPandas stage over the parquet
+    manifest (scan+rules+decode+langid+ppl+scrub) — audio bytes never cross
+    a process boundary and label rows take zero JVM<->Python hops; see
+    operators/scan_decode.py. Produces labels identical to label_clips()
     over the same parquet directory (tests/test_scan_decode.py)."""
-    from .operators.scan_decode import list_manifest, scan_rules_decode
+    from .operators.scan_decode import list_manifest, scan_labels
 
-    df = scan_rules_decode(spark, list_manifest(input_dir), n_parts, parts_filter=parts_filter)
-    df = langid_stage(df)
-    df = ppl_stage(df)
-    df = scrub_stage(df)
-    return df.withColumn("keep", F.col("drop_stage").isNull()).select(*LABEL_COLS)
+    return scan_labels(spark, list_manifest(input_dir), n_parts, parts_filter=parts_filter)
 
 
 def _set_arrow_batch(spark: SparkSession) -> None:
