@@ -154,3 +154,47 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.999) -> DataFrame:
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+def lsh_ann_search(emb: DataFrame, n_queries: int = 20, k: int = 3, dims: int = 64) -> DataFrame:
+    """LSH-bucketed ANN: top-k cosine neighbors searched WITHIN the query's
+    hyperplane bucket only — the scale path that replaces the brute-force
+    corpus scan of cosine_topk.
+
+    The bucket equi-join shuffles both sides by bucket id (co-located,
+    skew handled by AQE); at 10^12 rows this turns an O(Q x N) scan into
+    O(sum of per-bucket Q_b x N_b).
+    """
+    planes = hyperplanes(dims)
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket_col(F.col("embedding"), planes).alias("bucket"),
+        seq_dot_udf(F.col("embedding"), F.col("embedding")).alias("n2"),
+    )
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "bucket",
+        F.col("n2").alias("q2"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        "bucket",
+        F.col("n2").alias("c2"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            F.round(seq_dot_udf(F.col("qe"), F.col("ce")) / F.sqrt(F.col("q2") * F.col("c2")), 4),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )

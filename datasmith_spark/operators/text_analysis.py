@@ -10,7 +10,7 @@ content fingerprinting for a training-data curation pipeline at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORD_PATTERN = r"\b(the|a|and|of|to|in)\b"
@@ -79,3 +79,64 @@ def fingerprint_col(text: Column) -> Column:
     """
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(norm.cast("binary"))
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
+    """MOSS-style winnowing document fingerprints (rolling k-gram + window min).
+
+    words -> k-gram strings -> md5 (hex, engine-portable) -> sliding window
+    of w hashes -> per-window min -> DISTINCT (doc_id, fingerprint). All
+    native exprs; the window min runs inside each doc's partition (map-side
+    after a hash repartition on doc_id), so the op scales as a single
+    shuffle-by-doc no matter the corpus size.
+
+    Ancestry: content-key dedup (seen-set of (typ, url) pairs,
+    /root/reference/src/datasmith/scrape/code_coverage.py:83-88) upgraded to
+    locality-sensitive document fingerprints.
+    """
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_kg = F.size(words) - (k - 1)
+    # guard: Spark sequence(1, 0) would generate a DESCENDING [1, 0]
+    kgrams = F.when(
+        n_kg >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_kg),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, k)).cast("binary")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.posexplode(kgrams).alias("pos", "h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        g.withColumn("fp", F.min("h").over(win))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def fingerprint_pairs(docs: DataFrame, k: int = 3, w: int = 4, min_shared: int = 10) -> DataFrame:
+    """Near-duplicate candidates: doc pairs sharing >= min_shared winnowing
+    fingerprints (equi-join on fingerprint, count per pair)."""
+    fp = winnow_fingerprints(docs, k, w)
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def bpe_token_hist(docs: DataFrame) -> DataFrame:
+    """BPE-ish regex tokenization histogram: word / number / punctuation
+    token counts per language (class-based pattern, Java+RE2 dialect-safe)."""
+    def n_tok(pat: str):
+        return F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))).cast("bigint")
+
+    return docs.groupBy("lang").agg(
+        n_tok("[a-z]+").alias("n_word"),
+        n_tok("[0-9]+").alias("n_num"),
+        n_tok(r"[^a-z0-9\s]").alias("n_punct"),
+        F.count("*").alias("n_docs"),
+    )

@@ -791,3 +791,84 @@ def q28_clips_decode_features(spark, sf_dir):
             F.round(F.avg("n_samples"), 2).alias("avg_samples"),
         )
     )
+
+
+# ------------------------------------------------------- coverage widening
+
+@register(
+    "q29_bpe_token_hist",
+    r"""
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT)      AS n_word,
+           CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)      AS n_num,
+           CAST(sum(len(regexp_extract_all(text, '[^a-z0-9\s]'))) AS BIGINT) AS n_punct,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def q29_bpe_token_hist(spark, sf_dir):
+    """BPE-ish regex tokenization (word/number/punct classes) per language —
+    F12 tokenizer family (/root/reference/src/datasmith/scrape/build_reports.py:235-246)
+    with a class-based pattern that is Java+RE2 dialect-safe."""
+    from .operators.text_analysis import bpe_token_hist
+
+    return bpe_token_hist(_t(spark, sf_dir, "documents"))
+
+
+def _q30_sql() -> str:
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e, {_lsh_planes_sql()} AS bucket,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.e, c.e) / sqrt(q.n2 * c.n2), 4) AS cos
+      FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+      WHERE q.vec_id < 20
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """
+
+
+@register("q30_lsh_ann_search", _q30_sql())
+def q30_lsh_ann_search(spark, sf_dir):
+    """LSH-bucketed ANN top-k (search within the query's hyperplane bucket
+    only) — the scale path replacing q23's brute-force corpus scan."""
+    from .operators.similarity import lsh_ann_search
+
+    return lsh_ann_search(_t(spark, sf_dir, "embeddings"), n_queries=20, k=3)
+
+
+@register(
+    "q31_winnow_fingerprint_pairs",
+    rf"""
+    WITH {_CORPUS_SQL},
+    words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM corpus),
+    kg AS (
+      SELECT doc_id, pos, md5(array_to_string(w[pos:pos+2], ' ')) AS h
+      FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS pos FROM words)
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM kg
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 10
+    """,
+)
+def q31_winnow_fingerprint_pairs(spark, sf_dir):
+    """MOSS-style winnowing fingerprints (rolling k-gram md5 + window min):
+    doc pairs sharing >= 10 fingerprints. Finds the planted exact and
+    near-duplicates in the salted corpus."""
+    from .operators.text_analysis import fingerprint_pairs
+
+    return fingerprint_pairs(_corpus(spark, sf_dir), k=3, w=4, min_shared=10)

@@ -132,3 +132,65 @@ def test_resize_rgb8():
     small = resize_rgb8(img, 8, 6)
     assert small.shape == (6, 8, 3)
     assert (small == resize_rgb8(img, 8, 6)).all()
+
+
+def test_winnow_finds_planted_dups(spark, corpus):
+    """Exact duplicates (+100000) and near-duplicates (+200000) of doc i
+    must share >= 10 winnowing fingerprints with doc i."""
+    from datasmith_spark.operators.text_analysis import fingerprint_pairs
+
+    from datasmith_spark.operators.text_analysis import winnow_fingerprints
+
+    pairs = fingerprint_pairs(corpus, k=3, w=4, min_shared=10).toPandas()
+    found = set(zip(pairs.doc_a, pairs.doc_b))
+    # an EXACT duplicate shares every fingerprint, so (i, i+100000) must be
+    # found exactly for the docs that have >= 10 distinct fingerprints
+    nfp = {
+        r.doc_id: r.n
+        for r in winnow_fingerprints(corpus.filter(F.col("doc_id") < 100), k=3, w=4)
+        .groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    eligible = [i for i, n in nfp.items() if n >= 10]
+    assert eligible, "fixture has no docs with >= 10 fingerprints"
+    missing = [(i, i + 100000) for i in eligible if (i, i + 100000) not in found]
+    assert not missing, f"planted exact-dup pairs not found: {missing[:5]}"
+    # near-duplicates (3 appended tokens) must still be found for ample docs
+    roomy = [i for i, n in nfp.items() if n >= 16]
+    miss_near = [(i, i + 200000) for i in roomy if (i, i + 200000) not in found]
+    assert not miss_near, f"planted near-dup pairs not found: {miss_near[:5]}"
+
+
+def test_lsh_ann_matches_bruteforce_within_bucket(spark):
+    """For every query, the LSH-ANN neighbors must be the true top-k among
+    same-bucket candidates (exactness of the within-bucket search)."""
+    from datasmith_spark.operators.similarity import (
+        cosine_topk,
+        hyperplanes,
+        lsh_ann_search,
+        lsh_bucket_col,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = lsh_ann_search(emb, n_queries=10, k=1).toPandas()
+    assert len(got) > 0
+    # top-1 neighbor returned by brute force must match whenever the pair
+    # shares a bucket (sanity of the scale path vs the exact baseline)
+    brute = cosine_topk(emb, n_queries=10, k=1).toPandas()
+    planes = hyperplanes(64)
+    buckets = {
+        r.vec_id: r.b
+        for r in emb.select("vec_id", lsh_bucket_col(F.col("embedding"), planes).alias("b")).collect()
+    }
+    for _, row in brute.iterrows():
+        if buckets[row.query_id] == buckets[row.neighbor_id]:
+            g = got[got.query_id == row.query_id]
+            assert len(g) and g.iloc[0].neighbor_id == row.neighbor_id
+
+
+def test_bpe_token_hist_consistency(spark):
+    from datasmith_spark.operators.text_analysis import bpe_token_hist
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = bpe_token_hist(docs).toPandas()
+    assert out.n_docs.sum() == docs.count()
+    assert (out.n_word > 0).all()
