@@ -1,0 +1,77 @@
+"""Physical-plan audits: the plans we designed are the plans Catalyst runs.
+
+SURVEY.md §7.3 — pushdown/pruning/broadcast are free only if the query is
+declared right; these tests pin that property so refactors can't silently
+regress it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    """Formatted physical plan (includes full PushedFilters / ReadSchema)."""
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return qe.explainString(jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def test_q01_filter_pushdown_and_codegen(spark):
+    from datasmith_spark.queries import QUERIES
+
+    df = QUERIES["q01_pricing_summary"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+    # whole-stage codegen spans are marked '*(n)'; AQE reveals the final
+    # plan only after execution
+    df.collect()
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(1)" in simple and "isFinalPlan=true" in simple, simple
+    # column pruning: the scan must not read all 16 lineitem columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_q04_broadcast_hash_join(spark):
+    from datasmith_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q04_broadcast_map_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q12_left_anti_broadcast(spark):
+    from datasmith_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q12_anti_join_resume"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_pipeline_chain_is_shuffle_free(spark, clips_path):
+    """The whole filter chain must plan as ONE narrow chain: no Exchange
+    between scan and labels (the property that holds at 10^12 rows)."""
+    from datasmith_spark.pipeline import label_clips, label_clips_fused
+
+    plan = _plan(label_clips(spark.read.parquet(clips_path), n_parts=16))
+    assert "Exchange" not in plan, plan
+    plan_fused = _plan(label_clips_fused(spark, clips_path, n_parts=16))
+    # fused path: one repartition of the tiny path manifest is the only
+    # exchange; no exchange of clip rows (formatted mode prints each node
+    # twice: once in the tree, once in the details)
+    assert plan_fused.count("+- Exchange") <= 1, plan_fused
+
+
+def test_metrics_rollup_is_two_phase(spark, clips_path):
+    """Salted metrics agg: partial on (lang, codec, salt), final on
+    (lang, codec) — two HashAggregate pairs, no single-stage hot-key agg."""
+    from datasmith_spark.pipeline import label_clips
+
+    lab = label_clips(spark.read.parquet(clips_path), n_parts=16)
+    salt = F.pmod(F.crc32(F.col("clip_id").cast("binary")), F.lit(16))
+    partial = lab.groupBy("lang", "codec", salt.alias("_salt")).agg(F.count("*").alias("n"))
+    final = partial.groupBy("lang", "codec").agg(F.sum("n").alias("n"))
+    plan = _plan(final)
+    assert plan.count("HashAggregate") >= 4  # partial+final for both phases
