@@ -262,8 +262,11 @@ def write_clips_parquet(out_dir: str, n_rows: int, procs: int | None = None,
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    # remove only files this function writes — never subdirectories or
+    # unrelated files a caller's out_dir might contain
     for f in os.listdir(out_dir):
-        os.unlink(os.path.join(out_dir, f))
+        if (f.startswith("part-") and f.endswith(".parquet")) or f == "_SUCCESS":
+            os.unlink(os.path.join(out_dir, f))
     chunks = [
         (os.path.join(out_dir, f"part-{lo:08d}.parquet"), lo, min(lo + rows_per_file, n_rows))
         for lo in range(0, n_rows, rows_per_file)

@@ -72,12 +72,14 @@ def _rules_decode_pdf(pdf: pd.DataFrame, n_parts: int) -> pd.DataFrame:
     part_ids, stages, reasons = [], [], []
     for row in pdf.itertuples(index=False):
         part_ids.append(zlib.crc32(row.clip_id.encode("utf-8")) % n_parts)
+        # null int32 columns arrive from pyarrow's to_pandas as float64 NaN,
+        # not None — pd.isna covers both (None and NaN)
         rs = R.rule_reasons(
-            row.codec,
-            None if row.sr_hz is None else int(row.sr_hz),
-            None if row.dur_ms is None else int(row.dur_ms),
+            None if pd.isna(row.codec) else row.codec,
+            None if pd.isna(row.sr_hz) else int(row.sr_hz),
+            None if pd.isna(row.dur_ms) else int(row.dur_ms),
             None if row.bytes is None else len(row.bytes),
-            row.transcript,
+            None if pd.isna(row.transcript) else row.transcript,
         )
         stages.append(R.STAGE_RULES if rs else None)
         reasons.append(rs)

@@ -54,13 +54,27 @@ def seq_dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         # fast path: rectangular batch -> one row-wise sequential cumsum
         ma = np.stack([np.asarray(v, dtype=np.float64) for v in va])
         mb = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
-        return pd.Series(np.cumsum(ma * mb, axis=1)[:, -1])
-    except ValueError:  # ragged lengths
-        out = np.empty(n, dtype=np.float64)
-        for i in range(n):
+        if ma.ndim == 2 and mb.ndim == 2:
+            if ma.shape[1] == 0:  # all-empty arrays: fold over [] = 0.0
+                return pd.Series(np.zeros(n, dtype=np.float64))
+            return pd.Series(np.cumsum(ma * mb, axis=1)[:, -1])
+    except (ValueError, TypeError):
+        pass
+    # ragged lengths / null arrays / null elements: per-row fallback.
+    # Null array or null element -> NaN (pandas->Arrow maps NaN to null,
+    # matching the Catalyst fold's null propagation).
+    out = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        if va[i] is None or vb[i] is None:
+            out[i] = np.nan
+            continue
+        try:
             p = np.asarray(va[i], dtype=np.float64) * np.asarray(vb[i], dtype=np.float64)
-            out[i] = np.cumsum(p)[-1] if p.size else 0.0
-        return pd.Series(out)
+        except (ValueError, TypeError):
+            out[i] = np.nan
+            continue
+        out[i] = np.cumsum(p)[-1] if p.size else 0.0
+    return pd.Series(out)
 
 
 def cosine_col(a: Column, b: Column) -> Column:

@@ -427,7 +427,7 @@ def q15_changepoint_detect(spark, sf_dir):
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     )
-    SELECT user_id, 1 + sum(new_session) AS n_sessions FROM g GROUP BY user_id
+    SELECT user_id, CAST(1 + sum(new_session) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
     """,
 )
 def q16_sessionize(spark, sf_dir):
@@ -442,7 +442,7 @@ def q16_sessionize(spark, sf_dir):
     return (
         e.withColumn("new_session", F.when(gap > 1800.0, F.lit(1)).otherwise(F.lit(0)))
         .groupBy("user_id")
-        .agg((F.lit(1) + F.sum("new_session")).alias("n_sessions"))
+        .agg((F.lit(1) + F.sum("new_session")).cast("long").alias("n_sessions"))
     )
 
 

@@ -42,9 +42,9 @@ def read_pydict_jsonl(spark: SparkSession, path: str, schema: T.StructType | str
     """
     lines = spark.read.text(path)
     fixed = F.regexp_replace(F.regexp_replace(F.col("value"), "'", '"'), r"\bNone\b", "null")
-    ddl = schema if isinstance(schema, str) else schema.simpleString()[7:-1]
+    # from_json accepts a StructType or a DDL string directly — no conversion
     return (
-        lines.select(F.from_json(fixed, ddl).alias("r"))
+        lines.select(F.from_json(fixed, schema).alias("r"))
         .filter(F.col("r").isNotNull())
         .select("r.*")
     )

@@ -7,7 +7,10 @@ filter chain lifts unchanged onto a file-source stream: the stage UDFs are
 stateless per row, so `readStream -> label_clips -> foreachBatch(write)` is
 the streaming analogue of the batch pipeline, with exactly-once sink
 semantics provided by the streaming checkpoint + idempotent per-batch
-appends keyed by batch_id.
+writes: every output table is partitioned by batch_id and written with
+dynamic partition OVERWRITE, so a batch replayed after a crash (append
+landed, checkpoint commit didn't) rewrites exactly its own partitions
+instead of duplicating rows.
 
 Scale design: at 10^12-clip scale this is the continuous-ingest front door —
 new clip files land in the source directory (or an Iceberg table with
@@ -41,6 +44,54 @@ def stream_clips(
     return reader.parquet(input_dir)
 
 
+def make_batch_sink(tl: TableLayer):
+    """foreachBatch sink with idempotent-per-batch semantics.
+
+    Both output tables are partitioned by batch_id and written with dynamic
+    partition overwrite: if the job dies after the write but before the
+    streaming checkpoint commits, the replayed batch (same batch_id, same
+    offsets) overwrites exactly the partitions it wrote before — no
+    duplicate label or metrics rows. Factored out so tests can replay a
+    batch directly (tests/test_streaming.py::test_batch_replay_idempotent).
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            (
+                batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id", "part_id")
+                .parquet(tl.path("labels"))
+            )
+            metrics = (
+                batch_df.groupBy("lang", "codec")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("keep").cast("long")).alias("n_keep"),
+                    F.sum("pii_count").alias("pii_total"),
+                    F.sum("tox_count").alias("tox_total"),
+                )
+                .withColumns({
+                    "keep_rate": F.col("n_keep") / F.col("n"),
+                    "run_id": F.lit(f"stream-{batch_id}"),
+                    "ts": F.current_timestamp(),
+                    "batch_id": F.lit(int(batch_id)),
+                })
+            )
+            (
+                metrics.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(tl.path("metrics"))
+            )
+        finally:
+            batch_df.unpersist()
+
+    return _sink
+
+
 def run_streaming_pipeline(
     spark: SparkSession,
     input_dir: str,
@@ -56,40 +107,16 @@ def run_streaming_pipeline(
     (batch-equivalent semantics for tests); False runs continuously until
     the caller stops the query.
 
-    Each micro-batch appends to the labels table and a per-batch metrics
-    row; the streaming checkpoint (out_dir/_stream_checkpoint) makes
+    Each micro-batch writes its labels and metrics into batch_id-keyed
+    partitions with dynamic partition overwrite (idempotent under batch
+    replay); the streaming checkpoint (out_dir/_stream_checkpoint) makes
     restarts resume from the last committed batch without reprocessing.
     """
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
     tl = TableLayer(out_dir)
     clips = stream_clips(spark, input_dir, max_files_per_trigger)
     labels = label_clips(clips, n_parts=n_parts)
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.persist()
-        try:
-            (
-                batch_df.write.mode("append")
-                .partitionBy("part_id")
-                .parquet(tl.path("labels"))
-            )
-            metrics = (
-                batch_df.groupBy("lang", "codec")
-                .agg(
-                    F.count("*").alias("n"),
-                    F.sum(F.col("keep").cast("long")).alias("n_keep"),
-                    F.sum("pii_count").alias("pii_total"),
-                    F.sum("tox_count").alias("tox_total"),
-                )
-                .withColumns({
-                    "keep_rate": F.col("n_keep") / F.col("n"),
-                    "run_id": F.lit(f"stream-{batch_id}"),
-                    "ts": F.current_timestamp(),
-                })
-            )
-            tl.append(metrics, "metrics")
-        finally:
-            batch_df.unpersist()
+    _sink = make_batch_sink(tl)
 
     writer = (
         labels.select(*LABEL_COLS)

@@ -64,3 +64,16 @@ def test_pydict_jsonl_repair(spark, tmp_path):
     assert [r.repo_name for r in got] == ["a/x", "b/y", "c/z"]
     assert [r.stars for r in got] == [10, None, 3]
     assert [r.sha for r in got] == ["abc", "def", None]
+
+
+def test_pydict_jsonl_structtype_schema(spark, tmp_path):
+    """The StructType overload of the declared schema interface must parse
+    identically to the DDL-string path."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "pseudo2.jsonl"
+    rows = [{"a": 1, "b": "x"}, {"a": None, "b": "y"}]
+    p.write_text("\n".join(str(r) for r in rows))
+    st = T.StructType([T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())])
+    got = sources.read_pydict_jsonl(spark, str(p), st).orderBy("b").collect()
+    assert [(r.a, r.b) for r in got] == [(1, "x"), (None, "y")]

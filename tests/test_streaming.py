@@ -73,3 +73,23 @@ def test_stream_restart_is_noop(spark, stream_dirs):
     run_streaming_pipeline(spark, inp, out, n_parts=N_PARTS)
     n_after = spark.read.parquet(f"{out}/labels").count()
     assert n_after == n_before
+
+
+def test_batch_replay_idempotent(spark, clips_path, tmp_path):
+    """Crash-between-write-and-commit: replaying the SAME batch_id must not
+    duplicate label or metrics rows (dynamic overwrite of batch partitions)."""
+    from datasmith_spark.streaming import make_batch_sink
+    from datasmith_spark.tables import TableLayer
+
+    tl = TableLayer(str(tmp_path / "replay_out"))
+    sink = make_batch_sink(tl)
+    labels = label_clips(spark.read.parquet(clips_path).limit(200), n_parts=N_PARTS)
+    sink(labels, 0)
+    n_labels = spark.read.parquet(tl.path("labels")).count()
+    n_metrics = spark.read.parquet(tl.path("metrics")).count()
+    sink(labels, 0)  # replay after simulated checkpoint-commit failure
+    assert spark.read.parquet(tl.path("labels")).count() == n_labels
+    assert spark.read.parquet(tl.path("metrics")).count() == n_metrics
+    # a NEW batch appends (its own partitions), not overwrites
+    sink(labels, 1)
+    assert spark.read.parquet(tl.path("labels")).count() == 2 * n_labels

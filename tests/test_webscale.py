@@ -194,3 +194,24 @@ def test_bpe_token_hist_consistency(spark):
     out = bpe_token_hist(docs).toPandas()
     assert out.n_docs.sum() == docs.count()
     assert (out.n_word > 0).all()
+
+
+def test_seq_dot_udf_edge_cases(spark):
+    """Zero-length and null embeddings must not crash the Arrow dot kernel:
+    empty -> 0.0 (fold over []), null array -> null (fold propagation)."""
+    from datasmith_spark.operators.similarity import seq_dot_udf
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, []), (2, None), (3, [0.5, -1.0])],
+        "id int, e array<double>",
+    )
+    rows = {r.id: r.d for r in df.select("id", seq_dot_udf("e", "e").alias("d")).collect()}
+    assert rows[0] == 5.0
+    assert rows[1] == 0.0
+    assert rows[2] is None
+    assert rows[3] == 1.25
+
+    # all-empty batch exercises the rectangular (n, 0) fast path
+    df2 = spark.createDataFrame([(0, []), (1, [])], "id int, e array<double>")
+    vals = [r.d for r in df2.select(seq_dot_udf("e", "e").alias("d")).collect()]
+    assert vals == [0.0, 0.0]
