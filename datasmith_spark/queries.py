@@ -722,13 +722,50 @@ def q25_embedding_dup_pairs(spark, sf_dir):
     return embedding_dup_pairs(emb.unionByName(dup), threshold=0.999)
 
 
-@register("q26_simhash_candidates")  # rows-only: 64-bit bit-vote SimHash is a UDF
+@register(
+    "q26_simhash_candidates",
+    rf"""
+    WITH {_CORPUS_SQL},
+    tok AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                        t -> t != '')) AS t
+      FROM corpus
+    ),
+    tc AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY doc_id, t),
+    vocab AS (SELECT DISTINCT t FROM tc),
+    -- bit j of md5(token)'s first 8 bytes, MSB-first (numpy unpackbits order):
+    -- hex nibble j//4, within-nibble shift 3-(j%4)
+    bits AS (
+      SELECT t, g.j,
+             ((strpos('0123456789abcdef', substr(md5(t), 1 + (g.j // 4), 1)) - 1)
+              >> (3 - (g.j % 4))) & 1 AS bit
+      FROM vocab, generate_series(0, 63) g(j)
+    ),
+    votes AS (
+      SELECT tc.doc_id, b.j, sum(tc.cnt * (2 * b.bit - 1)) AS v
+      FROM tc JOIN bits b ON b.t = tc.t
+      GROUP BY tc.doc_id, b.j
+    ),
+    fp AS (
+      SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bitstr
+      FROM votes GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, g.b AS band, substr(bitstr, 1 + 16 * g.b, 16) AS key
+      FROM fp, generate_series(0, 3) g(b)
+    )
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    """,
+)
 def q26_simhash_candidates(spark, sf_dir):
     """SimHash near-dup candidates (Arrow-batched UDF, 16-bit bands).
 
-    No SQL oracle: the bit-vote kernel is not reasonably SQL-expressible;
-    the driver records a rows-only check and tests/test_webscale.py asserts
-    the planted near-duplicates are found.
+    The DuckDB oracle re-derives the 64-bit bit-vote fingerprint in pure SQL
+    (per-token md5 bits via hex-nibble arithmetic, tf-weighted votes, banded
+    16-bit equi-join) — bit-for-bit the same fingerprint family as the UDF,
+    so candidate pairs match exactly. tests/test_webscale.py additionally
+    asserts the planted near-duplicates are found.
     """
     from .operators.dedup import simhash_candidate_pairs
 
@@ -737,51 +774,84 @@ def q26_simhash_candidates(spark, sf_dir):
 
 # --------------------------------------------------------------- clips ops
 
-def _clips_cached(spark: SparkSession, sf_dir: str):
-    """Deterministic clips table scaled to the sf dir, cached as parquet."""
+_CLIPS_N = 4000  # fixed clip count: matches the committed oracle fixture
+_ORACLE_FIXTURE = f"/root/repo/fixtures/oracle_labels_n{_CLIPS_N}.parquet"
+
+
+def _clips_cache_path(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic clips table (n=_CLIPS_N rows), cached as parquet.
+
+    The row count is pinned (not sf-scaled) so the committed single-process
+    oracle fixture (scripts/make_oracle_fixture.py) describes exactly this
+    input at every sf the driver runs.
+    """
     import os
-    import re
 
     from . import datagen
 
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.01
-    n = min(4000, datagen.n_rows_for_sf(sf))  # bounded for correctness runs
-    path = f"/root/repo/.data/clips_cache/n{n}"
+    path = f"/root/repo/.data/clips_cache/n{_CLIPS_N}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        datagen.clips_df(spark, n).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+        datagen.clips_df(spark, _CLIPS_N).write.mode("overwrite").parquet(path)
+    return path
 
 
-@register("q27_clips_pipeline_summary")  # rows-only: full UDF pipeline
+@register(
+    "q27_clips_pipeline_summary",
+    f"""
+    SELECT drop_stage, lang, count(*) AS n,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum(pii_count) AS BIGINT) AS pii_total
+    FROM read_parquet('{_ORACLE_FIXTURE}')
+    GROUP BY drop_stage, lang
+    """,
+)
 def q27_clips_pipeline_summary(spark, sf_dir):
-    """Flagship curation chain over the synthetic clips table, summarized
-    per (drop_stage, lang). Correctness vs the single-process oracle is
-    asserted exactly (F1=1.0) by tests/test_pipeline.py."""
-    from .pipeline import ARROW_BATCH, label_clips
+    """Flagship curation chain (fused manifest scan: scan+rules+decode+
+    langid+ppl+scrub in ONE mapInPandas), summarized per (drop_stage, lang).
+
+    The DuckDB oracle aggregates the committed single-process oracle's
+    labels (fixtures/oracle_labels_n4000.parquet) — an INDEPENDENT
+    implementation of the same chain — so the driver's value-hash check
+    verifies the whole pipeline end to end. Per-row equality (F1=1.0,
+    transcripts, SNR) is additionally asserted by tests/test_pipeline.py.
+    """
+    from .operators.scan_decode import list_manifest, scan_labels
+    from .pipeline import ARROW_BATCH
 
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
-    labels = label_clips(_clips_cached(spark, sf_dir), n_parts=32)
+    labels = scan_labels(spark, list_manifest(_clips_cache_path(spark, sf_dir)), n_parts=32)
     return (
         labels.groupBy("drop_stage", "lang")
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("keep").cast("long")).alias("n_keep"),
-            F.sum("pii_count").alias("pii_total"),
+            F.sum("pii_count").cast("long").alias("pii_total"),
         )
     )
 
 
-@register("q28_clips_decode_features")  # rows-only: audio decode is a UDF
+@register(
+    "q28_clips_decode_features",
+    f"""
+    SELECT codec, count(*) AS n,
+           round(avg(rms), 6)       AS avg_rms,
+           round(avg(n_samples), 2) AS avg_samples
+    FROM read_parquet('{_ORACLE_FIXTURE}')
+    WHERE decode_ok
+    GROUP BY codec
+    """,
+)
 def q28_clips_decode_features(spark, sf_dir):
-    """Vectorized audio decode features aggregated per codec (multimodal
-    binary-payload path; decode parity asserted by tests/test_pipeline.py)."""
-    from .operators.rules import with_rule_stage
-    from .operators.stages import decode_stage
+    """Vectorized audio decode features per codec via the fused manifest
+    scan (multimodal binary-payload path — audio bytes never cross the
+    JVM<->Python socket). Oracle: the committed fixture's independently
+    computed decode features (same per-row values, decode parity also
+    asserted by tests/test_pipeline.py)."""
+    from .operators.scan_decode import list_manifest, scan_rules_decode
     from .pipeline import ARROW_BATCH
 
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
-    df = decode_stage(with_rule_stage(_clips_cached(spark, sf_dir), 32))
+    df = scan_rules_decode(spark, list_manifest(_clips_cache_path(spark, sf_dir)), n_parts=32)
     return (
         df.filter(F.col("decode_ok"))
         .groupBy("codec")

@@ -119,3 +119,31 @@ def test_no_shuffle_in_label_chain(spark, clips_path):
     clips = spark.read.parquet(clips_path)
     plan = label_clips(clips, n_parts=N_PARTS)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_oracle_fixture_is_honest():
+    """The committed oracle fixture (q27/q28 DuckDB oracle input) must equal
+    a fresh regeneration of the single-process oracle on a row sample."""
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import make_oracle_fixture as mof
+
+    fix = pd.read_parquet("/root/repo/fixtures/oracle_labels_n4000.parquet")
+    assert len(fix) == 4000
+    idx = list(range(0, 4000, 17))  # 236-row deterministic sample
+    fresh = mof.oracle_rows(idx).reset_index(drop=True)
+    sample = fix.iloc[idx].reset_index(drop=True)
+    for c in fresh.columns:
+        if c == "drop_reasons":
+            assert all(list(a) == list(b) for a, b in zip(sample[c], fresh[c]))
+        elif fresh[c].dtype.kind == "f":
+            a = sample[c].to_numpy(dtype=float)
+            b = fresh[c].to_numpy(dtype=float)
+            assert ((np.isnan(a) & np.isnan(b)) | (a == b)).all(), c
+        else:
+            a = sample[c].astype("object").where(sample[c].notna(), "<null>").astype(str)
+            b = fresh[c].astype("object").where(fresh[c].notna(), "<null>").astype(str)
+            assert (a == b).all(), c
