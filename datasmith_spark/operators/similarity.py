@@ -141,14 +141,65 @@ def lsh_bucket_counts(emb: DataFrame, dims: int = 64) -> DataFrame:
     )
 
 
-def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.999) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine >= threshold).
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.999,
+    dims: int = 64,
+    n_bands: int = 4,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold) — the SCALE path.
 
-    Demo shape: bounded self-join (fine at testdata scale). Production path
-    at 10^12 rows: group by lsh_bucket_col first and self-join within
-    buckets only — identical results for any threshold near 1.
+    Multi-band random-hyperplane LSH prefilter: one (n_bands*band_bits)-bit
+    sign signature per vector, candidate pairs = ids agreeing on ALL bits of
+    at least one band (equi-joins on band substrings, never a cross join),
+    exact cosine verified on candidates only. Identical vectors agree on
+    every band, so exact-dup recall is 1.0 by construction; for
+    threshold=0.999 (per-plane agree prob 1 - acos(0.999)/pi ~ 0.986) the
+    4x16-bit default gives pair recall ~0.998 — tune n_bands/band_bits up
+    for tighter thresholds or bigger corpora. At 10^12 rows every join here
+    is a shuffle-hash/broadcast equi-join on short keys; nothing is O(N^2).
+
+    embedding_dup_pairs_bruteforce is the exact verifier used by tests.
     """
-    # self-dots once per vector (not per pair) — same value bit-for-bit
+    planes = hyperplanes(dims, n_planes=n_bands * band_bits)
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        seq_dot_udf(F.col("embedding"), F.col("embedding")).alias("n2"),
+        lsh_bucket_col(F.col("embedding"), planes).alias("sig"),
+    )
+    bands = base.select(
+        "vec_id",
+        *[
+            F.substring("sig", 1 + b * band_bits, band_bits).alias(f"bk{b}")
+            for b in range(n_bands)
+        ],
+    )
+    cand = None
+    for b in range(n_bands):
+        x = bands.select(F.col("vec_id").alias("vec_a"), F.col(f"bk{b}").alias("bk"))
+        y = bands.select(F.col("vec_id").alias("vec_b"), F.col(f"bk{b}").alias("bk"))
+        p = x.join(y, "bk").filter(F.col("vec_a") < F.col("vec_b")).select("vec_a", "vec_b")
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("n2").alias("a2"))
+    bb = base.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("n2").alias("b2"))
+    return (
+        cand.join(a, "vec_a")
+        .join(bb, "vec_b")
+        .withColumn(
+            "cos",
+            F.round(seq_dot_udf(F.col("ea"), F.col("eb")) / F.sqrt(F.col("a2") * F.col("b2")), 4),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+def embedding_dup_pairs_bruteforce(emb: DataFrame, threshold: float = 0.999) -> DataFrame:
+    """Exact all-pairs verifier (O(N^2) nested-loop join): test oracle for
+    embedding_dup_pairs recall — never the production path."""
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),

@@ -712,7 +712,11 @@ def q24_lsh_ann_buckets(spark, sf_dir):
 )
 def q25_embedding_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (corpus salted with known
-    duplicates; production path pre-buckets with q24's LSH)."""
+    duplicates). The Spark side runs the SCALE path — multi-band hyperplane
+    LSH prefilter, exact cosine on candidates only, no O(N^2) join — while
+    the DuckDB oracle computes exact all-pairs; matching results prove the
+    prefilter's recall on this corpus. Plan has no nested-loop join
+    (tests/test_webscale.py::test_embedding_dup_pairs)."""
     from .operators.similarity import embedding_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -63,14 +63,25 @@ def test_exact_dedup_counts(spark, corpus):
 
 
 def test_embedding_dup_pairs(spark):
-    from datasmith_spark.operators.similarity import embedding_dup_pairs
+    """LSH-prefiltered dup pairs == exact brute-force verifier, and the
+    production plan contains no nested-loop/cartesian join."""
+    from datasmith_spark.operators.similarity import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_bruteforce,
+    )
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "embedding")
     dup = emb.filter(F.col("vec_id") < 10).select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
-    pairs = {(r.vec_a, r.vec_b): r.cos for r in embedding_dup_pairs(emb.unionByName(dup), 0.999).collect()}
+    corpus = emb.unionByName(dup)
+    out = embedding_dup_pairs(corpus, 0.999)
+    pairs = {(r.vec_a, r.vec_b): r.cos for r in out.collect()}
     for i in range(10):
         assert pairs.get((i, i + 10000)) == 1.0
     assert len(pairs) == 10  # random vectors in 64-d never reach 0.999
+    brute = {(r.vec_a, r.vec_b): r.cos for r in embedding_dup_pairs_bruteforce(corpus, 0.999).collect()}
+    assert pairs == brute
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
 def test_cosine_topk_deterministic(spark):
