@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 from .text_analysis import fingerprint_col
 
-MINHASH_K = 4  # permutations; banded into pairs => 2 bands
+MINHASH_K = 8  # permutations; banded into pairs => 4 bands (r=2, b=4:
+# P(candidate) = 1-(1-j^2)^4 — ~0.97 at jaccard 0.8, ~0.26 at jaccard 0.3)
 
 
 def exact_dedup_stats(docs: DataFrame) -> DataFrame:

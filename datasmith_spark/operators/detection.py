@@ -1,0 +1,97 @@
+"""Per-group ordered-series changepoint detection with pluggable methods.
+
+Mirror of the reference's strategy registry
+(/root/reference/src/datasmith/detection/detect_breakpoints.py:76-83
+`get_detection_method`, dispatching "rbf" | "asv"): here the two
+interchangeable strategies are
+
+  * "delta" — adjacent-point percentage shift (the rbf-analogue: compare
+    each point to its predecessor, delta_pct = (cur-prev)/(prev+1e-10)*100,
+    emit where below threshold). Implemented as applyInPandas (D3
+    group-map), numpy-vectorized per group.
+  * "step"  — windowed-mean step detection (the asv step_detect analogue:
+    compare the mean of W points before vs W points after each position).
+    Fully SQL-expressible, so it runs as NATIVE window functions — no
+    Python in the plan at all.
+
+Both emit the same output schema (user_id, idx, delta_pct), both are
+oracle-checked (q15 / q15b). Scale: one shuffle on the group key either
+way; the "step" plan stays entirely inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EPS = 1e-10  # reference's epsilon guard (detect_breakpoints.py:27)
+OUT_SCHEMA = "user_id bigint, idx int, delta_pct double"
+
+
+def _detect_delta(events: DataFrame, threshold: float) -> DataFrame:
+    """Adjacent-point shift via applyInPandas (reference get_breakpoints
+    math, detect_breakpoints.py:15-38, incl. the 1e-10 epsilon)."""
+
+    def detect(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        if len(v) < 2:
+            return pd.DataFrame({"user_id": [], "idx": [], "delta_pct": []})
+        prev, cur = v[:-1], v[1:]
+        delta = (cur - prev) / (prev + EPS) * 100.0
+        pos = np.nonzero(delta < threshold)[0]
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[0],
+                "idx": pos + 2,  # 1-based row_number of the post-shift element
+                "delta_pct": delta[pos],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(detect, OUT_SCHEMA)
+
+
+def _detect_step(events: DataFrame, threshold: float, w: int = 3) -> DataFrame:
+    """Windowed-mean step shift as NATIVE window expressions (asv
+    step_detect analogue): mean of w rows before vs w rows from the current
+    position; positions without full windows are skipped."""
+    order = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    before = F.avg("value").over(order.rowsBetween(-w, -1))
+    after = F.avg("value").over(order.rowsBetween(0, w - 1))
+    n = F.count("*").over(Window.partitionBy("user_id"))
+    rn = F.row_number().over(order)
+    delta = (F.col("after_m") - F.col("before_m")) / (F.col("before_m") + EPS) * 100.0
+    return (
+        events.select(
+            "user_id",
+            rn.alias("rn"),
+            before.alias("before_m"),
+            after.alias("after_m"),
+            n.alias("n"),
+        )
+        .filter((F.col("rn") > w) & (F.col("rn") + (w - 1) <= F.col("n")) & (delta < threshold))
+        .select("user_id", F.col("rn").cast("int").alias("idx"), delta.alias("delta_pct"))
+    )
+
+
+_METHODS: dict[str, Callable[..., DataFrame]] = {"delta": _detect_delta, "step": _detect_step}
+
+
+def get_detection_method(method: str) -> Callable[..., DataFrame]:
+    """Strategy lookup, same contract as the reference's get_detection_method."""
+    try:
+        return _METHODS[method]
+    except KeyError:
+        raise ValueError(f"Unknown method: {method}. Use {sorted(_METHODS)}.") from None
+
+
+def detect_changepoints(
+    events: DataFrame, method: str = "delta", threshold: float = -95.0
+) -> DataFrame:
+    """Per-user changepoints with the selected strategy; rounded delta_pct."""
+    out = get_detection_method(method)(events.select("user_id", "ts", "event_id", "value"), threshold)
+    return out.withColumn("delta_pct", F.round("delta_pct", 6))

@@ -390,31 +390,40 @@ def q15_changepoint_detect(spark, sf_dir):
     """A1/W1/D3: THE reference centerpiece — per-group ordered-series
     detection via groupby().apply
     (/root/reference/src/datasmith/detection/detect_breakpoints.py:86-103,
-    :15-38 delta_pct math incl. the 1e-10 epsilon guard) as applyInPandas.
-    The UDF emits breakpoint rows directly (U2 explode folded in)."""
-    import numpy as np
-    import pandas as pd
+    :15-38 delta_pct math incl. the 1e-10 epsilon guard) as applyInPandas,
+    selected through the pluggable strategy registry (W2,
+    operators/detection.py get_detection_method, mirroring ref :76-83)."""
+    from .operators.detection import detect_changepoints
 
-    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return detect_changepoints(_t(spark, sf_dir, "events"), method="delta")
 
-    def detect(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        v = pdf["value"].to_numpy(dtype=np.float64)
-        if len(v) < 2:
-            return pd.DataFrame({"user_id": [], "idx": [], "delta_pct": []})
-        prev, cur = v[:-1], v[1:]
-        delta = (cur - prev) / (prev + 1e-10) * 100.0
-        pos = np.nonzero(delta < -95.0)[0]
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"].iloc[0],
-                "idx": pos + 2,  # 1-based row_number of the post-shift element
-                "delta_pct": delta[pos],
-            }
-        )
 
-    out = e.groupBy("user_id").applyInPandas(detect, "user_id bigint, idx int, delta_pct double")
-    return out.withColumn("delta_pct", F.round("delta_pct", 6))
+@register(
+    "q15b_step_detect",
+    """
+    WITH s AS (
+      SELECT user_id,
+             row_number() OVER w AS rn,
+             avg(value) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS before_m,
+             avg(value) OVER (w ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS after_m,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT user_id, CAST(rn AS INTEGER) AS idx,
+           round((after_m - before_m) / (before_m + 1e-10) * 100.0, 6) AS delta_pct
+    FROM s
+    WHERE rn > 3 AND rn + 2 <= n
+      AND (after_m - before_m) / (before_m + 1e-10) * 100.0 < -70.0
+    """,
+)
+def q15b_step_detect(spark, sf_dir):
+    """W2: the second interchangeable detection strategy ("step", the asv
+    step_detect analogue of ref detect_breakpoints.py:41-73) — windowed-mean
+    shift, expressed as NATIVE window functions (zero Python in the plan)."""
+    from .operators.detection import detect_changepoints
+
+    return detect_changepoints(_t(spark, sf_dir, "events"), method="step", threshold=-70.0)
 
 
 @register(
@@ -562,7 +571,17 @@ def q20_exact_dedup(spark, sf_dir):
     return exact_dedup_stats(_corpus(spark, sf_dir))
 
 
-_MINHASH_SQL_BODY = r"""
+def _minhash_sql_body(k: int) -> str:
+    """DuckDB mirror of operators.dedup minhash_signatures/lsh_candidate_pairs
+    for K permutations banded into K/2 two-signature bands (kept in sync via
+    the shared MINHASH_K constant)."""
+    sig = ", ".join(f"min(md5('{i}|' || s)) AS s{i}" for i in range(k))
+    bands = ", ".join(f"md5(s{2 * b} || s{2 * b + 1}) AS b{b}" for b in range(k // 2))
+    unions = "\n        UNION\n        ".join(
+        f"SELECT x.id AS a, y.id AS b FROM band x JOIN band y ON x.b{b} = y.b{b} AND x.id < y.id"
+        for b in range(k // 2)
+    )
+    return rf"""
     tok AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM corpus
     ),
@@ -571,21 +590,23 @@ _MINHASH_SQL_BODY = r"""
              unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
       FROM tok WHERE len(w) >= 3
     ),
-    sig AS (
-      SELECT id,
-             min(md5('0|' || s)) AS s0, min(md5('1|' || s)) AS s1,
-             min(md5('2|' || s)) AS s2, min(md5('3|' || s)) AS s3
-      FROM sh GROUP BY id
-    ),
-    band AS (SELECT id, md5(s0 || s1) AS b0, md5(s2 || s3) AS b1 FROM sig),
+    sig AS (SELECT id, {sig} FROM sh GROUP BY id),
+    band AS (SELECT id, {bands} FROM sig),
     cand AS (
       SELECT DISTINCT a, b FROM (
-        SELECT x.id AS a, y.id AS b FROM band x JOIN band y ON x.b0 = y.b0 AND x.id < y.id
-        UNION
-        SELECT x.id AS a, y.id AS b FROM band x JOIN band y ON x.b1 = y.b1 AND x.id < y.id
+        {unions}
       )
     )
 """
+
+
+def _minhash_k() -> int:
+    from .operators.dedup import MINHASH_K
+
+    return MINHASH_K
+
+
+_MINHASH_SQL_BODY = _minhash_sql_body(_minhash_k())
 
 
 @register(
@@ -946,3 +967,56 @@ def q31_winnow_fingerprint_pairs(spark, sf_dir):
     from .operators.text_analysis import fingerprint_pairs
 
     return fingerprint_pairs(_corpus(spark, sf_dir), k=3, w=4, min_shared=10)
+
+
+@register(
+    "q32_url_parse_encode",
+    """
+    WITH u AS (
+      SELECT source || '.example.org'                                    AS host,
+             '/' || lang || '/doc/' || doc_id                            AS path,
+             replace(replace(lang || ' & ' || source, '&', '%26'), ' ', '+') AS q,
+             n_chars                                                     AS n
+      FROM documents
+    )
+    SELECT host, count(*) AS n_docs,
+           count(DISTINCT path)      AS n_paths,
+           count(DISTINCT q)         AS n_terms,
+           CAST(sum(n) AS BIGINT)    AS sum_n
+    FROM u GROUP BY host
+    """,
+)
+def q32_url_parse_encode(spark, sf_dir):
+    """F4/F6 URL scalar family: url_encode + parse_url(HOST/PATH/QUERY).
+
+    Ancestry: urlparse + owner/repo splitting + quote()
+    (/root/reference/src/datasmith/scrape/utils.py:33-85,
+    scrape_dashboards.py:19-27, build_reports.py:82-97).
+
+    The Spark side BUILDS a URL per document (F5 templating), percent-
+    encodes the query term (Java URLEncoder semantics: space->'+',
+    '&'->%26), then re-extracts host/path/term/param with parse_url. The
+    DuckDB oracle derives the same fields straight from the source columns
+    — independent ground truth, so the check verifies the encode+parse
+    round-trip, not just self-consistency.
+    """
+    d = _t(spark, sf_dir, "documents")
+    term = F.concat(F.col("lang"), F.lit(" & "), F.col("source"))
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"), F.col("lang"),
+        F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.lit("?q="), F.url_encode(term),
+        F.lit("&n="), F.col("n_chars").cast("string"),
+    )
+    parsed = d.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("n")).cast("long").alias("n"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("path").alias("n_paths"),
+        F.countDistinct("q").alias("n_terms"),
+        F.sum("n").alias("sum_n"),
+    )

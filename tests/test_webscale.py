@@ -31,7 +31,9 @@ def test_minhash_finds_planted_dups(spark, corpus, planted):
     exact = [(i, i + 100000) for i in planted]
     near = [(i, i + 200000) for i in planted]
     assert sum(p in pairs for p in exact) == len(exact)  # identical text: always caught
-    assert sum(p in pairs for p in near) >= 0.8 * len(near)
+    # K=8 / 4 bands: planted near-dups (jaccard ~0.8+) collide on some band
+    # with prob ~0.97 per pair => >=0.95 recall on 100 planted pairs
+    assert sum(p in pairs for p in near) >= 0.95 * len(near)
 
     # jaccard verification: exact pairs score 1.0, near pairs high
     from datasmith_spark.operators.dedup import jaccard_verify
@@ -226,3 +228,22 @@ def test_seq_dot_udf_edge_cases(spark):
     df2 = spark.createDataFrame([(0, []), (1, [])], "id int, e array<double>")
     vals = [r.d for r in df2.select(seq_dot_udf("e", "e").alias("d")).collect()]
     assert vals == [0.0, 0.0]
+
+
+def test_detection_method_registry(spark):
+    """Pluggable strategy lookup mirrors the reference's get_detection_method
+    contract: known methods dispatch, unknown raises ValueError."""
+    import pytest as _pytest
+
+    from datasmith_spark.operators.detection import detect_changepoints, get_detection_method
+
+    assert get_detection_method("delta") is not get_detection_method("step")
+    with _pytest.raises(ValueError, match="Unknown method"):
+        get_detection_method("rbf-nope")
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    d1 = detect_changepoints(e, "delta")
+    d2 = detect_changepoints(e, "step", threshold=-70.0)
+    assert d1.columns == d2.columns == ["user_id", "idx", "delta_pct"]
+    # the native "step" strategy keeps the plan Python-free
+    plan = d2._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
