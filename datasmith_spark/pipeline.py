@@ -10,10 +10,16 @@ Scale design (10^12 clips / 1000 executors):
   * the whole filter chain is narrow: scan -> codegen'd rule exprs ->
     Arrow UDF stages; Python sees survivors only; `bytes` is dropped at the
     decode stage so everything downstream moves ~100-byte rows.
-  * resume = left-anti join of parts against the checkpoints table
-    (reference cache semantics, /root/reference/src/datasmith/utils.py:69-144
-    incl. bypass_cache => force=True), then dynamic-partition-overwrite of
-    exactly the recomputed parts (idempotent rewrite).
+  * resume = parts whose latest checkpoint row is 'done' AND whose stored
+    per-part input fingerprint still matches the current input are skipped
+    (reference cache semantics incl. the pickled-arg cache key,
+    /root/reference/src/datasmith/utils.py:69-144, bypass_cache =>
+    force=True); recomputed parts are dynamic-partition-overwritten
+    (idempotent rewrite). Changed input rows therefore invalidate exactly
+    their own partitions. Note: a part whose rows were all DELETED from the
+    input is recomputed but its stale labels directory is not dropped
+    (dynamic overwrite only touches partitions present in the new output) —
+    deletion semantics need the Iceberg MERGE path.
   * metrics rollup: two-phase salted aggregation (partial on (lang, codec,
     salt), final on (lang, codec)) so the Zipf-hot language bucket cannot
     straggle a reducer; AQE skew handling stays on as backstop.
@@ -39,6 +45,37 @@ LABEL_COLS = [
 ]
 
 ARROW_BATCH = 256  # bytes-carrying rows are ~0.2-1 MB; keep Arrow batches bounded
+
+# columns hashed into the per-part input fingerprint. Deliberately excludes
+# the audio payload: at 100 TB the fingerprint pre-scan must stay a
+# column-pruned metadata scan (bytes are immutable blobs in practice; a
+# payload swap without any metadata change is not detected — use force=True
+# for that).
+META_FP_COLS = ("clip_id", "sr_hz", "dur_ms", "codec", "transcript")
+_FP_EMPTY = "0:0"  # fingerprint of a part with no input rows
+
+
+def part_fingerprints(clips: DataFrame, n_parts: int) -> dict[int, str]:
+    """Per-part content fingerprint: order-independent sum of per-row crc32
+    over the metadata columns, plus the row count.
+
+    The Spark analogue of the reference's pickled-argument cache keys
+    (/root/reference/src/datasmith/utils.py:94-101): a checkpoint is valid
+    only for the exact input it was computed from. One column-pruned
+    aggregation scan; the shuffle key is part_id (uniform)."""
+    part = F.pmod(F.crc32(F.col("clip_id").cast("binary")), F.lit(n_parts)).cast("int")
+    row_h = F.crc32(
+        F.concat_ws(
+            "|", *[F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in META_FP_COLS]
+        ).cast("binary")
+    )
+    rows = (
+        clips.select(part.alias("part_id"), row_h.alias("h"))
+        .groupBy("part_id")
+        .agg(F.sum("h").alias("s"), F.count("*").alias("c"))
+        .collect()
+    )
+    return {r.part_id: f"{r.s}:{r.c}" for r in rows}
 
 
 def label_clips(clips: DataFrame, n_parts: int = 32) -> DataFrame:
@@ -79,6 +116,7 @@ def run_pipeline(
     force: bool = False,
     fail_after_parts: int | None = None,
     input_dir: str | None = None,
+    fingerprint: bool = True,
 ) -> dict:
     """Run with partition-level checkpoint/resume.
 
@@ -89,19 +127,39 @@ def run_pipeline(
     input_dir: when the clips live in a parquet directory, pass it (clips
     may be None) to use the fused manifest scan — scan+rules+decode in one
     Python stage, pending-partition pruning applied before decode.
+    fingerprint=True (default) records a per-part input fingerprint in the
+    checkpoints table and treats a part as done only if its stored
+    fingerprint matches the current input — changed input rows invalidate
+    exactly their own partitions (reference arg-blob cache-key semantics).
+    Pass False to skip the metadata pre-scan and trust part ids alone.
     """
     t0 = time.time()
     _set_arrow_batch(spark)
     tl = TableLayer(out_dir)
     run_id = uuid.uuid4().hex[:12]
 
+    def _fp_source() -> DataFrame:
+        src = spark.read.parquet(input_dir) if input_dir is not None else clips
+        return src.select(*META_FP_COLS)
+
+    fps: dict[int, str] = {}
+    if fingerprint:
+        fps = part_fingerprints(_fp_source(), n_parts)
+
     all_parts = list(range(n_parts))
     done: set[int] = set()
     if not force and tl.exists(spark, "checkpoints"):
-        done = {
-            r.part_id
-            for r in tl.read(spark, "checkpoints").filter(F.col("status") == "done").select("part_id").distinct().collect()
-        }
+        latest = tl.latest_per_key(spark, "checkpoints", ["part_id"], "ts").filter(
+            F.col("status") == "done"
+        )
+        if fingerprint:
+            if "fingerprint" in latest.columns:
+                stored = {r.part_id: r.fingerprint for r in latest.select("part_id", "fingerprint").collect()}
+                done = {p for p, f in stored.items() if f == fps.get(p, _FP_EMPTY)}
+            # checkpoints written before fingerprints existed: treat all as
+            # stale (recompute is idempotent; serving stale labels is not)
+        else:
+            done = {r.part_id for r in latest.select("part_id").collect()}
     pending = [p for p in all_parts if p not in done]
     if fail_after_parts is not None:
         pending = pending[:fail_after_parts]
@@ -164,8 +222,11 @@ def run_pipeline(
     n_labeled = lab.count()
     counted = {r.part_id for r in lab.select("part_id").distinct().collect()}
     cp = spark.createDataFrame(
-        [(int(p), "done", run_id, int(p in counted)) for p in pending],
-        "part_id int, status string, run_id string, had_rows int",
+        [
+            (int(p), "done", run_id, int(p in counted), fps.get(p, _FP_EMPTY))
+            for p in pending
+        ],
+        "part_id int, status string, run_id string, had_rows int, fingerprint string",
     ).withColumn("ts", F.current_timestamp())
     tl.append(cp, "checkpoints")
 

@@ -84,3 +84,47 @@ def test_lineage_counts_consistent(spark, clips_path, outdirs):
     metrics = tl.read(spark, "metrics")
     m = metrics.agg(F.sum("n").alias("n"), F.sum("n_keep").alias("k")).collect()[0]
     assert m.n == agg.n_in and m.k == agg.n_keep
+
+
+def test_fingerprint_invalidates_changed_part(spark, clips_path, tmp_path):
+    """Change ONE input row -> resume recomputes exactly that row's part
+    (reference arg-blob cache-key semantics, utils.py:94-101)."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datasmith_spark.oracle import part_id_of
+
+    inp = str(tmp_path / "inp")
+    shutil.copytree(clips_path, inp)
+    out = str(tmp_path / "out")
+
+    r1 = run_pipeline(spark, None, out, n_parts=N_PARTS, input_dir=inp)
+    assert r1["parts_processed"] == N_PARTS
+    r2 = run_pipeline(spark, None, out, n_parts=N_PARTS, input_dir=inp)
+    assert r2["parts_processed"] == 0
+
+    # mutate one clip's transcript in place (same clip_id, same file layout)
+    f = sorted(glob.glob(f"{inp}/part-*.parquet"))[0]
+    t = pq.read_table(f)
+    pdf = t.to_pandas()
+    target = pdf.loc[0, "clip_id"]
+    pdf.loc[0, "transcript"] = "hello this is the changed transcript row"
+    pq.write_table(pa.Table.from_pandas(pdf, schema=t.schema, preserve_index=False), f)
+
+    r3 = run_pipeline(spark, None, out, n_parts=N_PARTS, input_dir=inp)
+    assert r3["parts_processed"] == 1
+
+    lab = (
+        spark.read.parquet(f"{out}/labels")
+        .filter(F.col("clip_id") == target)
+        .collect()
+    )
+    assert len(lab) == 1  # idempotent overwrite, no duplicate rows
+    # the recomputed part is exactly the changed clip's part
+    tl = TableLayer(out)
+    latest = tl.latest_per_key(spark, "checkpoints", ["part_id"], "ts")
+    changed = {r.part_id for r in latest.filter(F.col("run_id") == r3["run_id"]).collect()}
+    assert changed == {part_id_of(target, N_PARTS)}
