@@ -970,6 +970,70 @@ def q31_winnow_fingerprint_pairs(spark, sf_dir):
 
 
 @register(
+    "q33_group_report_template",
+    """
+    WITH lines AS (
+      SELECT user_id, ts, event_id,
+             '* ' || strftime(ts, '%Y-%m-%d %H:%M:%S') || ' ' ||
+             coalesce(event_type, '-') || ': ' ||
+             coalesce(round(value, 2)::DECIMAL(12,2)::VARCHAR, '-') AS line
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, count(*) AS n,
+             string_agg(line, chr(10) ORDER BY ts, event_id) AS body
+      FROM lines GROUP BY user_id
+    )
+    SELECT user_id, n,
+           '# User ' || user_id || ' activity report (' || n || ' events)'
+           || chr(10) || chr(10) || body AS report
+    FROM g
+    """,
+)
+def q33_group_report_template(spark, sf_dir):
+    """D5/F5: per-group markdown report templating — the build_reports
+    analogue (/root/reference/src/datasmith/scrape/build_reports.py:116-211:
+    one document per distinct key, header block + per-child blocks joined
+    with newlines, memoized per key via cache_completion).
+
+    Spark-first shape: ONE groupBy with collect_list(struct) + array_sort +
+    transform + array_join — the whole report renders inside codegen'd
+    string expressions, no Python, built exactly once per key (the groupBy
+    IS the memoization at scale). Numeric fields go through DECIMAL(12,2)
+    so both engines render identical strings.
+    """
+    e = _t(spark, sf_dir, "events")
+    ts_s = F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss")
+    val_s = F.coalesce(
+        F.round(F.col("value"), 2).cast("decimal(12,2)").cast("string"), F.lit("-")
+    )
+    line = F.concat(
+        F.lit("* "), ts_s, F.lit(" "),
+        F.coalesce(F.col("event_type"), F.lit("-")), F.lit(": "), val_s,
+    )
+    g = (
+        e.select("user_id", "ts", "event_id", line.alias("line"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("body"),
+        )
+    )
+    report = F.concat(
+        F.lit("# User "), F.col("user_id").cast("string"),
+        F.lit(" activity report ("), F.col("n").cast("string"), F.lit(" events)"),
+        F.lit("\n\n"), F.col("body"),
+    )
+    return g.select("user_id", "n", report.alias("report"))
+
+
+@register(
     "q32_url_parse_encode",
     """
     WITH u AS (
