@@ -32,6 +32,10 @@ def main() -> None:
         "--transfer-scan", action="store_true",
         help="scan clips through the JVM instead of the fused manifest scan",
     )
+    ap.add_argument(
+        "--no-fingerprint", action="store_true",
+        help="skip the per-part input-fingerprint pre-scan (trust checkpoints by part id)",
+    )
     args = ap.parse_args()
 
     from datasmith_spark import datagen
@@ -50,7 +54,8 @@ def main() -> None:
         input_dir = args.input  # fused manifest scan (default for parquet input)
 
     stats = run_pipeline(
-        spark, clips, args.out, n_parts=args.parts, force=args.force, input_dir=input_dir
+        spark, clips, args.out, n_parts=args.parts, force=args.force, input_dir=input_dir,
+        fingerprint=not args.no_fingerprint,
     )
     print(json.dumps(stats))
     spark.stop()
