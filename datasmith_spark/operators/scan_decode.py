@@ -207,7 +207,7 @@ def scan_labels(
     mapInPandas stage (scan+rules+decode+langid+ppl+scrub). Same label
     output as the staged chain (tests/test_scan_decode.py)."""
     if scan_parallelism is None:
-        cap = int(os.environ.get("SPARK_GRAFT_SCAN_PAR", "16"))
+        cap = int(os.environ.get("SPARK_GRAFT_SCAN_PAR", "8"))
         scan_parallelism = max(1, min(len(manifest), spark.sparkContext.defaultParallelism, cap))
     paths = spark.createDataFrame([(p,) for p in manifest], "path string").repartition(
         max(scan_parallelism, 1)
@@ -252,15 +252,16 @@ def scan_rules_decode(
     runs do not decode already-done partitions.
 
     scan_parallelism: concurrent scan tasks. Default: min(files, session
-    parallelism, $SPARK_GRAFT_SCAN_PAR or 16). The cap exists because this
+    parallelism, $SPARK_GRAFT_SCAN_PAR or 8). The cap exists because this
     sandbox's kernel serializes page faults/file I/O globally and decode
-    throughput INVERTS beyond ~16 concurrent readers (BASELINE.md "Sandbox
-    scaling protocol"); on a real cluster set SPARK_GRAFT_SCAN_PAR high or
+    throughput INVERTS beyond ~8 concurrent readers (measured at local[32]:
+    8-way 1,340-1,370 clips/s vs 16-way 814-917 on the identical job;
+    BASELINE.md "Sandbox scaling protocol"); on a real cluster set SPARK_GRAFT_SCAN_PAR high or
     pass None-equivalent explicitly — the operator itself is width-agnostic
     and each task streams row groups at bounded memory.
     """
     if scan_parallelism is None:
-        cap = int(os.environ.get("SPARK_GRAFT_SCAN_PAR", "16"))
+        cap = int(os.environ.get("SPARK_GRAFT_SCAN_PAR", "8"))
         scan_parallelism = max(1, min(len(manifest), spark.sparkContext.defaultParallelism, cap))
     paths = spark.createDataFrame([(p,) for p in manifest], "path string").repartition(
         max(scan_parallelism, 1)

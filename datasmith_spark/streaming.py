@@ -92,6 +92,44 @@ def make_batch_sink(tl: TableLayer):
     return _sink
 
 
+def windowed_event_metrics(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = 1,
+):
+    """Watermarked tumbling-window aggregation over an event-time stream.
+
+    The late-data-handling front door for continuously-arriving metrics
+    (SURVEY.md §2.9): event-time windows keyed by (window, event_type), a
+    watermark bounding state (windows older than max(event_time)-delay are
+    finalized and evicted — state stays O(active windows) at 10^12-event
+    scale), and append-mode emission so every output row is immutable once
+    written (idempotent downstream joins).
+
+    Returns the un-sunk streaming DataFrame; callers attach their sink
+    (tests drain with availableNow and compare against the batch
+    F.window aggregation of the same input).
+    """
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    s = reader.parquet(input_dir)
+    return (
+        s.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type", "n", "total",
+        )
+    )
+
+
 def run_streaming_pipeline(
     spark: SparkSession,
     input_dir: str,

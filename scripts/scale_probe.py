@@ -24,7 +24,13 @@ def main() -> None:
     from datasmith_spark.pipeline import ARROW_BATCH, label_clips_fused
     from datasmith_spark.session import get_spark
 
-    spark = get_spark(app=f"scale-probe-{cores}", cores=cores)
+    # small pre-touched heap: the fused pipeline keeps label rows tiny, and a
+    # 12g AlwaysPreTouch heap costs minutes of serialized page faults on a
+    # 1-pinned-CPU trial (and its resident pages degrade other pinned JVMs)
+    spark = get_spark(
+        app=f"scale-probe-{cores}", cores=cores,
+        driver_mem=os.environ.get("SPARK_GRAFT_PROBE_MEM", "3g"),
+    )
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
 

@@ -93,3 +93,62 @@ def test_batch_replay_idempotent(spark, clips_path, tmp_path):
     # a NEW batch appends (its own partitions), not overwrites
     sink(labels, 1)
     assert spark.read.parquet(tl.path("labels")).count() == 2 * n_labels
+
+
+def test_windowed_metrics_with_watermark(spark, tmp_path):
+    """Watermarked event-time windows: emitted rows equal the batch window
+    aggregation exactly, and no window newer than the final watermark leaks
+    out of the append-mode sink."""
+    import pandas as pd
+
+    from datasmith_spark.streaming import windowed_event_metrics
+
+    ddl = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value")
+        .orderBy("ts")
+        .toPandas()
+    )
+    # three chronological file drops so the watermark advances across batches
+    inp = tmp_path / "ev_in"
+    inp.mkdir()
+    third = len(ev) // 3
+    for i, chunk in enumerate((ev[:third], ev[third : 2 * third], ev[2 * third :])):
+        spark.createDataFrame(chunk, ddl).coalesce(1).write.parquet(str(inp / f"_d{i}"))
+        for f in (inp / f"_d{i}").glob("*.parquet"):
+            f.rename(inp / f"d{i}-{f.name.lstrip('_')}")
+
+    out = str(tmp_path / "ev_out")
+    q = (
+        windowed_event_metrics(spark, str(inp), ddl, window="1 hour", watermark="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ev_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    got = spark.read.parquet(out).toPandas().sort_values(["w_start", "event_type"]).reset_index(drop=True)
+    assert len(got) > 0, "no closed windows emitted"
+
+    batch = (
+        spark.createDataFrame(ev, ddl)
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "event_type", "n", "total")
+        .toPandas()
+    )
+    want = {
+        (r.w_start, r.event_type): (r.n, r.total, r.w_end) for r in batch.itertuples(index=False)
+    }
+    # every emitted (closed) window matches the batch aggregation exactly
+    for r in got.itertuples(index=False):
+        assert want[(r.w_start, r.event_type)] == (r.n, r.total, r.w_end)
+    # watermark semantics: nothing newer than max(ts) was emitted, and at
+    # least one tail window was correctly withheld (not yet closed)
+    max_ts = pd.Timestamp(ev["ts"].max())
+    assert (pd.to_datetime(got["w_end"]) <= max_ts + pd.Timedelta("1 hour")).all()
+    assert len(got) < len(batch), "append mode must withhold windows above the watermark"
