@@ -130,6 +130,95 @@ def windowed_event_metrics(
     )
 
 
+def stateful_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    gap_sec: float = 1800.0,
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = 1,
+):
+    """Custom stateful streaming operator: gap-based sessionization via
+    applyInPandasWithState (the streaming analogue of q16_sessionize).
+
+    Per-user state = the open session (start, last-event time, row count).
+    A row arriving more than gap_sec after the previous one CLOSES the open
+    session (emitted immediately) and starts a new one; an event-time
+    timeout (watermark passing last+gap) closes a session no further rows
+    will join. State is therefore O(active users), evicted by watermark —
+    the bounded-state pattern that survives 10^12-event streams.
+
+    Emits one row per CLOSED session (append semantics; every output row is
+    final). The open tail session of each user stays in state until the
+    watermark passes it.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    s = reader.parquet(input_dir)
+    s = s.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark("ts", watermark)
+
+    out_schema = (
+        "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+    )
+    state_schema = "start double, last double, n bigint"
+
+    def func(key, pdfs, state: GroupState):
+        (user_id,) = key
+        closed: list[tuple] = []
+
+        def emit(start: float, last: float, n: int) -> None:
+            # whole-microsecond timestamps: float epoch seconds carry ns
+            # noise that Arrow's safe us-cast rejects
+            closed.append(
+                (
+                    user_id,
+                    pd.Timestamp(int(round(start * 1e6)), unit="us"),
+                    pd.Timestamp(int(round(last * 1e6)), unit="us"),
+                    n,
+                )
+            )
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            emit(start, last, n)
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+            ts = rows["ts"].map(pd.Timestamp.timestamp).to_numpy()
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start, last, n = None, None, 0
+            for t in ts:
+                t = float(t)
+                if last is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_sec:
+                    emit(start, last, n)
+                    start, last, n = t, t, 1
+                else:
+                    last, n = t, n + 1
+            state.update((float(start), float(last), int(n)))
+            # close the open session once the watermark passes last+gap
+            state.setTimeoutTimestamp(int((last + gap_sec) * 1000))
+
+        yield pd.DataFrame(
+            closed, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+
+    return s.groupBy("user_id").applyInPandasWithState(
+        func,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def run_streaming_pipeline(
     spark: SparkSession,
     input_dir: str,

@@ -152,3 +152,67 @@ def test_windowed_metrics_with_watermark(spark, tmp_path):
     max_ts = pd.Timestamp(ev["ts"].max())
     assert (pd.to_datetime(got["w_end"]) <= max_ts + pd.Timedelta("1 hour")).all()
     assert len(got) < len(batch), "append mode must withhold windows above the watermark"
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionizer: every emitted session equals a
+    batch-computed gap session; all gap-closed sessions are emitted."""
+    import pandas as pd
+
+    from datasmith_spark.streaming import stateful_sessionize
+
+    ddl = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value")
+        .orderBy("ts")
+        .toPandas()
+    )
+    inp = tmp_path / "sess_in"
+    inp.mkdir()
+    third = len(ev) // 3
+    for i, chunk in enumerate((ev[:third], ev[third : 2 * third], ev[2 * third :])):
+        spark.createDataFrame(chunk, ddl).coalesce(1).write.parquet(str(inp / f"_d{i}"))
+        for f in (inp / f"_d{i}").glob("*.parquet"):
+            f.rename(inp / f"d{i}-{f.name.lstrip('_')}")
+
+    out = str(tmp_path / "sess_out")
+    gap = 1800.0
+    q = (
+        stateful_sessionize(spark, str(inp), ddl, gap_sec=gap)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = spark.read.parquet(out).toPandas()
+    emitted = {
+        (r.user_id, pd.Timestamp(r.session_start).timestamp()): (
+            pd.Timestamp(r.session_end).timestamp(), r.n_events,
+        )
+        for r in got.itertuples(index=False)
+    }
+
+    # batch ground truth: gap-based sessions per user
+    sessions: dict[tuple, tuple] = {}
+    open_tail: set[tuple] = set()
+    for uid, g in ev.groupby("user_id"):
+        ts = sorted(pd.Timestamp(t).timestamp() for t in g["ts"])
+        start, last, n = ts[0], ts[0], 1
+        for t in ts[1:]:
+            if t - last > gap:
+                sessions[(uid, start)] = (last, n)
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        sessions[(uid, start)] = (last, n)
+        open_tail.add((uid, start))  # the user's final session may stay open
+
+    assert len(emitted) > 0
+    for k, v in emitted.items():
+        assert sessions.get(k) == v, f"emitted session {k} does not match batch"
+    missing = {k for k in sessions if k not in emitted and k not in open_tail}
+    assert not missing, f"gap-closed sessions not emitted: {sorted(missing)[:5]}"
