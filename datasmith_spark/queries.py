@@ -649,11 +649,18 @@ def q21_minhash_lsh(spark, sf_dir):
 )
 def q22_ngram_jaccard(spark, sf_dir):
     """Exact n-gram-Jaccard verification of LSH candidates
-    (verify-after-filter: intersections only for candidate pairs)."""
+    (verify-after-filter: intersections only for candidate pairs).
+
+    The shingle table feeds FIVE consumers (k-minhash agg, pair sizes, both
+    sides of the intersection join) — persist it so the explode+distinct
+    runs once, not once per DAG branch; at 10^12 docs this intermediate
+    would be materialized (bucketed by id) for exactly the same reason."""
+    from pyspark import StorageLevel
+
     from .operators.dedup import jaccard_verify, lsh_candidate_pairs, minhash_signatures, shingles
 
     corpus = _corpus(spark, sf_dir)
-    sh = shingles(corpus)
+    sh = shingles(corpus).persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidate_pairs(minhash_signatures(sh))
     out = jaccard_verify(sh, cand, threshold=0.6)
     # SQL filters on the UNROUNDED ratio; mirror that exactly
