@@ -121,16 +121,28 @@ def decode(buf: bytes | None, codec: str) -> np.ndarray | None:
     n = len(buf)
     if n == 0 or n % ITEMSIZE[codec] != 0:
         return None
+    # in-place arithmetic on the freshly-allocated float64 array: one temp
+    # allocation per decode instead of two (page-fault-bound kernels; values
+    # are bit-identical to the out-of-place form)
     if codec == "pcm16":
-        return np.frombuffer(buf, dtype="<i2").astype(np.float64) / _I16_MAX
+        out = np.frombuffer(buf, dtype="<i2").astype(np.float64)
+        out /= _I16_MAX
+        return out
     if codec == "pcm8":
-        return (np.frombuffer(buf, dtype=np.uint8).astype(np.float64) - 128.0) * (256.0 / _I16_MAX)
+        out = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
+        out -= 128.0
+        out *= 256.0 / _I16_MAX
+        return out
     if codec == "float32":
         return np.frombuffer(buf, dtype="<f4").astype(np.float64)
     if codec == "mulaw":
-        return _MU_DEC[np.frombuffer(buf, dtype=np.uint8)].astype(np.float64) / _I16_MAX
+        out = _MU_DEC[np.frombuffer(buf, dtype=np.uint8)].astype(np.float64)
+        out /= _I16_MAX
+        return out
     if codec == "alaw":
-        return _ALAW_DEC[np.frombuffer(buf, dtype=np.uint8)].astype(np.float64) / _I16_MAX
+        out = _ALAW_DEC[np.frombuffer(buf, dtype=np.uint8)].astype(np.float64)
+        out /= _I16_MAX
+        return out
     return None  # pragma: no cover
 
 
@@ -148,11 +160,17 @@ def pcm_features(pcm: np.ndarray | None) -> tuple[int, float, float, float, floa
     if pcm is None or pcm.size == 0:
         return 0, 0.0, 0.0, 0.0, 0.0
     finite = np.isfinite(pcm)
-    fin_frac = float(np.float64(finite.sum()) / pcm.size)
-    x = np.where(finite, pcm, 0.0)
+    n_fin = int(finite.sum())
+    fin_frac = float(np.float64(n_fin) / pcm.size)
+    # all-finite fast path (every integer codec, and most float32 rows):
+    # np.where(all-true, pcm, 0) is a bitwise copy, so skipping it changes
+    # nothing; reusing one |x| temp for peak AND clip_rate drops two more
+    # full-size passes (identical values — same ops on the same array).
+    x = pcm if n_fin == pcm.size else np.where(finite, pcm, 0.0)
+    a = np.abs(x)
     rms = float(np.sqrt(np.mean(x * x, dtype=np.float64)))
-    peak = float(np.max(np.abs(x)))
-    clip_rate = float(np.mean(np.abs(x) >= 0.999, dtype=np.float64))
+    peak = float(a.max())
+    clip_rate = float(np.mean(a >= 0.999, dtype=np.float64))
     return int(pcm.size), rms, peak, clip_rate, fin_frac
 
 

@@ -30,6 +30,8 @@ _TRAIN_SENTENCES = 400
 _TRAIN_WORDS = 60
 _SMOOTH = 1.0
 
+_SEG0 = np.array([0], dtype=np.int64)  # single-segment reduceat starts
+
 
 def _codepoints(text: str) -> np.ndarray:
     """Lowercased codepoints as uint64 (utf-32 view; BMP-safe, deterministic)."""
@@ -55,22 +57,61 @@ def ngram_hashes(text: str) -> np.ndarray:
 
 
 class LangIdModel:
-    """Multinomial NB over hashed char n-grams (linear scorer + softmax)."""
+    """Multinomial NB over hashed char n-grams (linear scorer + softmax).
+
+    Score summation order is CANONICALLY np.add.reduceat over the text's
+    hash gather (verified position-independent): predict_one reduces its own
+    single segment, predict_batch reduces all row segments of one
+    concatenated gather in one call — same values, same reduction order, so
+    the per-row oracle path and the Arrow-batched Spark path are
+    bit-identical by construction (tests/test_text_models.py).
+    """
 
     def __init__(self, logprob: np.ndarray, langs: tuple[str, ...]):
         self.logprob = logprob  # shape (L, N_BUCKETS), float64
+        self.logprob_t = np.ascontiguousarray(logprob.T)  # (N_BUCKETS, L)
         self.langs = langs
 
     def predict_one(self, text: str | None) -> tuple[str | None, float]:
         if not text or not text.strip():
             return None, 0.0
         idx = ngram_hashes(text)
-        scores = self.logprob[:, idx].sum(axis=1)  # (L,)
+        scores = np.add.reduceat(self.logprob_t[idx], _SEG0, axis=0)[0]  # (L,)
         m = scores.max()
         p = np.exp(scores - m)
         p /= p.sum()
         best = int(np.argmax(scores))
         return self.langs[best], float(p[best])
+
+    def predict_batch(self, texts) -> tuple[list, list]:
+        """Vectorized predict_one over a batch: ONE logprob gather + ONE
+        segmented reduction for all rows. Returns (langs, probs) lists
+        (None / 0.0 for blank rows, matching predict_one)."""
+        n = len(texts)
+        langs: list = [None] * n
+        probs: list = [None] * n
+        live: list[int] = []
+        hashes: list[np.ndarray] = []
+        for i, t in enumerate(texts):
+            if t is None or not isinstance(t, str) or not t or not t.strip():
+                probs[i] = 0.0
+                continue
+            live.append(i)
+            hashes.append(ngram_hashes(t))
+        if not live:
+            return langs, probs
+        lens = np.array([h.size for h in hashes], dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        gathered = self.logprob_t[np.concatenate(hashes)]  # (total, L)
+        scores = np.add.reduceat(gathered, starts, axis=0)  # (m, L)
+        mx = scores.max(axis=1, keepdims=True)
+        p = np.exp(scores - mx)
+        p /= p.sum(axis=1, keepdims=True)
+        best = np.argmax(scores, axis=1)
+        for j, i in enumerate(live):
+            langs[i] = self.langs[int(best[j])]
+            probs[i] = float(p[j, best[j]])
+        return langs, probs
 
 
 @functools.lru_cache(maxsize=1)

@@ -30,6 +30,7 @@ _BAND_LO_FACTOR = 0.35  # lo = min(heldout) * factor  (repetitive text => tiny p
 _BAND_HI_FACTOR = 2.50  # hi = max(heldout) * factor  (gibberish => huge ppl)
 
 _B = np.uint64(N_BUCKETS)
+_SEG0 = np.array([0], dtype=np.int64)  # single-segment reduceat starts
 
 
 def _tri_bi_hashes(text: str) -> tuple[np.ndarray, np.ndarray]:
@@ -51,13 +52,57 @@ class PerplexityModel:
         self.lang_index = {lang: i for i, lang in enumerate(LANGS)}
 
     def ppl_one(self, text: str | None, lang: str | None) -> float:
-        """Perplexity of `text` under the `lang` LM (inf if unscorable)."""
+        """Perplexity of `text` under the `lang` LM (inf if unscorable).
+
+        The log-prob sum order is CANONICALLY np.add.reduceat (verified
+        position-independent), so ppl_batch — which reduces all row segments
+        of one concatenated gather — is bit-identical to this per-row oracle
+        path (tests/test_text_models.py).
+        """
         if not text or not text.strip() or lang not in self.lang_index:
             return float("inf")
         li = self.lang_index[lang]
         h3, h2 = _tri_bi_hashes(text.lower())
         p = (self.tri[li, h3] + _ALPHA) / (self.bi[li, h2] + _ALPHA * _VOCAB)
-        return float(np.exp(-np.log(p).mean()))
+        lp = np.log(p)
+        total = np.add.reduceat(lp, _SEG0)[0]
+        return float(np.exp(-(total / lp.size)))
+
+    def ppl_batch(self, texts, langs) -> np.ndarray:
+        """Vectorized ppl_one over a batch: one fancy-index gather over
+        (lang, trigram) pairs + one padded cumsum. Zero padding does not
+        perturb the sequential sum (x + 0.0 == x for finite log-probs), so
+        results are bit-identical to per-row ppl_one
+        (tests/test_text_models.py). Unscorable rows get inf."""
+        n = len(texts)
+        out = np.full(n, np.inf, dtype=np.float64)
+        live: list[int] = []
+        tri_h: list[np.ndarray] = []
+        bi_h: list[np.ndarray] = []
+        lis: list[int] = []
+        for i in range(n):
+            t, lg = texts[i], langs[i]
+            if t is None or not isinstance(t, str) or not t or not t.strip():
+                continue
+            if lg not in self.lang_index:
+                continue
+            h3, h2 = _tri_bi_hashes(t.lower())
+            live.append(i)
+            tri_h.append(h3)
+            bi_h.append(h2)
+            lis.append(self.lang_index[lg])
+        if not live:
+            return out
+        lens = np.array([h.size for h in tri_h], dtype=np.int64)
+        li_rep = np.repeat(np.array(lis, dtype=np.int64), lens)
+        all_h3 = np.concatenate(tri_h)
+        all_h2 = np.concatenate(bi_h)
+        p = (self.tri[li_rep, all_h3] + _ALPHA) / (self.bi[li_rep, all_h2] + _ALPHA * _VOCAB)
+        lp = np.log(p)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        sums = np.add.reduceat(lp, starts)
+        out[np.array(live, dtype=np.int64)] = np.exp(-(sums / lens))
+        return out
 
     def in_band(self, ppl: float, lang: str | None) -> bool:
         if lang not in self.bands or not np.isfinite(ppl):

@@ -154,20 +154,33 @@ def label_batch_pdf(pdf: pd.DataFrame, n_parts: int) -> pd.DataFrame:
     pii = np.full(n, np.nan)
     tox = np.full(n, np.nan)
     scrubbed = np.full(n, None, dtype=object)
+
+    # ---- langid: one batched score over all still-alive rows (bit-identical
+    # to per-row predict_one — canonical reduceat order, core/langid.py)
+    alive_idx = np.array([i for i in range(n) if stage[i] is None], dtype=np.int64)
+    if alive_idx.size:
+        b_langs, b_probs = lid.predict_batch([texts[i] for i in alive_idx])
+        for j, i in enumerate(alive_idx):
+            lg, p = b_langs[j], b_probs[j]
+            lang[i], prob[i] = lg, p
+            if lg is None or p < R.LANG_PROB_MIN:
+                stage[i] = R.STAGE_LANGID
+                reasons[i] = ["lang_confidence"]
+
+    # ---- perplexity: batched over rows that survived langid
+    alive_idx = np.array([i for i in range(n) if stage[i] is None], dtype=np.int64)
+    if alive_idx.size:
+        b_ppl = lm_.ppl_batch([texts[i] for i in alive_idx], [lang[i] for i in alive_idx])
+        for j, i in enumerate(alive_idx):
+            v = float(b_ppl[j])
+            ppl[i] = v
+            if not lm_.in_band(v, lang[i]):
+                stage[i] = R.STAGE_PPL
+                reasons[i] = ["ppl_outlier"]
+
+    # ---- scrub (regex-bound; stays per surviving row)
     for i in range(n):
         if stage[i] is not None:
-            continue
-        lg, p = lid.predict_one(texts[i])
-        lang[i], prob[i] = lg, p
-        if lg is None or p < R.LANG_PROB_MIN:
-            stage[i] = R.STAGE_LANGID
-            reasons[i] = ["lang_confidence"]
-            continue
-        v = lm_.ppl_one(texts[i], lg)
-        ppl[i] = v
-        if not lm_.in_band(v, lg):
-            stage[i] = R.STAGE_PPL
-            reasons[i] = ["ppl_outlier"]
             continue
         s, pc, tc = scrub_text(texts[i])
         nw = count_words(texts[i])

@@ -134,11 +134,13 @@ def _langid_udf(transcript: pd.Series, drop_stage: pd.Series) -> pd.DataFrame:
     m = langid.model()
     langs: list[str | None] = [None] * len(transcript)
     probs: list[float | None] = [None] * len(transcript)
-    alive = drop_stage.isna().to_numpy()
+    alive = np.flatnonzero(drop_stage.isna().to_numpy())
     texts = transcript.to_numpy()
-    for i in np.flatnonzero(alive):
-        lang, p = m.predict_one(texts[i])
-        langs[i], probs[i] = lang, p
+    if alive.size:
+        # one batched score per Arrow batch (bit-identical to predict_one)
+        b_langs, b_probs = m.predict_batch([texts[i] for i in alive])
+        for j, i in enumerate(alive):
+            langs[i], probs[i] = b_langs[j], b_probs[j]
     return pd.DataFrame({"lang": langs, "lang_prob": probs})
 
 
@@ -160,11 +162,14 @@ def langid_stage(df: DataFrame) -> DataFrame:
 def _ppl_udf(transcript: pd.Series, lang: pd.Series, drop_stage: pd.Series) -> pd.Series:
     m = lm.model()
     out: list[float | None] = [None] * len(transcript)
-    alive = drop_stage.isna().to_numpy()
+    alive = np.flatnonzero(drop_stage.isna().to_numpy())
     texts = transcript.to_numpy()
     langs = lang.to_numpy()
-    for i in np.flatnonzero(alive):
-        out[i] = m.ppl_one(texts[i], langs[i])
+    if alive.size:
+        # one batched score per Arrow batch (bit-identical to ppl_one)
+        b = m.ppl_batch([texts[i] for i in alive], [langs[i] for i in alive])
+        for j, i in enumerate(alive):
+            out[i] = float(b[j])
     return pd.Series(out, dtype="float64")
 
 

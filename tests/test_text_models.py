@@ -59,3 +59,33 @@ def test_scrub_none_and_clean():
     assert scrub_text(None) == (None, 0, 0)
     s, pii, tox = scrub_text("a perfectly clean sentence")
     assert s == "a perfectly clean sentence" and pii == 0 and tox == 0
+
+
+def test_langid_batch_bitwise_equals_one():
+    """predict_batch must be BIT-identical to predict_one (both reduce via
+    the canonical np.add.reduceat order) — the Spark batch path and the
+    per-row oracle path therefore agree exactly."""
+    from datasmith_spark import datagen
+
+    m = langid.model()
+    texts = [datagen.gen_row(i)["transcript"] for i in range(400)]
+    texts += [None, "", "   ", "a", "hello world", "zzz " * 500]
+    bl, bp = m.predict_batch(texts)
+    for i, t in enumerate(texts):
+        lang, p = m.predict_one(t)
+        assert bl[i] == lang and bp[i] == p, (i, t, bl[i], bp[i], lang, p)
+
+
+def test_ppl_batch_bitwise_equals_one():
+    from datasmith_spark import datagen
+
+    m = lm.model()
+    lid = langid.model()
+    texts = [datagen.gen_row(i)["transcript"] for i in range(400)]
+    texts += [None, "", "   ", "a", "hello world", "zzz " * 500]
+    langs = [lid.predict_one(t)[0] for t in texts]
+    langs[3] = "xx"  # unknown lang -> inf on both paths
+    b = m.ppl_batch(texts, langs)
+    for i, (t, lg) in enumerate(zip(texts, langs)):
+        one = m.ppl_one(t, lg)
+        assert (np.isinf(one) and np.isinf(b[i])) or one == b[i], (i, one, b[i])
