@@ -247,3 +247,24 @@ def test_detection_method_registry(spark):
     # the native "step" strategy keeps the plan Python-free
     plan = d2._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_lsh_sig_udf_matches_expression(spark):
+    """The vectorized hyperplane-signature UDF (production path) must emit
+    exactly the bucket string of the interpreted Column-expression form,
+    including null-embedding rows (-> all-'0')."""
+    from datasmith_spark.operators.similarity import hyperplanes, lsh_bucket_col, lsh_sig_col
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(300)
+    null_row = spark.createDataFrame(
+        [(999999, None)], schema=emb.select("vec_id", "embedding").schema
+    )
+    src = emb.select("vec_id", "embedding").unionByName(null_row)
+    planes = hyperplanes(64, n_planes=64)  # the q25 worst case: 64 planes
+    got = src.select(
+        "vec_id",
+        lsh_sig_col(F.col("embedding"), planes).alias("fast"),
+        lsh_bucket_col(F.col("embedding"), planes).alias("slow"),
+    ).toPandas()
+    assert (got.fast == got.slow).all()
+    assert got[got.vec_id == 999999].fast.iloc[0] == "0" * 64
