@@ -75,10 +75,14 @@ def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return sh.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, k: int = MINHASH_K) -> DataFrame:
+def lsh_candidate_pairs(sig: DataFrame, k: int = MINHASH_K, cap: int | None = None) -> DataFrame:
     """Banded LSH: band digest = md5(concat of 2 signature parts); candidate
     pairs = ids sharing any band. Joins are on 32-hex band keys (uniform),
-    so the shuffle is narrow even at extreme scale."""
+    so the shuffle is narrow even at extreme scale; each band join carries
+    the hot-key cap (operators/pairs.py) so a band shared by thousands of
+    identical docs emits O(m) star pairs, never O(m^2)."""
+    from .pairs import capped_band_pairs
+
     bands = sig.select(
         "id",
         *[
@@ -86,13 +90,8 @@ def lsh_candidate_pairs(sig: DataFrame, k: int = MINHASH_K) -> DataFrame:
             for b in range(k // 2)
         ],
     )
-    pairs = None
-    for b in range(k // 2):
-        x = bands.select(F.col("id").alias("a"), F.col(f"b{b}").alias("bk"))
-        y = bands.select(F.col("id").alias("b"), F.col(f"b{b}").alias("bk"))
-        p = x.join(y, "bk").filter(F.col("a") < F.col("b")).select("a", "b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct().select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+    pairs = capped_band_pairs(bands, [f"b{b}" for b in range(k // 2)], "id", cap)
+    return pairs.select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
 
 
 def jaccard_verify(sh: DataFrame, cand: DataFrame, threshold: float = 0.6) -> DataFrame:
@@ -171,13 +170,13 @@ def simhash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return sel.mapInPandas(_simhash, schema=_SIMHASH_SCHEMA)
 
 
-def simhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Near-dup candidates: ids sharing any 16-bit SimHash band."""
+def simhash_candidate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", cap: int | None = None
+) -> DataFrame:
+    """Near-dup candidates: ids sharing any 16-bit SimHash band (band joins
+    hot-key-capped, operators/pairs.py)."""
+    from .pairs import capped_band_pairs
+
     bands = simhash_bands(docs, id_col)
-    pairs = None
-    for b in range(4):
-        x = bands.select(F.col("id").alias("a"), F.col(f"h{b}").alias("bk"))
-        y = bands.select(F.col("id").alias("b"), F.col(f"h{b}").alias("bk"))
-        p = x.join(y, "bk").filter(F.col("a") < F.col("b")).select("a", "b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct().select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+    pairs = capped_band_pairs(bands, [f"h{b}" for b in range(4)], "id", cap)
+    return pairs.select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))

@@ -1,0 +1,70 @@
+"""Hot-key-safe candidate-pair generation for banded/bucketed dedup joins.
+
+Every near-dup operator here generates candidates by self-joining ids on a
+short key (MinHash band digest, SimHash band, winnowing fingerprint, LSH
+band). A key shared by m ids yields m^2/2 pairs — at testdata scale m is
+tiny, but at 10^12 docs a boilerplate-heavy corpus can put thousands of
+identical documents on one key, turning one reducer into an O(m^2) bomb
+that AQE skew-splitting cannot fix (it splits the shuffle, not the row
+count).
+
+Defense: per-key frequency cap. Keys held by <= cap ids produce ALL pairs
+(exact, unchanged semantics); hotter keys emit STAR pairs (min-id
+representative, member) — O(m) rows that still connect every member of the
+key's duplicate cluster to one representative, which is exactly what a
+dedup consumer needs (transitive closure via the representative). The cap
+defaults above every key frequency in the test corpora, so oracle results
+are unchanged there; tests/test_hotkeys.py plants ~500 identical docs and
+asserts the candidate count stays O(m * cap), not O(m^2).
+
+Ancestry: the reference dedups via an exact seen-set
+(/root/reference/src/datasmith/scrape/code_coverage.py:83-88); the cap is
+the extra guard its exact-key scheme never needed but banded LSH does.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pair_key_cap(cap: int | None = None) -> int:
+    """Default hot-key cap (env-overridable); > every testdata key freq."""
+    return cap if cap is not None else int(os.environ.get("SPARK_GRAFT_PAIR_KEY_CAP", "1024"))
+
+
+def capped_key_pairs(keyed: DataFrame, key: str, id_col: str, cap: int | None = None) -> DataFrame:
+    """Same-key id pairs (a < b) with the hot-key defense described above.
+
+    keyed: (id_col, key) rows, one per id-key membership. Output may contain
+    one row per shared key (callers .distinct() or count multiplicities).
+    The key-frequency side table is one extra groupBy on the same join key —
+    map-side combinable, uniform, and tiny next to the pair join it guards.
+    """
+    cap = pair_key_cap(cap)
+    stats = keyed.groupBy(key).agg(F.count("*").alias("_kc"), F.min(id_col).alias("_rep"))
+    ks = keyed.join(stats, key)
+    cold = ks.filter(F.col("_kc") <= cap)
+    x = cold.select(F.col(id_col).alias("a"), key)
+    y = cold.select(F.col(id_col).alias("b"), key)
+    pairs = x.join(y, key).filter(F.col("a") < F.col("b")).select("a", "b")
+    # star fallback: representative = min id per key, so a < b by construction
+    hot = ks.filter((F.col("_kc") > cap) & (F.col(id_col) != F.col("_rep"))).select(
+        F.col("_rep").alias("a"), F.col(id_col).alias("b")
+    )
+    return pairs.unionByName(hot)
+
+
+def capped_band_pairs(
+    bands: DataFrame, band_cols: list[str], id_col: str, cap: int | None = None
+) -> DataFrame:
+    """Distinct (a, b) pairs of ids agreeing on ANY of the band columns,
+    each band join protected by the hot-key cap."""
+    out = None
+    for c in band_cols:
+        keyed = bands.select(id_col, F.col(c).alias("_bk"))
+        p = capped_key_pairs(keyed, "_bk", id_col, cap)
+        out = p if out is None else out.unionByName(p)
+    return out.distinct()

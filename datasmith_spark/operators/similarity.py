@@ -223,6 +223,8 @@ def embedding_dup_pairs(
         seq_dot_udf(F.col("embedding"), F.col("embedding")).alias("n2"),
         lsh_sig_col(F.col("embedding"), planes).alias("sig"),
     )
+    from .pairs import capped_band_pairs
+
     bands = base.select(
         "vec_id",
         *[
@@ -230,13 +232,11 @@ def embedding_dup_pairs(
             for b in range(n_bands)
         ],
     )
-    cand = None
-    for b in range(n_bands):
-        x = bands.select(F.col("vec_id").alias("vec_a"), F.col(f"bk{b}").alias("bk"))
-        y = bands.select(F.col("vec_id").alias("vec_b"), F.col(f"bk{b}").alias("bk"))
-        p = x.join(y, "bk").filter(F.col("vec_a") < F.col("vec_b")).select("vec_a", "vec_b")
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
+    # band joins hot-key-capped (operators/pairs.py): a degenerate embedding
+    # cluster sharing a band emits O(m) star candidates, never O(m^2)
+    cand = capped_band_pairs(bands, [f"bk{b}" for b in range(n_bands)], "vec_id").select(
+        F.col("a").alias("vec_a"), F.col("b").alias("vec_b")
+    )
     a = base.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("n2").alias("a2"))
     bb = base.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("n2").alias("b2"))
     return (

@@ -113,16 +113,22 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
     )
 
 
-def fingerprint_pairs(docs: DataFrame, k: int = 3, w: int = 4, min_shared: int = 10) -> DataFrame:
+def fingerprint_pairs(
+    docs: DataFrame, k: int = 3, w: int = 4, min_shared: int = 10, cap: int | None = None
+) -> DataFrame:
     """Near-duplicate candidates: doc pairs sharing >= min_shared winnowing
-    fingerprints (equi-join on fingerprint, count per pair)."""
+    fingerprints (equi-join on fingerprint, count per pair).
+
+    The fingerprint join is hot-key-capped (operators/pairs.py): a
+    boilerplate fingerprint shared by m > cap documents contributes star
+    pairs (min-id representative, member) instead of m^2 rows — such
+    fingerprints carry no discriminative signal anyway."""
+    from .pairs import capped_key_pairs
+
     fp = winnow_fingerprints(docs, k, w)
-    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
     return (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        capped_key_pairs(fp, "fp", "doc_id", cap)
+        .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
