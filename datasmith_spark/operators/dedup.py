@@ -146,13 +146,17 @@ def simhash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids, hs = [], []
             for did, text in zip(pdf["id"], pdf["text"]):
                 toks = (text or "").lower().split()
+                if not toks:
+                    # token-less doc (null/empty/whitespace text): emit NO row.
+                    # Fingerprint 0 would collide every such doc on every band
+                    # (quadratic blowup) and the SQL oracle omits them too.
+                    continue
                 votes = np.zeros(64, dtype=np.int64)
-                if toks:
-                    uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-                    for tok, cnt in zip(uniq, counts):
-                        d = hashlib.md5(tok.encode("utf-8")).digest()[:8]
-                        bits = np.unpackbits(np.frombuffer(d, dtype=np.uint8)).astype(np.int64)
-                        votes += cnt * (2 * bits - 1)
+                uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+                for tok, cnt in zip(uniq, counts):
+                    d = hashlib.md5(tok.encode("utf-8")).digest()[:8]
+                    bits = np.unpackbits(np.frombuffer(d, dtype=np.uint8)).astype(np.int64)
+                    votes += cnt * (2 * bits - 1)
                 h = int("".join("1" if v > 0 else "0" for v in votes), 2)
                 ids.append(did)
                 hs.append(h)

@@ -16,10 +16,10 @@ Scale design (10^12 clips / 1000 executors):
     /root/reference/src/datasmith/utils.py:69-144, bypass_cache =>
     force=True); recomputed parts are dynamic-partition-overwritten
     (idempotent rewrite). Changed input rows therefore invalidate exactly
-    their own partitions. Note: a part whose rows were all DELETED from the
-    input is recomputed but its stale labels directory is not dropped
-    (dynamic overwrite only touches partitions present in the new output) —
-    deletion semantics need the Iceberg MERGE path.
+    their own partitions; a part whose input rows were all DELETED has its
+    stale labels directory dropped explicitly after the overwrite (the
+    parquet-mode analogue of the Iceberg MERGE / reference INSERT OR
+    REPLACE upsert).
   * metrics rollup: two-phase salted aggregation (partial on (lang, codec,
     salt), final on (lang, codec)) so the Zipf-hot language bucket cannot
     straggle a reducer; AQE skew handling stays on as backstop.
@@ -53,22 +53,34 @@ ARROW_BATCH = 256  # bytes-carrying rows are ~0.2-1 MB; keep Arrow batches bound
 # for that).
 META_FP_COLS = ("clip_id", "sr_hz", "dur_ms", "codec", "transcript")
 _FP_EMPTY = "0:0"  # fingerprint of a part with no input rows
+# sentinel written by fingerprint=False runs; a later fingerprinted resume
+# treats it as matching-any (toggling the flag must not silently defeat
+# resume by recomputing every part)
+_FP_ANY = "<unfingerprinted>"
 
 
-def part_fingerprints(clips: DataFrame, n_parts: int) -> dict[int, str]:
+def part_fingerprints(clips: DataFrame, n_parts: int, payload: bool = False) -> dict[int, str]:
     """Per-part content fingerprint: order-independent sum of per-row crc32
     over the metadata columns, plus the row count.
 
     The Spark analogue of the reference's pickled-argument cache keys
     (/root/reference/src/datasmith/utils.py:94-101): a checkpoint is valid
     only for the exact input it was computed from. One column-pruned
-    aggregation scan; the shuffle key is part_id (uniform)."""
+    aggregation scan; the shuffle key is part_id (uniform).
+
+    payload=True additionally folds the audio payload's length + a crc32 of
+    its first 4 KiB into each row hash — catches a payload swap with
+    unchanged metadata at the cost of reading the bytes column in the
+    pre-scan (opt-in: at 100 TB the default fingerprint must stay a
+    column-pruned metadata scan)."""
     part = F.pmod(F.crc32(F.col("clip_id").cast("binary")), F.lit(n_parts)).cast("int")
-    row_h = F.crc32(
-        F.concat_ws(
-            "|", *[F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in META_FP_COLS]
-        ).cast("binary")
-    )
+    fields = [F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in META_FP_COLS]
+    if payload:
+        fields.append(F.coalesce(F.length("bytes").cast("string"), F.lit("<null>")))
+        fields.append(
+            F.coalesce(F.crc32(F.substring(F.col("bytes"), 1, 4096)).cast("string"), F.lit("<null>"))
+        )
+    row_h = F.crc32(F.concat_ws("|", *fields).cast("binary"))
     rows = (
         clips.select(part.alias("part_id"), row_h.alias("h"))
         .groupBy("part_id")
@@ -117,6 +129,7 @@ def run_pipeline(
     fail_after_parts: int | None = None,
     input_dir: str | None = None,
     fingerprint: bool = True,
+    fingerprint_payload: bool = False,
 ) -> dict:
     """Run with partition-level checkpoint/resume.
 
@@ -131,7 +144,12 @@ def run_pipeline(
     checkpoints table and treats a part as done only if its stored
     fingerprint matches the current input — changed input rows invalidate
     exactly their own partitions (reference arg-blob cache-key semantics).
-    Pass False to skip the metadata pre-scan and trust part ids alone.
+    Pass False to skip the metadata pre-scan and trust part ids alone
+    (checkpoints then carry a matching-any sentinel so toggling the flag
+    later does not recompute everything).
+    fingerprint_payload=True folds payload length + a head-of-blob crc32
+    into the fingerprint (detects a bytes swap with unchanged metadata, at
+    the cost of a non-column-pruned pre-scan).
     """
     t0 = time.time()
     _set_arrow_batch(spark)
@@ -140,11 +158,12 @@ def run_pipeline(
 
     def _fp_source() -> DataFrame:
         src = spark.read.parquet(input_dir) if input_dir is not None else clips
-        return src.select(*META_FP_COLS)
+        cols = list(META_FP_COLS) + (["bytes"] if fingerprint_payload else [])
+        return src.select(*cols)
 
     fps: dict[int, str] = {}
     if fingerprint:
-        fps = part_fingerprints(_fp_source(), n_parts)
+        fps = part_fingerprints(_fp_source(), n_parts, payload=fingerprint_payload)
 
     all_parts = list(range(n_parts))
     done: set[int] = set()
@@ -155,7 +174,9 @@ def run_pipeline(
         if fingerprint:
             if "fingerprint" in latest.columns:
                 stored = {r.part_id: r.fingerprint for r in latest.select("part_id", "fingerprint").collect()}
-                done = {p for p, f in stored.items() if f == fps.get(p, _FP_EMPTY)}
+                # _FP_ANY (written by a fingerprint=False run) matches any
+                # current input — the part stays done
+                done = {p for p, f in stored.items() if f == fps.get(p, _FP_EMPTY) or f == _FP_ANY}
             # checkpoints written before fingerprints existed: treat all as
             # stale (recompute is idempotent; serving stale labels is not)
         else:
@@ -174,6 +195,16 @@ def run_pipeline(
         labels = label_clips(subset, n_parts=n_parts)
 
     tl.overwrite_partitions(labels, "labels", "part_id")
+
+    # deletion semantics (reference INSERT OR REPLACE upsert,
+    # /root/reference/src/datasmith/utils.py:130-138): a pending part with NO
+    # current input rows (all its clips were deleted) produces no output, so
+    # dynamic overwrite leaves its old labels directory behind — drop it
+    # explicitly. Only knowable when the input was fingerprinted.
+    if fingerprint:
+        emptied = [p for p in pending if p not in fps]
+        if emptied:
+            tl.drop_partitions("labels", "part_id", emptied)
 
     # ---- lineage: per-partition counts + stage drop breakdown (one shuffle,
     # uniform key => no skew concern). Explicit schema: stays well-defined
@@ -223,7 +254,8 @@ def run_pipeline(
     counted = {r.part_id for r in lab.select("part_id").distinct().collect()}
     cp = spark.createDataFrame(
         [
-            (int(p), "done", run_id, int(p in counted), fps.get(p, _FP_EMPTY))
+            (int(p), "done", run_id, int(p in counted),
+             fps.get(p, _FP_EMPTY) if fingerprint else _FP_ANY)
             for p in pending
         ],
         "part_id int, status string, run_id string, had_rows int, fingerprint string",

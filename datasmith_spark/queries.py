@@ -654,7 +654,13 @@ def q22_ngram_jaccard(spark, sf_dir):
     The shingle table feeds FIVE consumers (k-minhash agg, pair sizes, both
     sides of the intersection join) — persist it so the explode+distinct
     runs once, not once per DAG branch; at 10^12 docs this intermediate
-    would be materialized (bucketed by id) for exactly the same reason."""
+    would be materialized (bucketed by id) for exactly the same reason.
+
+    The shingle cache is RELEASED before returning: the (small) result is
+    pinned via localCheckpoint (cuts the lineage back to the shingle table)
+    and the shingle persist is dropped, so a long-lived driver session that
+    runs all 34 queries does not keep the explode output in executor memory
+    for the rest of the run."""
     from pyspark import StorageLevel
 
     from .operators.dedup import jaccard_verify, lsh_candidate_pairs, minhash_signatures, shingles
@@ -662,8 +668,9 @@ def q22_ngram_jaccard(spark, sf_dir):
     corpus = _corpus(spark, sf_dir)
     sh = shingles(corpus).persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidate_pairs(minhash_signatures(sh))
-    out = jaccard_verify(sh, cand, threshold=0.6)
     # SQL filters on the UNROUNDED ratio; mirror that exactly
+    out = jaccard_verify(sh, cand, threshold=0.6).localCheckpoint(eager=True)
+    sh.unpersist()
     return out
 
 

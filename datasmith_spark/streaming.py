@@ -15,9 +15,12 @@ instead of duplicating rows.
 Scale design: at 10^12-clip scale this is the continuous-ingest front door —
 new clip files land in the source directory (or an Iceberg table with
 incremental scan), `maxFilesPerTrigger` bounds micro-batch size so decode
-memory stays flat, and the labels sink stays directory-partitioned by
-part_id exactly like the batch path, so batch and streaming output are
-interchangeable downstream.
+memory stays flat, and the labels sink is directory-partitioned by
+(batch_id, part_id) — batch_id is what makes batch replay idempotent, so
+the streaming layout carries one extra partition column vs the batch
+path's part_id-only layout. TableLayer.read_unified reads EITHER layout
+back in batch shape (drops batch_id when present), keeping batch and
+streaming output interchangeable downstream.
 """
 
 from __future__ import annotations
@@ -200,8 +203,17 @@ def stateful_sessionize(
                 elif t - last > gap_sec:
                     emit(start, last, n)
                     start, last, n = t, t, 1
+                elif start - t > gap_sec:
+                    # late event (above the watermark, earlier micro-batch
+                    # order) landing more than gap BEFORE the open session:
+                    # it cannot extend any session still in state — emit it
+                    # as its own closed singleton
+                    emit(t, t, 1)
                 else:
-                    last, n = t, n + 1
+                    # merge (covers late events inside/near the open session:
+                    # min/max so an earlier-ts arrival never SHRINKS the
+                    # session or regresses `last` and fires the timeout early)
+                    start, last, n = min(start, t), max(last, t), n + 1
             state.update((float(start), float(last), int(n)))
             # close the open session once the watermark passes last+gap
             state.setTimeoutTimestamp(int((last + gap_sec) * 1000))

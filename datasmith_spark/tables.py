@@ -49,6 +49,26 @@ class TableLayer:
             .parquet(self.path(name))
         )
 
+    def drop_partitions(self, name: str, partition_col: str, values) -> None:
+        """Delete partition directories outright (deletion semantics for
+        parts whose input rows vanished — the parquet-mode stand-in for an
+        Iceberg MERGE delete; see pipeline.run_pipeline)."""
+        import shutil
+
+        for v in values:
+            p = os.path.join(self.path(name), f"{partition_col}={v}")
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+
+    def read_unified(self, spark: SparkSession, name: str, schema=None) -> DataFrame:
+        """Read a table in BATCH shape regardless of which writer produced
+        it: the streaming sink partitions by (batch_id, part_id) for
+        idempotent batch replay, so a streaming-written labels dir carries an
+        extra batch_id partition column — this reader drops it, making batch
+        and streaming outputs interchangeable downstream."""
+        df = self.read(spark, name, schema=schema)
+        return df.drop("batch_id") if "batch_id" in df.columns else df
+
     def append(self, df: DataFrame, name: str) -> None:
         df.write.mode("append").parquet(self.path(name))
 

@@ -91,3 +91,15 @@ def test_winnow_pairs_capped_on_boilerplate(spark, boiler_docs):
     cluster = [(r.doc_a, r.doc_b) for r in out if r.doc_b < M]
     assert len(cluster) == M - 1
     assert all(a == 0 for a, _ in cluster)
+
+
+def test_simhash_skips_tokenless_docs(spark):
+    """Null/empty/whitespace docs must emit no SimHash row (fingerprint 0
+    would collide them all on every band; the SQL oracle omits them too)."""
+    from datasmith_spark.operators.dedup import simhash_bands, simhash_candidate_pairs
+
+    rows = [(1, "real words here"), (2, None), (3, ""), (4, "   "), (5, "real words here")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    assert {r.id for r in simhash_bands(docs).collect()} == {1, 5}
+    pairs = {(r.doc_a, r.doc_b) for r in simhash_candidate_pairs(docs).collect()}
+    assert pairs == {(1, 5)}

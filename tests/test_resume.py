@@ -128,3 +128,110 @@ def test_fingerprint_invalidates_changed_part(spark, clips_path, tmp_path):
     latest = tl.latest_per_key(spark, "checkpoints", ["part_id"], "ts")
     changed = {r.part_id for r in latest.filter(F.col("run_id") == r3["run_id"]).collect()}
     assert changed == {part_id_of(target, N_PARTS)}
+
+
+def _single_file_copy(clips_path: str, dest: str):
+    """Collapse the clips table into one parquet file (easy row surgery)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dest, exist_ok=True)
+    tables = [pq.read_table(f) for f in sorted(glob.glob(f"{clips_path}/part-*.parquet"))]
+    t = pa.concat_tables(tables)
+    pq.write_table(t, f"{dest}/part-000.parquet")
+    return t
+
+
+def test_deleted_part_drops_stale_labels(spark, clips_path, tmp_path):
+    """Deleting ALL input rows of a part must remove its labels partition on
+    resume (reference INSERT OR REPLACE semantics, utils.py:130-138) — not
+    leave a stale directory behind."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datasmith_spark.oracle import part_id_of
+
+    inp = str(tmp_path / "inp")
+    t = _single_file_copy(clips_path, inp)
+    out = str(tmp_path / "out")
+    r1 = run_pipeline(spark, None, out, n_parts=N_PARTS, input_dir=inp)
+    assert r1["parts_processed"] == N_PARTS
+
+    victim = 3
+    assert os.path.isdir(f"{out}/labels/part_id={victim}")
+    pdf = t.to_pandas()
+    keep = pdf[[part_id_of(c, N_PARTS) != victim for c in pdf.clip_id]]
+    assert len(keep) < len(pdf)
+    pq.write_table(
+        pa.Table.from_pandas(keep, schema=t.schema, preserve_index=False),
+        f"{inp}/part-000.parquet",
+    )
+
+    r2 = run_pipeline(spark, None, out, n_parts=N_PARTS, input_dir=inp)
+    assert r2["parts_processed"] == 1  # exactly the emptied part
+    assert not os.path.isdir(f"{out}/labels/part_id={victim}")
+    assert spark.read.parquet(f"{out}/labels").count() == len(keep)
+
+    # emptied part is checkpointed as done-for-empty: next resume is a no-op
+    r3 = run_pipeline(spark, None, out, n_parts=N_PARTS, input_dir=inp)
+    assert r3["parts_processed"] == 0
+
+
+def test_payload_fingerprint_opt_in(spark, clips_path, tmp_path):
+    """fingerprint_payload=True must invalidate exactly the part whose audio
+    bytes were swapped under unchanged metadata; the default metadata-only
+    fingerprint documents that it does NOT see such a swap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datasmith_spark.oracle import part_id_of
+
+    inp = str(tmp_path / "inp")
+    t = _single_file_copy(clips_path, inp)
+    out_meta = str(tmp_path / "out_meta")
+    out_pay = str(tmp_path / "out_pay")
+    run_pipeline(spark, None, out_meta, n_parts=N_PARTS, input_dir=inp)
+    run_pipeline(spark, None, out_pay, n_parts=N_PARTS, input_dir=inp, fingerprint_payload=True)
+    assert run_pipeline(
+        spark, None, out_pay, n_parts=N_PARTS, input_dir=inp, fingerprint_payload=True
+    )["parts_processed"] == 0
+
+    # swap ONE row's payload, same length, metadata untouched
+    pdf = t.to_pandas()
+    i = pdf.index[pdf.bytes.map(lambda b: b is not None and len(b) >= 8)][0]
+    buf = bytearray(pdf.loc[i, "bytes"])
+    buf[:8] = bytes(x ^ 0xFF for x in buf[:8])
+    pdf.loc[i, "bytes"] = bytes(buf)
+    target_part = part_id_of(pdf.loc[i, "clip_id"], N_PARTS)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=t.schema, preserve_index=False),
+        f"{inp}/part-000.parquet",
+    )
+
+    r_meta = run_pipeline(spark, None, out_meta, n_parts=N_PARTS, input_dir=inp)
+    assert r_meta["parts_processed"] == 0  # the documented blind spot
+    r_pay = run_pipeline(
+        spark, None, out_pay, n_parts=N_PARTS, input_dir=inp, fingerprint_payload=True
+    )
+    assert r_pay["parts_processed"] == 1
+    tl = TableLayer(out_pay)
+    latest = tl.latest_per_key(spark, "checkpoints", ["part_id"], "ts")
+    changed = {r.part_id for r in latest.filter(F.col("run_id") == r_pay["run_id"]).collect()}
+    assert changed == {target_part}
+
+
+def test_unfingerprinted_sentinel_survives_toggle(spark, clips_path, tmp_path):
+    """A fingerprint=False run writes a matching-any sentinel; turning
+    fingerprinting ON afterwards must NOT recompute every part."""
+    inp = str(tmp_path / "inp")
+    _single_file_copy(clips_path, inp)
+    out = str(tmp_path / "out")
+    r1 = run_pipeline(spark, None, out, n_parts=N_PARTS, input_dir=inp, fingerprint=False)
+    assert r1["parts_processed"] == N_PARTS
+    r2 = run_pipeline(spark, None, out, n_parts=N_PARTS, input_dir=inp)  # fingerprint=True
+    assert r2["parts_processed"] == 0

@@ -216,3 +216,78 @@ def test_stateful_sessionize(spark, tmp_path):
         assert sessions.get(k) == v, f"emitted session {k} does not match batch"
     missing = {k for k in sessions if k not in emitted and k not in open_tail}
     assert not missing, f"gap-closed sessions not emitted: {sorted(missing)[:5]}"
+
+
+def test_stateful_sessionize_out_of_order_late_event(spark, tmp_path):
+    """A late event (above the watermark) arriving in a LATER micro-batch
+    with an EARLIER timestamp must merge into the open session — not shrink
+    it, regress session_end, or split it (the max/min merge rule)."""
+    import pandas as pd
+
+    from datasmith_spark.streaming import stateful_sessionize
+
+    ddl = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    base = 1_700_000_000
+    batches = [
+        [(1, base + 0, 7, "a", 1.0), (2, base + 600, 7, "a", 1.0)],
+        [(3, base + 300, 7, "a", 1.0)],   # LATE: earlier ts, later batch
+        [(4, base + 50_000, 7, "a", 1.0)],  # far future: closes session 1
+    ]
+    inp = tmp_path / "ooo_in"
+    inp.mkdir()
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            [(e, pd.Timestamp(t, unit="s"), u, et, v) for e, t, u, et, v in rows],
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        spark.createDataFrame(pdf, ddl).coalesce(1).write.parquet(str(inp / f"_d{i}"))
+        for f in (inp / f"_d{i}").glob("*.parquet"):
+            f.rename(inp / f"d{i}-{f.name.lstrip('_')}")
+
+    out = str(tmp_path / "ooo_out")
+    q = (
+        stateful_sessionize(spark, str(inp), ddl, gap_sec=1800.0, max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ooo_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = spark.read.parquet(out).toPandas().sort_values("session_start")
+    closed = [
+        (pd.Timestamp(r.session_start).timestamp(), pd.Timestamp(r.session_end).timestamp(), r.n_events)
+        for r in got.itertuples(index=False)
+    ]
+    # ONE closed session covering all three early events — not split, and
+    # session_end must remain the max ts (base+600), not the late arrival
+    assert (float(base), float(base + 600), 3) in closed, closed
+    assert len(closed) == 1, closed
+
+
+def test_read_unified_reads_both_layouts(spark, tmp_path):
+    """TableLayer.read_unified must return the same batch-shape frame from a
+    batch-written labels dir (part_id partitions) and a streaming-sink dir
+    ((batch_id, part_id) partitions)."""
+    from datasmith_spark.streaming import make_batch_sink
+    from datasmith_spark.tables import TableLayer
+
+    rows = [(f"c{i}", i % 4, "pcm16", True, None, [], "en", 0.9, 50.0, 0, 0, f"t{i}")
+            for i in range(40)]
+    ddl = ("clip_id string, part_id int, codec string, keep boolean, drop_stage string, "
+           "drop_reasons array<string>, lang string, lang_prob double, ppl double, "
+           "pii_count int, tox_count int, scrubbed_transcript string")
+    df = spark.createDataFrame(rows, ddl)
+
+    tl_b = TableLayer(str(tmp_path / "batch"))
+    tl_b.overwrite_partitions(df, "labels", "part_id")
+    tl_s = TableLayer(str(tmp_path / "stream"))
+    make_batch_sink(tl_s)(df, batch_id=7)
+
+    a = tl_b.read_unified(spark, "labels")
+    b = tl_s.read_unified(spark, "labels")
+    assert sorted(a.columns) == sorted(b.columns)
+    ap = a.orderBy("clip_id").toPandas()
+    bp = b.select(a.columns).orderBy("clip_id").toPandas()
+    assert (ap.clip_id == bp.clip_id).all() and (ap.keep == bp.keep).all()
