@@ -70,9 +70,8 @@ class PerplexityModel:
 
     def ppl_batch(self, texts, langs) -> np.ndarray:
         """Vectorized ppl_one over a batch: one fancy-index gather over
-        (lang, trigram) pairs + one padded cumsum. Zero padding does not
-        perturb the sequential sum (x + 0.0 == x for finite log-probs), so
-        results are bit-identical to per-row ppl_one
+        (lang, trigram) pairs + one segmented np.add.reduceat — the same
+        canonical reduction order ppl_one uses, so results are bit-identical
         (tests/test_text_models.py). Unscorable rows get inf."""
         n = len(texts)
         out = np.full(n, np.inf, dtype=np.float64)

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .core import rules as R
+from .logging_config import configure, stage_timer
 from .operators.rules import with_rule_stage
 from .operators.stages import decode_stage, langid_stage, ppl_stage, scrub_stage
 from .tables import TableLayer
@@ -184,6 +185,12 @@ def run_pipeline(
     pending = [p for p in all_parts if p not in done]
     if fail_after_parts is not None:
         pending = pending[:fail_after_parts]
+    log = configure()
+    log.info(
+        "run %s: %d pending, %d checkpoint-valid of %d parts",
+        run_id, len(pending), len(done), n_parts,
+        extra={"run_id": run_id, "parts": len(pending), "out_dir": out_dir, "event": "resume"},
+    )
     if not pending:
         return {"run_id": run_id, "parts_processed": 0, "n_labeled": 0, "wall_sec": 0.0}
 
@@ -194,7 +201,8 @@ def run_pipeline(
         subset = clips.filter(part_col.isin(pending))
         labels = label_clips(subset, n_parts=n_parts)
 
-    tl.overwrite_partitions(labels, "labels", "part_id")
+    with stage_timer(log, "label+write", run_id=run_id, parts=len(pending)):
+        tl.overwrite_partitions(labels, "labels", "part_id")
 
     # deletion semantics (reference INSERT OR REPLACE upsert,
     # /root/reference/src/datasmith/utils.py:130-138): a pending part with NO
@@ -204,6 +212,11 @@ def run_pipeline(
     if fingerprint:
         emptied = [p for p in pending if p not in fps]
         if emptied:
+            log.info(
+                "dropping %d label partition(s) with no remaining input: %s",
+                len(emptied), emptied,
+                extra={"run_id": run_id, "event": "drop_partitions", "parts": len(emptied)},
+            )
             tl.drop_partitions("labels", "part_id", emptied)
 
     # ---- lineage: per-partition counts + stage drop breakdown (one shuffle,
@@ -218,7 +231,8 @@ def run_pipeline(
             for s in R.STAGES
         ],
     ).withColumns({"run_id": F.lit(run_id), "ts": F.current_timestamp()})
-    tl.append(lineage, "lineage")
+    with stage_timer(log, "lineage", run_id=run_id):
+        tl.append(lineage, "lineage")
 
     # ---- metrics: per-(lang, codec) keep rates; two-phase salted agg for the
     # Zipf-hot (en, pcm16) bucket. codec rides along in labels, so no join
@@ -246,7 +260,8 @@ def run_pipeline(
             "ts": F.current_timestamp(),
         })
     )
-    tl.append(metrics, "metrics")
+    with stage_timer(log, "metrics", run_id=run_id):
+        tl.append(metrics, "metrics")
 
     # ---- checkpoints last (a crash before this point leaves parts pending =>
     # they are recomputed and idempotently overwritten on resume)
@@ -262,11 +277,18 @@ def run_pipeline(
     ).withColumn("ts", F.current_timestamp())
     tl.append(cp, "checkpoints")
 
+    wall = time.time() - t0
+    log.info(
+        "run %s done: %d parts, %d rows labeled in %.1fs",
+        run_id, len(pending), n_labeled, wall,
+        extra={"run_id": run_id, "event": "done", "parts": len(pending),
+               "rows": n_labeled, "wall_sec": round(wall, 3)},
+    )
     return {
         "run_id": run_id,
         "parts_processed": len(pending),
         "n_labeled": n_labeled,
-        "wall_sec": time.time() - t0,
+        "wall_sec": wall,
     }
 
 
