@@ -151,26 +151,41 @@ def decode(buf: bytes | None, codec: str) -> np.ndarray | None:
 FEATURE_FIELDS = ("n_samples", "rms", "peak", "clip_rate", "finite_frac")
 
 
-def pcm_features(pcm: np.ndarray | None) -> tuple[int, float, float, float, float]:
+def pcm_features(
+    pcm: np.ndarray | None, assume_finite: bool = False
+) -> tuple[int, float, float, float, float]:
     """Per-row audio features: (n_samples, rms, peak, clip_rate, finite_frac).
 
     Per-row-only math (no cross-row normalization) so features are invariant
     to Arrow batch size — SURVEY.md §7.4 risk 1.
+
+    assume_finite=True skips the isfinite scan — valid for every integer
+    codec (int16/uint8 -> float64 is finite by construction) and produces
+    the identical result bitwise (fin_frac n/n == 1.0, x is pcm), so the
+    hinted Spark path and the unhinted oracle path agree exactly.
     """
     if pcm is None or pcm.size == 0:
         return 0, 0.0, 0.0, 0.0, 0.0
-    finite = np.isfinite(pcm)
-    n_fin = int(finite.sum())
-    fin_frac = float(np.float64(n_fin) / pcm.size)
+    if assume_finite:
+        n_fin = pcm.size
+        fin_frac = 1.0
+    else:
+        finite = np.isfinite(pcm)
+        n_fin = int(finite.sum())
+        fin_frac = float(np.float64(n_fin) / pcm.size)
     # all-finite fast path (every integer codec, and most float32 rows):
     # np.where(all-true, pcm, 0) is a bitwise copy, so skipping it changes
-    # nothing; reusing one |x| temp for peak AND clip_rate drops two more
-    # full-size passes (identical values — same ops on the same array).
+    # nothing. Allocation-free feature passes:
+    #   rms       via BLAS dot(x, x) — no x*x temporary;
+    #   peak      = max(max(x), -min(x)) == max(|x|) exactly — no |x| temp;
+    #   clip_rate counts x >= t and x <= -t — same set as |x| >= t.
+    # This kernel is shared with the single-process oracle, so both sides
+    # move together; the committed fixture is regenerated with it.
     x = pcm if n_fin == pcm.size else np.where(finite, pcm, 0.0)
-    a = np.abs(x)
-    rms = float(np.sqrt(np.mean(x * x, dtype=np.float64)))
-    peak = float(a.max())
-    clip_rate = float(np.mean(a >= 0.999, dtype=np.float64))
+    rms = float(np.sqrt(np.dot(x, x) / x.size))
+    peak = float(max(x.max(), -x.min()))
+    n_clip = int(np.count_nonzero(x >= 0.999)) + int(np.count_nonzero(x <= -0.999))
+    clip_rate = float(np.float64(n_clip) / x.size)
     return int(pcm.size), rms, peak, clip_rate, fin_frac
 
 

@@ -44,21 +44,29 @@ def exact_dedup_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, s).
+def shingles(docs: DataFrame, id_col: str = "doc_id", n: int = 3, distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per document: (id, s).
 
     One explode; documents shorter than n words drop out (no shingle).
+    distinct=True (default) dedups to the shingle SET — required for exact
+    Jaccard (set sizes / intersections). Pass False when only min-hash
+    signatures are needed: min() is invariant to duplicates, so skipping
+    the distinct saves a full (id, s) shuffle on the widest table.
     """
-    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+    # fully-native formulation (no HOF lambdas): zip n shifted slices of the
+    # materialized words array and concat the struct fields. The earlier
+    # transform(sequence, element_at) form re-evaluated split(text) per
+    # element inside the interpreted lambda — measured ~18x slower.
+    w = F.col("_w")
+    cnt = F.size(w) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(w, 1 + j, cnt) for j in range(n)])
+    out = (
+        docs.withColumn("_w", F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .filter(F.size(w) >= n)
+        .select(F.col(id_col).alias("id"), F.explode(zipped).alias("_z"))
+        .select("id", F.concat_ws(" ", *[F.col("_z").getField(str(j)) for j in range(n)]).alias("s"))
     )
-    return (
-        docs.filter(F.size(w) >= n)
-        .select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
-        .distinct()
-    )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
@@ -143,33 +151,52 @@ def simhash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         import hashlib
 
         for pdf in batches:
-            ids, hs = [], []
+            # batch-level vocabulary: one md5 per DISTINCT token in the batch
+            # (tokens are Zipf-heavy, so this collapses most of the hash
+            # work); votes stay exact int64, identical to the per-doc form
+            ids: list = []
+            vocab: dict[str, int] = {}
+            mem_d: list[int] = []  # doc index per (doc, distinct-token)
+            mem_t: list[int] = []  # token index
+            mem_c: list[int] = []  # term frequency
             for did, text in zip(pdf["id"], pdf["text"]):
                 toks = (text or "").lower().split()
                 if not toks:
-                    # token-less doc (null/empty/whitespace text): emit NO row.
-                    # Fingerprint 0 would collide every such doc on every band
-                    # (quadratic blowup) and the SQL oracle omits them too.
+                    # token-less doc (null/empty/whitespace text): emit NO
+                    # row. Fingerprint 0 would collide every such doc on
+                    # every band and the SQL oracle omits them too.
                     continue
-                votes = np.zeros(64, dtype=np.int64)
-                uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-                for tok, cnt in zip(uniq, counts):
-                    d = hashlib.md5(tok.encode("utf-8")).digest()[:8]
-                    bits = np.unpackbits(np.frombuffer(d, dtype=np.uint8)).astype(np.int64)
-                    votes += cnt * (2 * bits - 1)
-                h = int("".join("1" if v > 0 else "0" for v in votes), 2)
+                di = len(ids)
                 ids.append(did)
-                hs.append(h)
-            arr = np.array(hs, dtype=np.uint64)
-            yield pd.DataFrame(
-                {
-                    "id": ids,
-                    **{
-                        f"h{b}": [f"{(int(v) >> (16 * (3 - b))) & 0xFFFF:04x}" for v in arr]
-                        for b in range(4)
-                    },
-                }
+                cnt: dict[str, int] = {}
+                for t in toks:
+                    cnt[t] = cnt.get(t, 0) + 1
+                for t, c in cnt.items():
+                    mem_d.append(di)
+                    mem_t.append(vocab.setdefault(t, len(vocab)))
+                    mem_c.append(c)
+            if not ids:
+                yield pd.DataFrame({"id": [], "h0": [], "h1": [], "h2": [], "h3": []})
+                continue
+            digests = np.empty((len(vocab), 8), dtype=np.uint8)
+            for t, ti in vocab.items():
+                digests[ti] = np.frombuffer(
+                    hashlib.md5(t.encode("utf-8")).digest()[:8], dtype=np.uint8
+                )
+            pm = 2 * np.unpackbits(digests, axis=1).astype(np.int64) - 1  # (V, 64)
+            votes = np.zeros((len(ids), 64), dtype=np.int64)
+            np.add.at(
+                votes,
+                np.asarray(mem_d),
+                np.asarray(mem_c, dtype=np.int64)[:, None] * pm[np.asarray(mem_t)],
             )
+            sign = (votes > 0).astype(np.int64)  # MSB-first bit order as before
+            w16 = 1 << np.arange(15, -1, -1, dtype=np.int64)
+            out = {"id": ids}
+            for b in range(4):
+                vals = sign[:, b * 16 : (b + 1) * 16] @ w16
+                out[f"h{b}"] = [f"{int(v):04x}" for v in vals]
+            yield pd.DataFrame(out)
 
     return sel.mapInPandas(_simhash, schema=_SIMHASH_SCHEMA)
 

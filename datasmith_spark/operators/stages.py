@@ -66,7 +66,11 @@ def decode_features_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     for i in np.flatnonzero(alive):
         pcm = audio.decode(bufs[i], codecs[i])
         ok[i] = pcm is not None
-        ns[i], rms[i], peak[i], clip[i], fin[i] = audio.pcm_features(pcm)
+        # integer codecs decode to finite float64 by construction: skip the
+        # isfinite scan (bitwise-identical result, audio.pcm_features)
+        ns[i], rms[i], peak[i], clip[i], fin[i] = audio.pcm_features(
+            pcm, assume_finite=codecs[i] != "float32"
+        )
     out = pdf.drop(columns=["bytes"])
     out["n_samples"] = ns
     out["rms"] = rms

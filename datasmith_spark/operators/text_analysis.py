@@ -94,17 +94,29 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
     /root/reference/src/datasmith/scrape/code_coverage.py:83-88) upgraded to
     locality-sensitive document fingerprints.
     """
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    # fully-native k-gram hashing (no HOF lambdas — an interpreted
+    # transform(sequence, slice) re-evaluated split(text) per element):
+    # zip k shifted slices of the materialized words array, then md5 the
+    # concatenated struct fields. posexplode keeps the k-gram position for
+    # the winnowing window.
+    words = F.col("_w")
     n_kg = F.size(words) - (k - 1)
-    # guard: Spark sequence(1, 0) would generate a DESCENDING [1, 0]
-    kgrams = F.when(
-        n_kg >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_kg),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, k)).cast("binary")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = docs.select("doc_id", F.posexplode(kgrams).alias("pos", "h"))
+    zipped = F.arrays_zip(*[F.slice(words, 1 + j, n_kg) for j in range(k)])
+    # guard: slice with non-positive length errors; short docs get no k-gram
+    kgrams = F.when(n_kg >= 1, zipped).otherwise(
+        F.array().cast("array<struct<" + ",".join(f"`{j}`:string" for j in range(k)) + ">>")
+    )
+    g = (
+        docs.withColumn("_w", F.split(F.trim(F.col("text")), r"\s+"))
+        .select("doc_id", F.posexplode(kgrams).alias("pos", "_z"))
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.concat_ws(" ", *[F.col("_z").getField(str(j)) for j in range(k)]).cast("binary")
+            ).alias("h"),
+        )
+    )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     return (
         g.withColumn("fp", F.min("h").over(win))

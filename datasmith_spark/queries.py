@@ -619,10 +619,14 @@ _MINHASH_SQL_BODY = _minhash_sql_body(_minhash_k())
 )
 def q21_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-duplicate candidate pairs
-    (shingle -> K minhashes in one groupBy -> band-digest join)."""
+    (shingle -> K minhashes in one groupBy -> band-digest join).
+
+    Shingles are NOT deduped here: min-hash is invariant to duplicate
+    shingles, so the explode feeds the signature groupBy directly — one
+    less wide shuffle than the q22 path (which needs true shingle sets)."""
     from .operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
 
-    sh = shingles(_corpus(spark, sf_dir))
+    sh = shingles(_corpus(spark, sf_dir), distinct=False)
     return lsh_candidate_pairs(minhash_signatures(sh))
 
 
