@@ -275,6 +275,98 @@ def embedding_dup_pairs_bruteforce(emb: DataFrame, threshold: float = 0.999) -> 
     )
 
 
+IVF_N_CELLS = 8
+IVF_SEED = 4096
+
+
+def ivf_centroids(dims: int, n_cells: int = IVF_N_CELLS, seed: int = IVF_SEED) -> list[list[float]]:
+    """Frozen seeded coarse centroids, rounded so they embed as SQL literals."""
+    rng = np.random.default_rng(seed)
+    return [[round(float(x), 4) for x in row] for row in rng.normal(size=(n_cells, dims))]
+
+
+def make_ivf_cell_udf(centroids: list[list[float]]):
+    """Arrow-batched IVF coarse assignment: cell = argmax over centroids of
+    the dot product (first-max tie-break), dots computed with the same
+    row-wise sequential fold as dot_col / DuckDB list_dot_product, so the
+    assignment is reproducible in the SQL oracle exactly."""
+    cents = np.asarray(centroids, dtype=np.float64)  # (C, d)
+    n_cells = cents.shape[0]
+
+    def _cell_of_vec(v) -> int:
+        if v is None:
+            return 0
+        x = np.asarray(v, dtype=np.float64)
+        if x.size != cents.shape[1]:
+            return 0
+        dots = np.cumsum(x * cents, axis=1)[:, -1]
+        return int(np.argmax(dots))
+
+    @F.pandas_udf(T.IntegerType())
+    def _cell(emb: pd.Series) -> pd.Series:
+        va = emb.to_numpy()
+        n = len(va)
+        if n == 0:
+            return pd.Series(np.empty(0, dtype=np.int32))
+        try:
+            ma = np.stack([np.asarray(v, dtype=np.float64) for v in va])
+        except (ValueError, TypeError):
+            return pd.Series([_cell_of_vec(v) for v in va], dtype="int32")
+        if ma.ndim != 2 or ma.shape[1] != cents.shape[1]:
+            return pd.Series([_cell_of_vec(v) for v in va], dtype="int32")
+        dots = np.empty((n, n_cells), dtype=np.float64)
+        for c in range(n_cells):
+            dots[:, c] = np.cumsum(ma * cents[c], axis=1)[:, -1]
+        return pd.Series(np.argmax(dots, axis=1).astype(np.int32))
+
+    return _cell
+
+
+def ivf_ann_search(
+    emb: DataFrame, n_queries: int = 20, k: int = 3, dims: int = 64, n_cells: int = IVF_N_CELLS
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest (max-dot)
+    frozen centroid cell, then search top-k cosine WITHIN the query's cell
+    (nprobe=1) — the inverted-file counterpart of the hyperplane-bucket path
+    (lsh_ann_search). At 10^12 rows the cell equi-join replaces the O(Q x N)
+    scan with O(sum of per-cell Q_c x N_c); the centroid count grows ~sqrt(N)
+    and nprobe trades recall for cost."""
+    cents = ivf_centroids(dims, n_cells)
+    cell_udf = make_ivf_cell_udf(cents)
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        cell_udf(F.col("embedding")).alias("cell"),
+        seq_dot_udf(F.col("embedding"), F.col("embedding")).alias("n2"),
+    )
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "cell",
+        F.col("n2").alias("q2"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        "cell",
+        F.col("n2").alias("c2"),
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            F.round(seq_dot_udf(F.col("qe"), F.col("ce")) / F.sqrt(F.col("q2") * F.col("c2")), 4),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
 def lsh_ann_search(emb: DataFrame, n_queries: int = 20, k: int = 3, dims: int = 64) -> DataFrame:
     """LSH-bucketed ANN: top-k cosine neighbors searched WITHIN the query's
     hyperplane bucket only — the scale path that replaces the brute-force

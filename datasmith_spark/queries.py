@@ -1127,3 +1127,134 @@ def q32_url_parse_encode(spark, sf_dir):
         F.countDistinct("q").alias("n_terms"),
         F.sum("n").alias("sum_n"),
     )
+
+
+# ------------------------------------------------- round-3 coverage widening
+
+_HOT_TEXT = "the exact same boilerplate sentence repeated verbatim everywhere"
+_HOT_N = 300
+_HOT_CAP = 64
+
+
+def _capped_minhash_sql_body(k: int, cap: int) -> str:
+    """DuckDB mirror of operators.pairs capped_band_pairs over the minhash
+    bands: melt bands to composite keys, per-key counts, all-pairs below the
+    cap, min-id star pairs above it — byte-for-byte the Spark semantics."""
+    melts = "\n        UNION ALL\n        ".join(
+        f"SELECT id, '{b}#' || b{b} AS k FROM band" for b in range(k // 2)
+    )
+    return rf"""
+    melt AS (
+        {melts}
+    ),
+    stats AS (SELECT k, count(*) AS kc, min(id) AS rep FROM melt GROUP BY k),
+    cold AS (SELECT m.id, m.k FROM melt m JOIN stats s ON s.k = m.k AND s.kc <= {cap}),
+    cold_pairs AS (
+      SELECT x.id AS a, y.id AS b FROM cold x JOIN cold y ON x.k = y.k AND x.id < y.id
+    ),
+    hot_pairs AS (
+      SELECT s.rep AS a, m.id AS b
+      FROM melt m JOIN stats s ON s.k = m.k AND s.kc > {cap} AND m.id != s.rep
+    ),
+    cand AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT * FROM cold_pairs UNION ALL SELECT * FROM hot_pairs
+      )
+    )
+"""
+
+
+@register(
+    "q34_capped_hotkey_pairs",
+    rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT 500000 + g.x AS doc_id, '{_HOT_TEXT}' AS text
+      FROM generate_series(0, {_HOT_N - 1}) g(x)
+    ),
+    tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM corpus
+    ),
+    sh AS (
+      SELECT doc_id AS id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+      FROM tok WHERE len(w) >= 3
+    ),
+    sig AS (SELECT id, {', '.join(f"min(md5('{i}|' || s)) AS s{i}" for i in range(8))} FROM sh GROUP BY id),
+    band AS (SELECT id, {', '.join(f"md5(s{2*b} || s{2*b+1}) AS b{b}" for b in range(4))} FROM sig),
+    {_capped_minhash_sql_body(8, _HOT_CAP)}
+    SELECT a AS doc_a, b AS doc_b FROM cand
+    """,
+)
+def q34_capped_hotkey_pairs(spark, sf_dir):
+    """Hot-key-capped MinHash dedup under a planted boilerplate cluster.
+
+    The corpus is documents plus 300 byte-identical docs — the 100 TB
+    hazard: ONE shared band key that would emit ~45k candidate pairs per
+    band uncapped. With the frequency cap (operators/pairs.py) the cluster
+    collapses to min-id star pairs while every below-cap key still yields
+    exact all-pairs; the DuckDB oracle re-derives the IDENTICAL capped
+    semantics in SQL, so the driver value-hashes the whole defense."""
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hot = spark.range(_HOT_N).select(
+        (F.col("id") + 500000).alias("doc_id"), F.lit(_HOT_TEXT).alias("text")
+    )
+    sh = shingles(docs.unionByName(hot), distinct=False)
+    return lsh_candidate_pairs(minhash_signatures(sh), cap=_HOT_CAP)
+
+
+def _ivf_cells_sql(dims: int = 64) -> tuple[str, str]:
+    """(per-row dot exprs 'd0..dC-1', argmax CASE chain) for the oracle."""
+    from .operators.similarity import IVF_N_CELLS, ivf_centroids
+
+    cents = ivf_centroids(dims)
+    dots = []
+    for ci, c in enumerate(cents):
+        lit = "[" + ", ".join(f"{v!r}" for v in c) + "]::DOUBLE[]"
+        dots.append(f"list_dot_product(embedding::DOUBLE[], {lit}) AS d{ci}")
+    whens = []
+    for ci in range(IVF_N_CELLS):
+        conds = [f"d{ci} >= d{cj}" for cj in range(IVF_N_CELLS) if cj != ci]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN {ci}")
+    # first-max tie-break: earlier WHEN wins, matching numpy argmax
+    case = "CASE " + " ".join(whens) + " ELSE 0 END"
+    return ", ".join(dots), case
+
+
+_IVF_DOTS_SQL, _IVF_CASE_SQL = _ivf_cells_sql()
+
+
+@register(
+    "q35_ivf_ann_search",
+    f"""
+    WITH d AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2,
+             {_IVF_DOTS_SQL}
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, e, n2, {_IVF_CASE_SQL} AS cell FROM d),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.e, c.e) / sqrt(q.n2 * c.n2), 4) AS cos
+      FROM b q JOIN b c ON c.cell = q.cell AND c.vec_id != q.vec_id
+      WHERE q.vec_id < 20
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def q35_ivf_ann_search(spark, sf_dir):
+    """IVF-style ANN: coarse-quantize to frozen max-dot centroid cells, then
+    exact top-k cosine within the query's cell (nprobe=1) — the inverted-
+    file scale path beside the hyperplane-bucket one (q30). The oracle
+    re-derives the cell assignment from the same centroid literals with a
+    first-max CASE chain matching numpy argmax's tie-break."""
+    from .operators.similarity import ivf_ann_search
+
+    return ivf_ann_search(_t(spark, sf_dir, "embeddings"), n_queries=20, k=3)

@@ -268,3 +268,28 @@ def test_lsh_sig_udf_matches_expression(spark):
     ).toPandas()
     assert (got.fast == got.slow).all()
     assert got[got.vec_id == 999999].fast.iloc[0] == "0" * 64
+
+
+def test_ivf_cell_udf_matches_expression(spark):
+    """IVF coarse assignment (vectorized UDF) must equal the argmax of the
+    Catalyst-expression dot products (independent evaluation path)."""
+    from datasmith_spark.operators.similarity import (
+        dot_col,
+        ivf_centroids,
+        make_ivf_cell_udf,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    cents = ivf_centroids(64)
+    dots = [
+        dot_col(F.col("embedding"), F.array(*[F.lit(v) for v in c])).alias(f"d{i}")
+        for i, c in enumerate(cents)
+    ]
+    got = emb.select(
+        "vec_id", make_ivf_cell_udf(cents)(F.col("embedding")).alias("cell"), *dots
+    ).toPandas()
+    import numpy as np
+
+    expr_cell = np.argmax(got[[f"d{i}" for i in range(len(cents))]].to_numpy(), axis=1)
+    assert (got.cell.to_numpy() == expr_cell).all()
+    assert len(set(got.cell)) > 1  # cells actually partition the corpus
