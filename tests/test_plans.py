@@ -75,3 +75,33 @@ def test_metrics_rollup_is_two_phase(spark, clips_path):
     final = partial.groupBy("lang", "codec").agg(F.sum("n").alias("n"))
     plan = _plan(final)
     assert plan.count("HashAggregate") >= 4  # partial+final for both phases
+
+
+def test_pair_joins_have_no_nested_loops(spark):
+    """Every pair-generating dedup/ANN query must plan as equi-joins on
+    band/cell keys — no CartesianProduct / BroadcastNestedLoopJoin anywhere
+    (the O(N^2) shapes that cannot survive 100x scale)."""
+    from datasmith_spark.queries import QUERIES
+
+    for q in (
+        "q21_minhash_lsh",
+        "q25_embedding_dup_pairs",
+        "q26_simhash_candidates",
+        "q31_winnow_fingerprint_pairs",
+        "q34_capped_hotkey_pairs",
+        "q35_ivf_ann_search",
+    ):
+        plan = _plan(QUERIES[q](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, (q, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (q, plan)
+
+
+def test_shingles_have_no_interpreted_lambda(spark):
+    """Shingling must stay fully native (arrays_zip of slices): transform/
+    LambdaFunction nodes in the plan would mean the interpreted HOF path —
+    measured ~18x slower — crept back in."""
+    from datasmith_spark.operators.dedup import shingles
+    from datasmith_spark.queries import _corpus
+
+    plan = _plan(shingles(_corpus(spark, SF_DIR), distinct=False))
+    assert "lambdafunction" not in plan.lower(), plan
