@@ -133,6 +133,37 @@ def windowed_event_metrics(
     )
 
 
+def stream_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = 1,
+):
+    """Streaming exact deduplication with BOUNDED state: first occurrence of
+    each key within the watermark horizon passes, replays/duplicates are
+    dropped, and key state older than the watermark is evicted — the
+    streaming front door of the batch exact-dedup operator
+    (operators/dedup.py), and the shape that survives 10^12-event streams
+    (state is O(keys inside the horizon), not O(all keys ever)).
+
+    Uses Spark's native dropDuplicates over (key_cols + event-time column):
+    Catalyst plans a StreamingDeduplicate with watermark-driven eviction —
+    no custom state code to maintain.
+
+    Returns the un-sunk streaming DataFrame (tests drain with availableNow
+    and compare against batch dropDuplicates of the same input).
+    """
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    s = reader.parquet(input_dir)
+    s = s.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(ts_col, watermark)
+    return s.dropDuplicates(key_cols)
+
+
 def stateful_sessionize(
     spark: SparkSession,
     input_dir: str,

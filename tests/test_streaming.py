@@ -291,3 +291,43 @@ def test_read_unified_reads_both_layouts(spark, tmp_path):
     ap = a.orderBy("clip_id").toPandas()
     bp = b.select(a.columns).orderBy("clip_id").toPandas()
     assert (ap.clip_id == bp.clip_id).all() and (ap.keep == bp.keep).all()
+
+
+def test_stream_exact_dedup_drops_replays(spark, tmp_path):
+    """Streaming exact dedup: duplicated events across micro-batches emit
+    once; output multiset equals batch dropDuplicates of the same input."""
+    import pandas as pd
+
+    from datasmith_spark.streaming import stream_exact_dedup
+
+    ddl = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    base = 1_750_000_000
+    b0 = [(i, base + i * 60, i % 3, "a", 1.0) for i in range(10)]
+    b1 = b0[3:7] + [(100 + i, base + 5000 + i * 60, i % 3, "b", 2.0) for i in range(5)]  # replays + new
+    inp = tmp_path / "dd_in"
+    inp.mkdir()
+    for i, rows in enumerate([b0, b1]):
+        pdf = pd.DataFrame(
+            [(e, pd.Timestamp(t, unit="s"), u, et, v) for e, t, u, et, v in rows],
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        spark.createDataFrame(pdf, ddl).coalesce(1).write.parquet(str(inp / f"_d{i}"))
+        for f in (inp / f"_d{i}").glob("*.parquet"):
+            f.rename(inp / f"d{i}-{f.name.lstrip('_')}")
+
+    out = str(tmp_path / "dd_out")
+    q = (
+        stream_exact_dedup(spark, str(inp), ddl, key_cols=["event_id"])
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == 15  # 10 unique from b0 + 5 new from b1; 4 replays dropped
+    assert got.event_id.is_unique
+    expected = set(range(10)) | {100 + i for i in range(5)}
+    assert set(got.event_id) == expected
