@@ -19,6 +19,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# single-threaded BLAS for any worker forked after this import (each Spark
+# task is its own parallel unit; multi-threaded BLAS spin on tiny dot calls
+# measurably serializes) — best-effort under a driver-created session, exact
+# under datasmith_spark.session.get_spark which sets it before JVM launch
+for _k in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_k, "1")
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full quality-filter chain at SF=0.001 (1k clips)."""

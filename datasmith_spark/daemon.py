@@ -14,6 +14,14 @@ hoisted to the process-tree root.
 
 from __future__ import annotations
 
+import os
+
+# must land before numpy loads OpenBLAS: a 32-thread BLAS spin per tiny dot
+# call serializes on this kernel (~8x on the fused label kernel); each Spark
+# task is already a parallel unit, so workers get exactly one BLAS thread
+for _k in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_k, "1")
+
 
 def _preload() -> None:
     import numpy  # noqa: F401

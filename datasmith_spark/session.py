@@ -24,6 +24,14 @@ _MALLOC_ENV = {
     # Route pyarrow through glibc so Arrow batch buffers get the same reuse
     # (jemalloc/mimalloc pools do their own mmap/decay churn).
     "ARROW_DEFAULT_MEMORY_POOL": "system",
+    # Single-threaded BLAS in every worker: each Spark task is already a
+    # parallel unit, and OpenBLAS's default 32-thread spin on tiny dot calls
+    # serializes on this kernel (measured: the fused label kernel runs
+    # ~1,000 rows/s with 1 BLAS thread vs 120-230 rows/s with the default).
+    # The right setting on a real executor too (tasks own their core).
+    "OPENBLAS_NUM_THREADS": "1",
+    "OMP_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
 }
 
 
