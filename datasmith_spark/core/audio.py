@@ -176,7 +176,11 @@ def pcm_features(
     # all-finite fast path (every integer codec, and most float32 rows):
     # np.where(all-true, pcm, 0) is a bitwise copy, so skipping it changes
     # nothing. Allocation-free feature passes:
-    #   rms       via BLAS dot(x, x) — no x*x temporary;
+    #   rms       via BLAS dot(x, x) — no x*x temporary. The BLAS reduction
+    #             order is architecture-specific, so the committed oracle
+    #             fixture is exact for fixtures regenerated on the SAME
+    #             host/BLAS (the oracle shares this kernel; cross-host runs
+    #             regenerate via scripts/make_oracle_fixture.py);
     #   peak      = max(max(x), -min(x)) == max(|x|) exactly — no |x| temp;
     #   clip_rate counts x >= t and x <= -t — same set as |x| >= t.
     # This kernel is shared with the single-process oracle, so both sides

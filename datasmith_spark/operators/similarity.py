@@ -141,7 +141,13 @@ def make_lsh_sig_udf(planes: list[list[float]]):
     order of dot_col / DuckDB list_dot_product), sign bits packed into the
     same '10110...' string lsh_bucket_col emits. Replaces p x d interpreted
     HOF evaluations per row with vectorized kernels — identical output
-    (tests/test_webscale.py::test_lsh_sig_udf_matches_expression)."""
+    (tests/test_webscale.py::test_lsh_sig_udf_matches_expression), including
+    NaN components (NaN dot bits to '1' on every path — Spark and DuckDB
+    order NaN above any numeric). Known divergence: a NULL ELEMENT inside a
+    vector ('0' on the Column path via null propagation) is indistinguishable
+    from NaN after Arrow->numpy conversion and bits to '1' here; null
+    elements are schema corruption in an embedding column, NaN is the
+    realistic payload, so the UDF sides with NaN semantics."""
     planes_arr = np.asarray(planes, dtype=np.float64)  # (p, d)
     n_planes = planes_arr.shape[0]
 
@@ -149,10 +155,12 @@ def make_lsh_sig_udf(planes: list[list[float]]):
         if v is None:
             return "0" * n_planes
         x = np.asarray(v, dtype=np.float64)
-        if x.size == 0:
+        if x.size != planes_arr.shape[1]:
+            # wrong-dim row: the zip_with expression pads with nulls -> null
+            # fold -> all-'0' bits; mirror that instead of crashing the task
             return "0" * n_planes
         dots = np.cumsum(x * planes_arr, axis=1)[:, -1]  # (p,) sequential folds
-        return "".join("1" if d > 0 else "0" for d in dots)
+        return "".join("1" if (d > 0 or np.isnan(d)) else "0" for d in dots)
 
     @F.pandas_udf(T.StringType())
     def _sig(emb: pd.Series) -> pd.Series:
@@ -169,11 +177,12 @@ def make_lsh_sig_udf(planes: list[list[float]]):
             return pd.Series([_sig_of_vec(v) for v in va])
         sig = np.empty((n, n_planes), dtype=np.uint8)
         for j in range(n_planes):
-            # row-wise sequential fold == dot_col's left-to-right aggregate;
-            # NaN dots compare False -> '0', matching the Column expr's
-            # null-propagating when/otherwise
+            # row-wise sequential fold == dot_col's left-to-right aggregate.
+            # NaN dots bit to '1': Spark AND DuckDB order NaN greater than
+            # any numeric, so their `dot > 0` is true — numpy's IEEE
+            # comparison alone would say false and silently diverge
             dots = np.cumsum(ma * planes_arr[j], axis=1)[:, -1]
-            sig[:, j] = dots > 0
+            sig[:, j] = (dots > 0) | np.isnan(dots)
         packed = (sig + ord("0")).astype(np.uint8).tobytes().decode("ascii")
         return pd.Series([packed[i * n_planes : (i + 1) * n_planes] for i in range(n)])
 

@@ -145,9 +145,12 @@ def run_pipeline(
     checkpoints table and treats a part as done only if its stored
     fingerprint matches the current input — changed input rows invalidate
     exactly their own partitions (reference arg-blob cache-key semantics).
-    Pass False to skip the metadata pre-scan and trust part ids alone
-    (checkpoints then carry a matching-any sentinel so toggling the flag
-    later does not recompute everything).
+    Pass False to skip the metadata pre-scan and trust part ids alone.
+    Checkpoints then carry an "<unfingerprinted>" sentinel: the first
+    fingerprinted resume keeps those parts done and ADOPTS the current
+    input fingerprint for them (no recompute — changes made while
+    unfingerprinted are trusted away, by construction of fingerprint=False),
+    after which change invalidation and deletion semantics apply normally.
     fingerprint_payload=True folds payload length + a head-of-blob crc32
     into the fingerprint (detects a bytes swap with unchanged metadata, at
     the cost of a non-column-pruned pre-scan).
@@ -175,9 +178,24 @@ def run_pipeline(
         if fingerprint:
             if "fingerprint" in latest.columns:
                 stored = {r.part_id: r.fingerprint for r in latest.select("part_id", "fingerprint").collect()}
-                # _FP_ANY (written by a fingerprint=False run) matches any
-                # current input — the part stays done
-                done = {p for p, f in stored.items() if f == fps.get(p, _FP_EMPTY) or f == _FP_ANY}
+                # _FP_ANY (written by a fingerprint=False run, which trusts
+                # part ids alone) counts as done only while the part still
+                # has input rows; it is then ADOPTED below — re-checkpointed
+                # with the current fingerprint — so every LATER input change
+                # invalidates it normally. An _FP_ANY part whose input rows
+                # vanished is NOT done: it gets recomputed-empty and its
+                # stale labels directory dropped (deletion semantics).
+                done = {
+                    p for p, f in stored.items()
+                    if f == fps.get(p, _FP_EMPTY) or (f == _FP_ANY and p in fps)
+                }
+                adopted = [p for p, f in stored.items() if f == _FP_ANY and p in fps]
+                if adopted:
+                    adopt = spark.createDataFrame(
+                        [(int(p), "done", run_id, 1, fps[p]) for p in adopted],
+                        "part_id int, status string, run_id string, had_rows int, fingerprint string",
+                    ).withColumn("ts", F.current_timestamp())
+                    tl.append(adopt, "checkpoints")
             # checkpoints written before fingerprints existed: treat all as
             # stale (recompute is idempotent; serving stale labels is not)
         else:

@@ -1181,9 +1181,9 @@ def _capped_minhash_sql_body(k: int, cap: int) -> str:
              unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
       FROM tok WHERE len(w) >= 3
     ),
-    sig AS (SELECT id, {', '.join(f"min(md5('{i}|' || s)) AS s{i}" for i in range(8))} FROM sh GROUP BY id),
-    band AS (SELECT id, {', '.join(f"md5(s{2*b} || s{2*b+1}) AS b{b}" for b in range(4))} FROM sig),
-    {_capped_minhash_sql_body(8, _HOT_CAP)}
+    sig AS (SELECT id, {', '.join(f"min(md5('{i}|' || s)) AS s{i}" for i in range(_minhash_k()))} FROM sh GROUP BY id),
+    band AS (SELECT id, {', '.join(f"md5(s{2*b} || s{2*b+1}) AS b{b}" for b in range(_minhash_k() // 2))} FROM sig),
+    {_capped_minhash_sql_body(_minhash_k(), _HOT_CAP)}
     SELECT a AS doc_a, b AS doc_b FROM cand
     """,
 )

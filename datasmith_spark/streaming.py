@@ -149,9 +149,12 @@ def stream_exact_dedup(
     (operators/dedup.py), and the shape that survives 10^12-event streams
     (state is O(keys inside the horizon), not O(all keys ever)).
 
-    Uses Spark's native dropDuplicates over (key_cols + event-time column):
-    Catalyst plans a StreamingDeduplicate with watermark-driven eviction —
-    no custom state code to maintain.
+    Uses Spark's native dropDuplicatesWithinWatermark: Catalyst plans a
+    streaming deduplicate whose key state is EVICTED once the watermark
+    passes it — plain dropDuplicates(key_cols) would keep every key ever
+    seen (the watermark only bounds state when the event-time column is
+    part of the dedup key, which is exactly the gap
+    dropDuplicatesWithinWatermark exists to close).
 
     Returns the un-sunk streaming DataFrame (tests drain with availableNow
     and compare against batch dropDuplicates of the same input).
@@ -161,7 +164,7 @@ def stream_exact_dedup(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     s = reader.parquet(input_dir)
     s = s.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(ts_col, watermark)
-    return s.dropDuplicates(key_cols)
+    return s.dropDuplicatesWithinWatermark(key_cols)
 
 
 def stateful_sessionize(
@@ -175,16 +178,20 @@ def stateful_sessionize(
     """Custom stateful streaming operator: gap-based sessionization via
     applyInPandasWithState (the streaming analogue of q16_sessionize).
 
-    Per-user state = the open session (start, last-event time, row count).
-    A row arriving more than gap_sec after the previous one CLOSES the open
-    session (emitted immediately) and starts a new one; an event-time
-    timeout (watermark passing last+gap) closes a session no further rows
-    will join. State is therefore O(active users), evicted by watermark —
+    Per-user state = ALL still-open session intervals (parallel arrays of
+    start / last / count, sorted by start). Every arriving event — in order
+    or late-but-above-the-watermark, in any micro-batch — merges into the
+    interval it falls within gap_sec of (bridging two intervals collapses
+    them), or opens a new interval. A session is emitted ONLY once the
+    event-time watermark passes its last+gap, i.e. once no admissible late
+    event can still extend or bridge it — eager emission on the next
+    in-order event would be wrong exactly when a late event lands in the
+    gap. State is O(users x intervals-above-watermark), watermark-evicted —
     the bounded-state pattern that survives 10^12-event streams.
 
     Emits one row per CLOSED session (append semantics; every output row is
-    final). The open tail session of each user stays in state until the
-    watermark passes it.
+    final). Sessions not yet provably closed stay in state until the
+    watermark passes them.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -198,7 +205,7 @@ def stateful_sessionize(
     out_schema = (
         "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
     )
-    state_schema = "start double, last double, n bigint"
+    state_schema = "starts array<double>, lasts array<double>, ns array<bigint>"
 
     def func(key, pdfs, state: GroupState):
         (user_id,) = key
@@ -216,38 +223,57 @@ def stateful_sessionize(
                 )
             )
 
-        if state.hasTimedOut:
-            start, last, n = state.get
-            emit(start, last, n)
-            state.remove()
+        # intervals: [(start, last, n)] sorted by start
+        if state.exists:
+            starts, lasts, ns = state.get
+            ivs = [(float(a), float(b), int(c)) for a, b, c in zip(starts, lasts, ns)]
         else:
+            ivs = []
+
+        def merge_point(t: float) -> None:
+            for i, (s0, l0, n0) in enumerate(ivs):
+                if s0 - gap_sec <= t <= l0 + gap_sec:
+                    ivs[i] = (min(s0, t), max(l0, t), n0 + 1)
+                    # the grown interval may now bridge its neighbors
+                    j = i
+                    while j + 1 < len(ivs) and ivs[j + 1][0] - ivs[j][1] <= gap_sec:
+                        a, b = ivs[j], ivs[j + 1]
+                        ivs[j] = (a[0], max(a[1], b[1]), a[2] + b[2])
+                        ivs.pop(j + 1)
+                    while j > 0 and ivs[j][0] - ivs[j - 1][1] <= gap_sec:
+                        a, b = ivs[j - 1], ivs[j]
+                        ivs[j - 1] = (a[0], max(a[1], b[1]), a[2] + b[2])
+                        ivs.pop(j)
+                        j -= 1
+                    return
+                if t < s0 - gap_sec:
+                    ivs.insert(i, (t, t, 1))
+                    return
+            ivs.append((t, t, 1))
+
+        if not state.hasTimedOut:
             rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-            ts = rows["ts"].map(pd.Timestamp.timestamp).to_numpy()
-            if state.exists:
-                start, last, n = state.get
-            else:
-                start, last, n = None, None, 0
-            for t in ts:
-                t = float(t)
-                if last is None:
-                    start, last, n = t, t, 1
-                elif t - last > gap_sec:
-                    emit(start, last, n)
-                    start, last, n = t, t, 1
-                elif start - t > gap_sec:
-                    # late event (above the watermark, earlier micro-batch
-                    # order) landing more than gap BEFORE the open session:
-                    # it cannot extend any session still in state — emit it
-                    # as its own closed singleton
-                    emit(t, t, 1)
-                else:
-                    # merge (covers late events inside/near the open session:
-                    # min/max so an earlier-ts arrival never SHRINKS the
-                    # session or regresses `last` and fires the timeout early)
-                    start, last, n = min(start, t), max(last, t), n + 1
-            state.update((float(start), float(last), int(n)))
-            # close the open session once the watermark passes last+gap
-            state.setTimeoutTimestamp(int((last + gap_sec) * 1000))
+            for t in rows["ts"].map(pd.Timestamp.timestamp).to_numpy():
+                merge_point(float(t))
+
+        # emit every interval the watermark has sealed (no admissible late
+        # event can reach within gap of it anymore)
+        wm = state.getCurrentWatermarkMs() / 1000.0
+        still = [iv for iv in ivs if iv[1] + gap_sec > wm]
+        for s0, l0, n0 in ivs:
+            if l0 + gap_sec <= wm:
+                emit(s0, l0, n0)
+        if still:
+            state.update((
+                [s0 for s0, _, _ in still],
+                [l0 for _, l0, _ in still],
+                [n0 for _, _, n0 in still],
+            ))
+            next_close_ms = int(min(l0 + gap_sec for _, l0, _ in still) * 1000)
+            # timeout must sit strictly beyond the current watermark
+            state.setTimeoutTimestamp(max(next_close_ms, int(wm * 1000) + 1))
+        elif state.exists:
+            state.remove()
 
         yield pd.DataFrame(
             closed, columns=["user_id", "session_start", "session_end", "n_events"]

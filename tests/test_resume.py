@@ -226,12 +226,36 @@ def test_payload_fingerprint_opt_in(spark, clips_path, tmp_path):
 
 
 def test_unfingerprinted_sentinel_survives_toggle(spark, clips_path, tmp_path):
-    """A fingerprint=False run writes a matching-any sentinel; turning
-    fingerprinting ON afterwards must NOT recompute every part."""
+    """A fingerprint=False run writes an <unfingerprinted> sentinel; turning
+    fingerprinting ON afterwards must NOT recompute every part, and must
+    ADOPT current fingerprints so LATER input changes invalidate normally."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datasmith_spark.oracle import part_id_of
+
     inp = str(tmp_path / "inp")
-    _single_file_copy(clips_path, inp)
+    t = _single_file_copy(clips_path, inp)
     out = str(tmp_path / "out")
     r1 = run_pipeline(spark, None, out, n_parts=N_PARTS, input_dir=inp, fingerprint=False)
     assert r1["parts_processed"] == N_PARTS
     r2 = run_pipeline(spark, None, out, n_parts=N_PARTS, input_dir=inp)  # fingerprint=True
     assert r2["parts_processed"] == 0
+
+    # fingerprints were adopted: a change AFTER the toggle invalidates
+    # exactly its own part (the sentinel must not mask it forever)
+    pdf = t.to_pandas()
+    pdf.loc[0, "transcript"] = "changed after the unfingerprinted run"
+    target_part = part_id_of(pdf.loc[0, "clip_id"], N_PARTS)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=t.schema, preserve_index=False),
+        sorted(glob.glob(f"{inp}/part-*.parquet"))[0],
+    )
+    r3 = run_pipeline(spark, None, out, n_parts=N_PARTS, input_dir=inp)
+    assert r3["parts_processed"] == 1
+    tl = TableLayer(out)
+    latest = tl.latest_per_key(spark, "checkpoints", ["part_id"], "ts")
+    changed = {r.part_id for r in latest.filter(F.col("run_id") == r3["run_id"]).collect()}
+    assert changed == {target_part}

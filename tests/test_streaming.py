@@ -214,8 +214,17 @@ def test_stateful_sessionize(spark, tmp_path):
     assert len(emitted) > 0
     for k, v in emitted.items():
         assert sessions.get(k) == v, f"emitted session {k} does not match batch"
-    missing = {k for k in sessions if k not in emitted and k not in open_tail}
-    assert not missing, f"gap-closed sessions not emitted: {sorted(missing)[:5]}"
+    # completeness is watermark-gated: a session is emitted once the
+    # watermark (which lags one micro-batch: wm at batch k = max ts of
+    # batches < k minus the 30-min delay) passes its last+gap. Everything
+    # sealed by the final batch's watermark MUST have been emitted.
+    wm_final = pd.Timestamp(ev.iloc[2 * third - 1]["ts"]).timestamp() - 1800.0
+    missing = {
+        k
+        for k, (last, _) in sessions.items()
+        if k not in emitted and k not in open_tail and last + gap <= wm_final
+    }
+    assert not missing, f"watermark-sealed sessions not emitted: {sorted(missing)[:5]}"
 
 
 def test_stateful_sessionize_out_of_order_late_event(spark, tmp_path):
@@ -231,7 +240,10 @@ def test_stateful_sessionize_out_of_order_late_event(spark, tmp_path):
     batches = [
         [(1, base + 0, 7, "a", 1.0), (2, base + 600, 7, "a", 1.0)],
         [(3, base + 300, 7, "a", 1.0)],   # LATE: earlier ts, later batch
-        [(4, base + 50_000, 7, "a", 1.0)],  # far future: closes session 1
+        [(4, base + 50_000, 7, "a", 1.0)],  # far future: advances event time
+        # watermark lags one batch — this batch runs with wm ~= base+48200,
+        # which seals session 1 and triggers its emission
+        [(5, base + 51_000, 7, "a", 1.0)],
     ]
     inp = tmp_path / "ooo_in"
     inp.mkdir()
@@ -331,3 +343,56 @@ def test_stream_exact_dedup_drops_replays(spark, tmp_path):
     assert got.event_id.is_unique
     expected = set(range(10)) | {100 + i for i in range(5)}
     assert set(got.event_id) == expected
+
+
+def test_stateful_sessionize_late_cluster_merges(spark, tmp_path):
+    """A CLUSTER of late events landing more than gap before the open
+    session must come out as ONE merged session (multi-interval state) —
+    not per-event singletons."""
+    import pandas as pd
+
+    from datasmith_spark.streaming import stateful_sessionize
+
+    ddl = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    base = 1_760_000_000
+    batches = [
+        [(1, base + 3000, 7, "a", 1.0)],                       # open session
+        [(2, base + 500, 7, "a", 1.0), (3, base + 600, 7, "a", 1.0)],  # late cluster
+        [(4, base + 100_000, 7, "a", 1.0)],                    # advance event time
+        [(5, base + 101_000, 7, "a", 1.0)],                    # wm seals the early sessions
+    ]
+    inp = tmp_path / "lc_in"
+    inp.mkdir()
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            [(e, pd.Timestamp(t, unit="s"), u, et, v) for e, t, u, et, v in rows],
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        spark.createDataFrame(pdf, ddl).coalesce(1).write.parquet(str(inp / f"_d{i}"))
+        for f in (inp / f"_d{i}").glob("*.parquet"):
+            f.rename(inp / f"d{i}-{f.name.lstrip('_')}")
+
+    out = str(tmp_path / "lc_out")
+    q = (
+        # 2h watermark so the late cluster is admissible while still being
+        # more than gap before the open session's start
+        stateful_sessionize(
+            spark, str(inp), ddl, gap_sec=1800.0, watermark="120 minutes",
+            max_files_per_trigger=1,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "lc_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = spark.read.parquet(out).toPandas().sort_values("session_start")
+    closed = [
+        (pd.Timestamp(r.session_start).timestamp(), pd.Timestamp(r.session_end).timestamp(), r.n_events)
+        for r in got.itertuples(index=False)
+    ]
+    assert (float(base + 500), float(base + 600), 2) in closed, closed  # merged, not split
+    assert (float(base + 3000), float(base + 3000), 1) in closed, closed
+    assert len(closed) == 2, closed

@@ -256,10 +256,11 @@ def test_lsh_sig_udf_matches_expression(spark):
     from datasmith_spark.operators.similarity import hyperplanes, lsh_bucket_col, lsh_sig_col
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(300)
-    null_row = spark.createDataFrame(
-        [(999999, None)], schema=emb.select("vec_id", "embedding").schema
+    extra = spark.createDataFrame(
+        [(999999, None), (999998, [float("nan")] * 64)],
+        schema=emb.select("vec_id", "embedding").schema,
     )
-    src = emb.select("vec_id", "embedding").unionByName(null_row)
+    src = emb.select("vec_id", "embedding").unionByName(extra)
     planes = hyperplanes(64, n_planes=64)  # the q25 worst case: 64 planes
     got = src.select(
         "vec_id",
@@ -268,6 +269,9 @@ def test_lsh_sig_udf_matches_expression(spark):
     ).toPandas()
     assert (got.fast == got.slow).all()
     assert got[got.vec_id == 999999].fast.iloc[0] == "0" * 64
+    # NaN dots bit to '1' on BOTH paths (Spark/DuckDB order NaN above any
+    # numeric, so `dot > 0` is true there — the UDF must mirror that)
+    assert got[got.vec_id == 999998].fast.iloc[0] == "1" * 64
 
 
 def test_ivf_cell_udf_matches_expression(spark):
