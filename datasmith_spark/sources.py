@@ -58,3 +58,75 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S7: JSONL sink (one JSON object per line, like to_json(orient='records'))."""
     df.write.mode(mode).json(path)
+
+
+# ---------------------------------------------------------------- S9 + S11
+
+def with_retries(fn, retries: int = 5, base_delay: float = 0.5, max_delay: float = 60.0,
+                 sleep=None):
+    """S9: exponential-backoff retry wrapper for flaky per-task fetchers —
+    the worker-side analogue of the reference's `_request_with_backoff`
+    (/root/reference/src/datasmith/utils.py:147-155: x2 backoff capped 60s,
+    5 retries). `sleep` is injectable so tests run without wall-clock waits.
+
+    On Spark this wraps the PAGE FETCH inside each task (paginated_scan), so
+    a transient per-page failure retries locally instead of failing the task
+    and re-running the whole partition through Spark's coarse task retry.
+    """
+    import time as _time
+
+    do_sleep = _time.sleep if sleep is None else sleep
+
+    def wrapped(*args, **kwargs):
+        delay = base_delay
+        for attempt in range(retries + 1):
+            try:
+                return fn(*args, **kwargs)
+            except Exception:
+                if attempt == retries:
+                    raise
+                do_sleep(min(delay, max_delay))
+                delay *= 2.0
+        raise AssertionError("unreachable")  # pragma: no cover
+
+    return wrapped
+
+
+def paginated_scan(
+    spark: SparkSession,
+    fetch_page,
+    n_pages: int,
+    schema: T.StructType | str,
+    parallelism: int | None = None,
+    retries: int = 5,
+    base_delay: float = 0.5,
+    sleep=None,
+) -> DataFrame:
+    """S11: distributed paginated source. Page indices are DATA (one row per
+    page), distributed over tasks; each task calls `fetch_page(page_index)
+    -> pandas.DataFrame(schema)` with retry/backoff. The Spark-idiomatic
+    lift of the reference's paginated search scan
+    (/root/reference/src/datasmith/scrape/scrape_dashboards.py pager loop):
+    the driver never loops over pages, so a 10^6-page listing fans out
+    across the cluster, failed pages retry locally, and the result is an
+    ordinary DataFrame any downstream operator can consume.
+
+    fetch_page must be deterministic per page (Spark may re-run tasks) and
+    importable on workers (top-level function or closure over serializable
+    state).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if parallelism is None:
+        parallelism = min(n_pages, spark.sparkContext.defaultParallelism) or 1
+    pages = spark.range(n_pages).repartition(parallelism)
+    fetch = with_retries(fetch_page, retries=retries, base_delay=base_delay, sleep=sleep)
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for i in b["id"]:
+                yield fetch(int(i))
+
+    return pages.mapInPandas(_scan, schema=schema)

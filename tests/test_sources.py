@@ -77,3 +77,59 @@ def test_pydict_jsonl_structtype_schema(spark, tmp_path):
     st = T.StructType([T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())])
     got = sources.read_pydict_jsonl(spark, str(p), st).orderBy("b").collect()
     assert [(r.a, r.b) for r in got] == [(1, "x"), (None, "y")]
+
+
+def test_with_retries_backoff_sequence():
+    from datasmith_spark.sources import with_retries
+
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 4:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert with_retries(flaky, retries=5, base_delay=0.5, sleep=sleeps.append)() == "ok"
+    assert sleeps == [0.5, 1.0, 2.0]  # x2 backoff, one sleep per failure
+
+    def always_fails():
+        raise RuntimeError("hard")
+
+    sleeps.clear()
+    try:
+        with_retries(always_fails, retries=2, base_delay=8.0, max_delay=10.0, sleep=sleeps.append)()
+        raise AssertionError("should have raised")
+    except RuntimeError:
+        pass
+    assert sleeps == [8.0, 10.0]  # capped at max_delay, then the error surfaces
+
+
+def test_paginated_scan_distributed_with_flaky_pages(spark, tmp_path):
+    """S11: page indices fan out over tasks, each page fetched worker-side
+    with retry/backoff; the union equals the full dataset exactly once even
+    when every page's first fetch attempt fails."""
+    import pandas as pd
+
+    from datasmith_spark.sources import paginated_scan
+
+    marker = str(tmp_path)  # task-local retry state, per page
+
+    def fetch_page(i: int) -> pd.DataFrame:
+        import os
+
+        flag = os.path.join(marker, f"tried-{i}")
+        if not os.path.exists(flag):  # first attempt per page fails
+            open(flag, "w").close()
+            raise RuntimeError(f"transient page {i}")
+        return pd.DataFrame({"page": [i] * 10, "row": list(range(10))})
+
+    df = paginated_scan(
+        spark, fetch_page, n_pages=8, schema="page bigint, row bigint",
+        retries=3, base_delay=0.0, sleep=lambda _s: None,
+    )
+    got = df.toPandas().sort_values(["page", "row"]).reset_index(drop=True)
+    assert len(got) == 80
+    assert sorted(set(got.page)) == list(range(8))
+    assert (got.groupby("page").row.count() == 10).all()
