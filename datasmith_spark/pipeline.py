@@ -59,6 +59,13 @@ _FP_EMPTY = "0:0"  # fingerprint of a part with no input rows
 # resume by recomputing every part)
 _FP_ANY = "<unfingerprinted>"
 
+# checkpoint row schema; n_parts stamps the partition LAYOUT the run wrote,
+# so a later run with a different n_parts is detected and recomputes clean
+_CP_SCHEMA = (
+    "part_id int, status string, run_id string, had_rows int, "
+    "fingerprint string, n_parts int"
+)
+
 
 def part_fingerprints(clips: DataFrame, n_parts: int, payload: bool = False) -> dict[int, str]:
     """Per-part content fingerprint: order-independent sum of per-row crc32
@@ -159,6 +166,31 @@ def run_pipeline(
     _set_arrow_batch(spark)
     tl = TableLayer(out_dir)
     run_id = uuid.uuid4().hex[:12]
+    log = configure()
+
+    # ---- partition-layout guard: part_id = crc32(clip_id) % n_parts, so a
+    # DIFFERENT n_parts is a different table layout — resuming across it
+    # would mix two partitionings in one labels table (shrink 32->16 leaves
+    # stale part_id=16..31 directories behind and every clip appears twice).
+    # The layout is stamped into every checkpoint row; on mismatch the old
+    # labels + checkpoints are wiped and everything recomputes (the
+    # reference's cache key covers every argument — partitioning config is
+    # an argument, /root/reference/src/datasmith/utils.py:94-101).
+    if tl.exists(spark, "checkpoints"):
+        cp_raw = tl.read(spark, "checkpoints")
+        if "n_parts" not in cp_raw.columns:
+            stored_np = None  # pre-guard checkpoints: layout unknown
+        else:
+            stored_np = int(cp_raw.orderBy(F.col("ts").desc()).select("n_parts").first()[0])
+        if stored_np != n_parts:
+            log.warning(
+                "partition layout changed (checkpointed n_parts=%s, requested %d): "
+                "wiping labels+checkpoints and recomputing all parts",
+                stored_np, n_parts,
+                extra={"out_dir": out_dir, "event": "layout_change", "parts": n_parts},
+            )
+            tl.wipe("labels")
+            tl.wipe("checkpoints")
 
     def _fp_source() -> DataFrame:
         src = spark.read.parquet(input_dir) if input_dir is not None else clips
@@ -192,8 +224,8 @@ def run_pipeline(
                 adopted = [p for p, f in stored.items() if f == _FP_ANY and p in fps]
                 if adopted:
                     adopt = spark.createDataFrame(
-                        [(int(p), "done", run_id, 1, fps[p]) for p in adopted],
-                        "part_id int, status string, run_id string, had_rows int, fingerprint string",
+                        [(int(p), "done", run_id, 1, fps[p], n_parts) for p in adopted],
+                        _CP_SCHEMA,
                     ).withColumn("ts", F.current_timestamp())
                     tl.append(adopt, "checkpoints")
             # checkpoints written before fingerprints existed: treat all as
@@ -203,7 +235,6 @@ def run_pipeline(
     pending = [p for p in all_parts if p not in done]
     if fail_after_parts is not None:
         pending = pending[:fail_after_parts]
-    log = configure()
     log.info(
         "run %s: %d pending, %d checkpoint-valid of %d parts",
         run_id, len(pending), len(done), n_parts,
@@ -288,10 +319,10 @@ def run_pipeline(
     cp = spark.createDataFrame(
         [
             (int(p), "done", run_id, int(p in counted),
-             fps.get(p, _FP_EMPTY) if fingerprint else _FP_ANY)
+             fps.get(p, _FP_EMPTY) if fingerprint else _FP_ANY, n_parts)
             for p in pending
         ],
-        "part_id int, status string, run_id string, had_rows int, fingerprint string",
+        _CP_SCHEMA,
     ).withColumn("ts", F.current_timestamp())
     tl.append(cp, "checkpoints")
 

@@ -60,6 +60,14 @@ class TableLayer:
             if os.path.isdir(p):
                 shutil.rmtree(p)
 
+    def wipe(self, name: str) -> None:
+        """Delete a table outright (used by the partition-layout guard when
+        n_parts changes: the old labels/checkpoints describe a different
+        partitioning and every part recomputes anyway)."""
+        import shutil
+
+        shutil.rmtree(self.path(name), ignore_errors=True)
+
     def read_unified(self, spark: SparkSession, name: str, schema=None) -> DataFrame:
         """Read a table in BATCH shape regardless of which writer produced
         it: the streaming sink partitions by (batch_id, part_id) for

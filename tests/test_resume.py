@@ -182,6 +182,42 @@ def test_deleted_part_drops_stale_labels(spark, clips_path, tmp_path):
     assert r3["parts_processed"] == 0
 
 
+def test_n_parts_change_recomputes_clean(spark, clips_path, tmp_path):
+    """Changing n_parts between runs changes the partition LAYOUT (part_id =
+    crc32 % n_parts): resuming across it must wipe and recompute, never mix
+    two layouts. A shrink (32->16 style) used to leave the old high-part_id
+    label directories behind, duplicating every clip in them."""
+    import os
+
+    clips = spark.read.parquet(clips_path)
+    total = clips.count()
+    out = str(tmp_path / "out")
+
+    r1 = run_pipeline(spark, clips, out, n_parts=N_PARTS)
+    assert r1["parts_processed"] == N_PARTS
+
+    # shrink: every clip must appear exactly once, under the NEW layout only
+    half = N_PARTS // 2
+    r2 = run_pipeline(spark, clips, out, n_parts=half)
+    assert r2["parts_processed"] == half
+    lab = spark.read.parquet(f"{out}/labels")
+    assert lab.count() == total
+    assert lab.select("clip_id").distinct().count() == total
+    dirs = {d for d in os.listdir(f"{out}/labels") if d.startswith("part_id=")}
+    assert dirs <= {f"part_id={p}" for p in range(half)}
+
+    # unchanged rerun at the new layout still no-ops
+    assert run_pipeline(spark, clips, out, n_parts=half)["parts_processed"] == 0
+
+    # grow back: same guarantees in the other direction
+    r4 = run_pipeline(spark, clips, out, n_parts=N_PARTS)
+    assert r4["parts_processed"] == N_PARTS
+    lab = spark.read.parquet(f"{out}/labels")
+    assert lab.count() == total
+    assert lab.select("clip_id").distinct().count() == total
+    assert run_pipeline(spark, clips, out, n_parts=N_PARTS)["parts_processed"] == 0
+
+
 def test_payload_fingerprint_opt_in(spark, clips_path, tmp_path):
     """fingerprint_payload=True must invalidate exactly the part whose audio
     bytes were swapped under unchanged metadata; the default metadata-only
