@@ -151,6 +151,32 @@ def decode(buf: bytes | None, codec: str) -> np.ndarray | None:
 FEATURE_FIELDS = ("n_samples", "rms", "peak", "clip_rate", "finite_frac")
 
 
+def _sumsq_tree(x: np.ndarray) -> float:
+    """Sum of squares with an explicitly fixed, host-portable reduction order.
+
+    BLAS dot / np.sum reduction orders depend on the library build and SIMD
+    width, so their results differ across hosts by a few ulps — enough to
+    un-commit a bit-exact oracle fixture. This reduction is a strict
+    balanced binary tree over the input padded to a power of two: every
+    step is an ELEMENTWISE add of two strided views (out[i] = a[2i] +
+    a[2i+1]), which is a single IEEE-754 operation per output element with
+    no accumulation order to vary. Same bits on any host, numpy, or BLAS.
+    Cost: ~2n flops and geometrically-shrinking temporaries (~2n doubles).
+    """
+    s = x * x
+    if s.size == 1:
+        return float(s[0])
+    n = 1 << (int(s.size) - 1).bit_length()
+    if n != s.size:
+        buf = np.zeros(n, dtype=np.float64)
+        buf[: s.size] = s
+    else:
+        buf = s
+    while buf.size > 1:
+        buf = buf[0::2] + buf[1::2]
+    return float(buf[0])
+
+
 def pcm_features(
     pcm: np.ndarray | None, assume_finite: bool = False
 ) -> tuple[int, float, float, float, float]:
@@ -175,18 +201,16 @@ def pcm_features(
         fin_frac = float(np.float64(n_fin) / pcm.size)
     # all-finite fast path (every integer codec, and most float32 rows):
     # np.where(all-true, pcm, 0) is a bitwise copy, so skipping it changes
-    # nothing. Allocation-free feature passes:
-    #   rms       via BLAS dot(x, x) — no x*x temporary. The BLAS reduction
-    #             order is architecture-specific, so the committed oracle
-    #             fixture is exact for fixtures regenerated on the SAME
-    #             host/BLAS (the oracle shares this kernel; cross-host runs
-    #             regenerate via scripts/make_oracle_fixture.py);
+    # nothing. Feature passes:
+    #   rms       via the fixed-order tree reduction above — bit-identical
+    #             on ANY host/BLAS, so the committed oracle fixture
+    #             (fixtures/oracle_labels_n4000.parquet) is host-portable;
     #   peak      = max(max(x), -min(x)) == max(|x|) exactly — no |x| temp;
     #   clip_rate counts x >= t and x <= -t — same set as |x| >= t.
     # This kernel is shared with the single-process oracle, so both sides
     # move together; the committed fixture is regenerated with it.
     x = pcm if n_fin == pcm.size else np.where(finite, pcm, 0.0)
-    rms = float(np.sqrt(np.dot(x, x) / x.size))
+    rms = float(np.sqrt(_sumsq_tree(x) / x.size))
     peak = float(max(x.max(), -x.min()))
     n_clip = int(np.count_nonzero(x >= 0.999)) + int(np.count_nonzero(x <= -0.999))
     clip_rate = float(np.float64(n_clip) / x.size)

@@ -76,3 +76,24 @@ def test_features_nonfinite_flagged():
     x = np.array([0.1, np.nan, 0.2, np.inf])
     n, rms, peak, clip, fin = audio.pcm_features(x)
     assert fin == 0.5 and np.isfinite(rms) and np.isfinite(peak)
+
+
+def test_sumsq_tree_is_host_portable():
+    """rms's sum-of-squares must follow the documented balanced binary tree
+    exactly (pure-scalar reference, no numpy reductions involved), so the
+    committed oracle fixture is reproducible bit-for-bit on any host/BLAS."""
+    import math
+
+    rng = np.random.default_rng(7)
+    for n in [1, 2, 3, 5, 127, 128, 129, 1000, 4096, 31999]:
+        x = rng.standard_normal(n)
+        vals = [float(v) * float(v) for v in x.tolist()]
+        pad = 1 << (n - 1).bit_length()
+        vals += [0.0] * (pad - n)
+        while len(vals) > 1:
+            vals = [vals[i] + vals[i + 1] for i in range(0, len(vals), 2)]
+        got = audio._sumsq_tree(x)
+        assert got == vals[0], n
+        # and the tree is numerically sane vs the exact (fsum) result
+        exact = math.fsum(float(v) * float(v) for v in x.tolist())
+        assert abs(got - exact) <= 1e-9 * max(1.0, abs(exact)), n
