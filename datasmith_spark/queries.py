@@ -571,16 +571,57 @@ def q20_exact_dedup(spark, sf_dir):
     return exact_dedup_stats(_corpus(spark, sf_dir))
 
 
+def _default_pair_cap() -> int:
+    from .operators.pairs import pair_key_cap
+
+    return pair_key_cap()
+
+
+def _capped_pairs_sql_cte(cap: int) -> str:
+    """CTEs re-deriving operators.pairs.capped_key_pairs in SQL over a
+    `melt(id, k)` CTE the caller provides: per-key counts, exact all-pairs
+    at/below the cap, min-id star pairs above it. `allp` keeps one row per
+    shared key (multiplicity semantics, q31); `cand` is the distinct pair
+    set. Every capped Spark operator's oracle embeds THIS body with the
+    SAME default cap, so the production hot-key defense cannot drift from
+    the value-checked semantics (the cap is read once at import from
+    SPARK_GRAFT_PAIR_KEY_CAP, matching the Spark-side default)."""
+    return f"""stats AS (SELECT k, count(*) AS kc, min(id) AS rep FROM melt GROUP BY k),
+    cold AS (SELECT m.id, m.k FROM melt m JOIN stats s ON s.k = m.k AND s.kc <= {cap}),
+    cold_pairs AS (
+      SELECT x.id AS a, y.id AS b FROM cold x JOIN cold y ON x.k = y.k AND x.id < y.id
+    ),
+    hot_pairs AS (
+      SELECT s.rep AS a, m.id AS b
+      FROM melt m JOIN stats s ON s.k = m.k AND s.kc > {cap} AND m.id != s.rep
+    ),
+    allp AS (SELECT * FROM cold_pairs UNION ALL SELECT * FROM hot_pairs),
+    cand AS (SELECT DISTINCT a, b FROM allp)"""
+
+
+def _capped_minhash_sql_body(k: int, cap: int) -> str:
+    """DuckDB mirror of operators.pairs capped_band_pairs over the minhash
+    bands: melt bands to composite keys, per-key counts, all-pairs below the
+    cap, min-id star pairs above it — byte-for-byte the Spark semantics."""
+    melts = "\n        UNION ALL\n        ".join(
+        f"SELECT id, '{b}#' || b{b} AS k FROM band" for b in range(k // 2)
+    )
+    return rf"""
+    melt AS (
+        {melts}
+    ),
+    {_capped_pairs_sql_cte(cap)}
+"""
+
+
 def _minhash_sql_body(k: int) -> str:
     """DuckDB mirror of operators.dedup minhash_signatures/lsh_candidate_pairs
     for K permutations banded into K/2 two-signature bands (kept in sync via
-    the shared MINHASH_K constant)."""
+    the shared MINHASH_K constant). Candidate generation embeds the SAME
+    hot-key cap as the Spark side (operators/pairs.py), so q21/q22 stay
+    value-checked even on a corpus hot enough to trip the cap."""
     sig = ", ".join(f"min(md5('{i}|' || s)) AS s{i}" for i in range(k))
     bands = ", ".join(f"md5(s{2 * b} || s{2 * b + 1}) AS b{b}" for b in range(k // 2))
-    unions = "\n        UNION\n        ".join(
-        f"SELECT x.id AS a, y.id AS b FROM band x JOIN band y ON x.b{b} = y.b{b} AND x.id < y.id"
-        for b in range(k // 2)
-    )
     return rf"""
     tok AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM corpus
@@ -592,11 +633,7 @@ def _minhash_sql_body(k: int) -> str:
     ),
     sig AS (SELECT id, {sig} FROM sh GROUP BY id),
     band AS (SELECT id, {bands} FROM sig),
-    cand AS (
-      SELECT DISTINCT a, b FROM (
-        {unions}
-      )
-    )
+    {_capped_minhash_sql_body(k, _default_pair_cap())}
 """
 
 
@@ -796,9 +833,10 @@ def q25_embedding_dup_pairs(spark, sf_dir):
     bands AS (
       SELECT doc_id, g.b AS band, substr(bitstr, 1 + 16 * g.b, 16) AS key
       FROM fp, generate_series(0, 3) g(b)
-    )
-    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-    FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    ),
+    melt AS (SELECT doc_id AS id, band || '#' || key AS k FROM bands),
+    {_capped_pairs_sql_cte(_default_pair_cap())}
+    SELECT a AS doc_a, b AS doc_b FROM cand
     """,
 )
 def q26_simhash_candidates(spark, sf_dir):
@@ -996,10 +1034,11 @@ def q30_lsh_ann_search(spark, sf_dir):
              min(h) OVER (PARTITION BY doc_id ORDER BY pos
                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
       FROM kg
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
+    ),
+    melt AS (SELECT doc_id AS id, fp AS k FROM fp),
+    {_capped_pairs_sql_cte(_default_pair_cap())}
+    SELECT a AS doc_a, b AS doc_b, count(*) AS n_shared
+    FROM allp GROUP BY 1, 2
     HAVING count(*) >= 10
     """,
 )
@@ -1134,34 +1173,6 @@ def q32_url_parse_encode(spark, sf_dir):
 _HOT_TEXT = "the exact same boilerplate sentence repeated verbatim everywhere"
 _HOT_N = 300
 _HOT_CAP = 64
-
-
-def _capped_minhash_sql_body(k: int, cap: int) -> str:
-    """DuckDB mirror of operators.pairs capped_band_pairs over the minhash
-    bands: melt bands to composite keys, per-key counts, all-pairs below the
-    cap, min-id star pairs above it — byte-for-byte the Spark semantics."""
-    melts = "\n        UNION ALL\n        ".join(
-        f"SELECT id, '{b}#' || b{b} AS k FROM band" for b in range(k // 2)
-    )
-    return rf"""
-    melt AS (
-        {melts}
-    ),
-    stats AS (SELECT k, count(*) AS kc, min(id) AS rep FROM melt GROUP BY k),
-    cold AS (SELECT m.id, m.k FROM melt m JOIN stats s ON s.k = m.k AND s.kc <= {cap}),
-    cold_pairs AS (
-      SELECT x.id AS a, y.id AS b FROM cold x JOIN cold y ON x.k = y.k AND x.id < y.id
-    ),
-    hot_pairs AS (
-      SELECT s.rep AS a, m.id AS b
-      FROM melt m JOIN stats s ON s.k = m.k AND s.kc > {cap} AND m.id != s.rep
-    ),
-    cand AS (
-      SELECT DISTINCT a, b FROM (
-        SELECT * FROM cold_pairs UNION ALL SELECT * FROM hot_pairs
-      )
-    )
-"""
 
 
 @register(

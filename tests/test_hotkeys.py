@@ -103,3 +103,34 @@ def test_simhash_skips_tokenless_docs(spark):
     assert {r.id for r in simhash_bands(docs).collect()} == {1, 5}
     pairs = {(r.doc_a, r.doc_b) for r in simhash_candidate_pairs(docs).collect()}
     assert pairs == {(1, 5)}
+
+
+def test_capped_sql_mirror_matches_spark(spark):
+    """The DuckDB CTE body embedded in the q21/q22/q26/q31/q34 oracles must
+    reproduce capped_key_pairs exactly in BOTH consumption modes (distinct
+    pair set, and per-shared-key multiplicity) on a corpus that actually
+    trips the cap — so oracle parity is guaranteed beyond the testdata
+    regime, not just while every key stays under the default cap."""
+    import duckdb
+    import pandas as pd
+
+    from datasmith_spark.operators.pairs import capped_key_pairs
+    from datasmith_spark.queries import _capped_pairs_sql_cte
+
+    rows = (
+        [(i, "hot") for i in range(40)]
+        + [(i, f"warm{i % 3}") for i in range(12)]
+        + [(1000 + i, f"cold{i % 5}") for i in range(20)]
+    )
+    cap = 8
+    keyed = spark.createDataFrame(rows, "id bigint, k string")
+    spark_mult = sorted((r.a, r.b) for r in capped_key_pairs(keyed, "k", "id", cap=cap).collect())
+    spark_dist = sorted(set(spark_mult))
+
+    con = duckdb.connect()
+    con.register("melt_src", pd.DataFrame(rows, columns=["id", "k"]))
+    q = f"WITH melt AS (SELECT id, k FROM melt_src), {_capped_pairs_sql_cte(cap)} "
+    sql_mult = sorted(map(tuple, con.sql(q + "SELECT a, b FROM allp").fetchall()))
+    sql_dist = sorted(map(tuple, con.sql(q + "SELECT a, b FROM cand").fetchall()))
+    assert spark_mult == sql_mult
+    assert spark_dist == sql_dist
