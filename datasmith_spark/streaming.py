@@ -257,7 +257,16 @@ def stateful_sessionize(
                 merge_point(float(t))
 
         # emit every interval the watermark has sealed (no admissible late
-        # event can reach within gap of it anymore)
+        # event can reach within gap of it anymore). Emitting at EQUALITY
+        # (last + gap == wm) is safe on this engine, verified empirically
+        # (tests/test_streaming.py watermark-boundary test): the late-row
+        # filter for applyInPandasWithState drops rows with ts <= watermark
+        # (equality INCLUDED), so no future event can satisfy
+        # ts <= last + gap == wm. The filter lags one batch behind this
+        # eviction watermark, but any event admitted through that lag lands
+        # in THIS batch and merges above before this emission check runs.
+        # A strict (<) predicate would gain nothing and can withhold a
+        # sealed session forever when the stream ends at the boundary.
         wm = state.getCurrentWatermarkMs() / 1000.0
         still = [iv for iv in ivs if iv[1] + gap_sec > wm]
         for s0, l0, n0 in ivs:

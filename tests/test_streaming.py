@@ -396,3 +396,65 @@ def test_stateful_sessionize_late_cluster_merges(spark, tmp_path):
     assert (float(base + 500), float(base + 600), 2) in closed, closed  # merged, not split
     assert (float(base + 3000), float(base + 3000), 1) in closed, closed
     assert len(closed) == 2, closed
+
+
+def test_stateful_sessionize_watermark_boundary_semantics(spark, tmp_path):
+    """Pin the watermark-boundary contract the emission predicate relies on:
+    Spark's late-row filter for applyInPandasWithState drops events with
+    ts <= watermark (equality INCLUDED — measured, not assumed), so once
+    wm >= last+gap no future event can merge and emitting at EQUALITY
+    (last + gap <= wm) is safe. A strict (<) emission would withhold a
+    sealed session with nothing to gain. The boundary event below lands in
+    a batch whose late-filter watermark equals its ts exactly: it must be
+    dropped, and the final sessions must show no trace of it."""
+    import pandas as pd
+
+    from datasmith_spark.streaming import stateful_sessionize
+
+    ddl = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    base = 1_770_000_000
+    batches = [
+        # A = (base); B = (base+3600) sets max event time -> wm base+1800
+        [(1, base + 0, 7, "a", 1.0), (2, base + 3600, 7, "a", 1.0)],
+        # keeps wm at base+1800 == A.last+gap; the emission check runs for
+        # user 7 at exact equality and seals A
+        [(3, base + 3600, 7, "a", 1.0)],
+        # boundary event: ts == late-filter wm == A.last+gap — DROPPED by
+        # the engine before reaching the operator
+        [(4, base + 1800, 7, "a", 1.0)],
+        [(5, base + 100_000, 9, "a", 1.0)],  # advance event time
+        [(6, base + 100_100, 9, "a", 1.0)],  # wm seals user 7's session B
+    ]
+    inp = tmp_path / "wb_in"
+    inp.mkdir()
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            [(e, pd.Timestamp(t, unit="s"), u, et, v) for e, t, u, et, v in rows],
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        spark.createDataFrame(pdf, ddl).coalesce(1).write.parquet(str(inp / f"_d{i}"))
+        for f in (inp / f"_d{i}").glob("*.parquet"):
+            f.rename(inp / f"d{i}-{f.name.lstrip('_')}")
+
+    out = str(tmp_path / "wb_out")
+    q = (
+        stateful_sessionize(spark, str(inp), ddl, gap_sec=1800.0, max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "wb_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = spark.read.parquet(out).toPandas()
+    u7 = sorted(
+        (pd.Timestamp(r.session_start).timestamp(), pd.Timestamp(r.session_end).timestamp(), r.n_events)
+        for r in got[got.user_id == 7].itertuples(index=False)
+    )
+    # the boundary event was dropped by the engine: sessions A and B close
+    # untouched, with no spurious third session and no 4-event merge
+    assert u7 == [
+        (float(base), float(base), 1),
+        (float(base + 3600), float(base + 3600), 2),
+    ], u7
