@@ -227,7 +227,7 @@ def run_pipeline(
                         [(int(p), "done", run_id, 1, fps[p], n_parts) for p in adopted],
                         _CP_SCHEMA,
                     ).withColumn("ts", F.current_timestamp())
-                    tl.append(adopt, "checkpoints")
+                    tl.append(adopt.coalesce(1), "checkpoints")
             # checkpoints written before fingerprints existed: treat all as
             # stale (recompute is idempotent; serving stale labels is not)
         else:
@@ -324,7 +324,9 @@ def run_pipeline(
         ],
         _CP_SCHEMA,
     ).withColumn("ts", F.current_timestamp())
-    tl.append(cp, "checkpoints")
+    # coalesce(1): the done-marker lands as ONE parquet file, so the commit
+    # is a single atomic rename (no partially-visible checkpoint append)
+    tl.append(cp.coalesce(1), "checkpoints")
 
     wall = time.time() - t0
     log.info(

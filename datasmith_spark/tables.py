@@ -6,19 +6,71 @@ written through this module only, so swapping parquet for an Iceberg catalog
 config change, not a code fork (SURVEY.md §7.4 risk 5).
 
 Parquet mode semantics:
-  * labels: directory-partitioned by part_id, dynamic partition overwrite
-    => per-partition idempotent rewrite (the `replaceWhere` analogue).
+  * labels: directory-partitioned by part_id; per-partition idempotent
+    rewrite (the `replaceWhere` analogue) COMMITTED atomically — writes
+    land in a hidden staging dir and partitions are swapped into place
+    with renameat2(RENAME_EXCHANGE), so readers never observe a torn
+    partition (the transactional behavior an Iceberg catalog would give,
+    emulated on the filesystem).
   * checkpoints/lineage/metrics: append-only logs; readers take the latest
     row per key (last-write-wins upsert, mirroring the reference's
     INSERT OR REPLACE cache at /root/reference/src/datasmith/utils.py:94-101).
+    The pipeline's done-marker append is a single coalesced file, so the
+    commit itself is one atomic rename.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _renameat2_exchange(a: str, b: str) -> bool:
+    """Atomically EXCHANGE two paths via Linux renameat2(RENAME_EXCHANGE).
+
+    Returns False when the syscall is unavailable (non-Linux / old libc),
+    in which case callers fall back to a two-step rename. With exchange, a
+    concurrent reader of `b` sees the complete old tree or the complete
+    new one — never an intermediate."""
+    import ctypes
+
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        fn = libc.renameat2
+    except (OSError, AttributeError):  # pragma: no cover - non-Linux
+        return False
+    AT_FDCWD = -100
+    RENAME_EXCHANGE = 2
+    r = fn(AT_FDCWD, os.fsencode(a), AT_FDCWD, os.fsencode(b), RENAME_EXCHANGE)
+    return r == 0
+
+
+def _atomic_replace_dir(src: str, dst: str) -> None:
+    """Move directory `src` into place at `dst` so that readers of `dst`
+    never observe a partial tree: plain rename when `dst` does not exist,
+    renameat2(RENAME_EXCHANGE) when it does (the old tree comes back in
+    `src` and is deleted after the swap). Fallback (exchange unavailable):
+    rename the old tree to a dot-prefixed tomb first — readers then see
+    the partition fully-old, briefly absent, or fully-new, never torn."""
+    if not os.path.isdir(dst):
+        try:
+            os.rename(src, dst)
+            return
+        except OSError:  # lost the no-dst race; fall through to exchange
+            pass
+    if _renameat2_exchange(src, dst):
+        shutil.rmtree(src, ignore_errors=True)
+        return
+    tomb = os.path.join(  # pragma: no cover - exchange exists on Linux
+        os.path.dirname(dst), f".tomb-{os.path.basename(dst)}-{uuid.uuid4().hex[:8]}"
+    )
+    os.rename(dst, tomb)  # pragma: no cover
+    os.rename(src, dst)  # pragma: no cover
+    shutil.rmtree(tomb, ignore_errors=True)  # pragma: no cover
 
 
 class TableLayer:
@@ -41,24 +93,54 @@ class TableLayer:
         return reader.parquet(self.path(name))
 
     def overwrite_partitions(self, df: DataFrame, name: str, partition_col: str = "part_id") -> None:
-        """Idempotent per-partition overwrite (Iceberg replaceWhere analogue)."""
-        (
-            df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(partition_col)
-            .parquet(self.path(name))
-        )
+        """Crash-atomic per-partition overwrite — the parquet-mode analogue
+        of an Iceberg MERGE / replaceWhere COMMIT, not just its semantics.
+
+        The frame is written to a dot-prefixed STAGING directory beside the
+        table (invisible to every reader), then each staged partition
+        directory is swapped into place atomically (_atomic_replace_dir).
+        A crash during the Spark write leaves only staging garbage and the
+        table untouched; a crash mid-swap leaves every partition either
+        fully-old or fully-new. Readers (and a post-crash resume, which
+        recomputes exactly the unchecked parts) can never observe a torn
+        partition. Stale staging dirs from crashed runs are swept on the
+        next overwrite. The on-disk layout is unchanged
+        (<table>/<partition_col>=<v>/*.parquet), so external readers —
+        DuckDB globs, plain spark.read.parquet — are unaffected."""
+        self._sweep_stale_staging(name)
+        staging = self.path(f".staging-{name}-{uuid.uuid4().hex[:8]}")
+        try:
+            df.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+            os.makedirs(self.path(name), exist_ok=True)
+            prefix = f"{partition_col}="
+            for d in sorted(os.listdir(staging)):
+                if d.startswith(prefix):
+                    _atomic_replace_dir(
+                        os.path.join(staging, d), os.path.join(self.path(name), d)
+                    )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def _sweep_stale_staging(self, name: str) -> None:
+        for d in os.listdir(self.base) if os.path.isdir(self.base) else []:
+            if d.startswith(f".staging-{name}-"):
+                shutil.rmtree(os.path.join(self.base, d), ignore_errors=True)
 
     def drop_partitions(self, name: str, partition_col: str, values) -> None:
-        """Delete partition directories outright (deletion semantics for
-        parts whose input rows vanished — the parquet-mode stand-in for an
-        Iceberg MERGE delete; see pipeline.run_pipeline)."""
-        import shutil
-
+        """Delete partition directories (deletion semantics for parts whose
+        input rows vanished — the parquet-mode stand-in for an Iceberg
+        MERGE delete; see pipeline.run_pipeline). Each directory is first
+        renamed to a dot-prefixed tomb (atomic, invisible to readers), so a
+        concurrent reader sees the partition fully present or fully gone —
+        never mid-delete."""
         for v in values:
             p = os.path.join(self.path(name), f"{partition_col}={v}")
             if os.path.isdir(p):
-                shutil.rmtree(p)
+                tomb = os.path.join(
+                    self.path(name), f".tomb-{partition_col}={v}-{uuid.uuid4().hex[:8]}"
+                )
+                os.rename(p, tomb)
+                shutil.rmtree(tomb, ignore_errors=True)
 
     def wipe(self, name: str) -> None:
         """Delete a table outright (used by the partition-layout guard when
