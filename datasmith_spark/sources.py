@@ -92,6 +92,11 @@ def with_retries(fn, retries: int = 5, base_delay: float = 0.5, max_delay: float
     return wrapped
 
 
+# dead-letter provenance columns (dead_letter=True mode)
+DL_PAGE_COL = "_page_id"
+DL_ERROR_COL = "_page_error"
+
+
 def paginated_scan(
     spark: SparkSession,
     fetch_page,
@@ -101,6 +106,8 @@ def paginated_scan(
     retries: int = 5,
     base_delay: float = 0.5,
     sleep=None,
+    dead_letter: bool = False,
+    coalesce_pages: int = 32,
 ) -> DataFrame:
     """S11: distributed paginated source. Page indices are DATA (one row per
     page), distributed over tasks; each task calls `fetch_page(page_index)
@@ -114,6 +121,18 @@ def paginated_scan(
     fetch_page must be deterministic per page (Spark may re-run tasks) and
     importable on workers (top-level function or closure over serializable
     state).
+
+    dead_letter=True degrades gracefully when a page exhausts its retries —
+    the reference's skip-and-log loops
+    (/root/reference/src/datasmith/scrape/utils.py:116-141) instead of
+    failing the task (and with it the stage and every sibling page): the
+    output gains {DL_PAGE_COL} (every row's source page) and {DL_ERROR_COL}
+    (null on success; the error string on a row standing in for the failed
+    page). split_dead_letters() separates the two.
+
+    coalesce_pages batches that many fetched pages into ONE Arrow batch
+    before yielding, so a million small pages do not become a million tiny
+    Arrow batches (per-batch overhead dominates below ~1k rows).
     """
     from collections.abc import Iterator
 
@@ -124,9 +143,47 @@ def paginated_scan(
     pages = spark.range(n_pages).repartition(parallelism)
     fetch = with_retries(fetch_page, retries=retries, base_delay=base_delay, sleep=sleep)
 
+    struct = schema if isinstance(schema, T.StructType) else T.StructType.fromDDL(schema)
+    data_cols = [f.name for f in struct.fields]
+    out_schema: T.StructType | str = schema
+    if dead_letter:
+        out_schema = T.StructType(
+            list(struct.fields)
+            + [T.StructField(DL_PAGE_COL, T.LongType()), T.StructField(DL_ERROR_COL, T.StringType())]
+        )
+
     def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: list[pd.DataFrame] = []
         for b in batches:
             for i in b["id"]:
-                yield fetch(int(i))
+                i = int(i)
+                try:
+                    page = fetch(i)
+                except Exception as e:  # noqa: BLE001 - dead-letter boundary
+                    if not dead_letter:
+                        raise
+                    page = pd.DataFrame({c: pd.Series([None], dtype="object") for c in data_cols})
+                    page[DL_PAGE_COL] = [i]
+                    page[DL_ERROR_COL] = [f"{type(e).__name__}: {e}"]
+                else:
+                    if dead_letter:
+                        page = page.copy()
+                        page[DL_PAGE_COL] = i
+                        page[DL_ERROR_COL] = None
+                buf.append(page)
+                if len(buf) >= coalesce_pages:
+                    yield pd.concat(buf, ignore_index=True)
+                    buf = []
+        if buf:
+            yield pd.concat(buf, ignore_index=True)
 
-    return pages.mapInPandas(_scan, schema=schema)
+    return pages.mapInPandas(_scan, schema=out_schema)
+
+
+def split_dead_letters(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a dead_letter=True paginated_scan into (data, dead_letters):
+    data carries the declared schema plus {DL_PAGE_COL} provenance;
+    dead_letters is one (page, error) row per permanently-failed page."""
+    ok = df.filter(F.col(DL_ERROR_COL).isNull()).drop(DL_ERROR_COL)
+    dead = df.filter(F.col(DL_ERROR_COL).isNotNull()).select(DL_PAGE_COL, DL_ERROR_COL)
+    return ok, dead

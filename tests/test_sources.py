@@ -133,3 +133,66 @@ def test_paginated_scan_distributed_with_flaky_pages(spark, tmp_path):
     assert len(got) == 80
     assert sorted(set(got.page)) == list(range(8))
     assert (got.groupby("page").row.count() == 10).all()
+
+
+def test_paginated_scan_dead_letters_and_coalescing(spark, tmp_path):
+    """A page that exhausts its retries must NOT fail the stage: its
+    (page, error) lands in the dead-letter rows while every other page's
+    data arrives exactly once. Pages are coalesced into few Arrow batches."""
+    import pandas as pd
+
+    from datasmith_spark.sources import (
+        DL_ERROR_COL,
+        DL_PAGE_COL,
+        paginated_scan,
+        split_dead_letters,
+    )
+
+    def fetch_page(i: int) -> pd.DataFrame:
+        if i in (2, 5):
+            raise ValueError(f"page {i} permanently broken")
+        return pd.DataFrame({"page": [i] * 10, "row": list(range(10))})
+
+    df = paginated_scan(
+        spark, fetch_page, n_pages=8, schema="page bigint, row bigint",
+        retries=2, base_delay=0.0, sleep=lambda _s: None,
+        dead_letter=True, coalesce_pages=4,
+    )
+    ok, dead = split_dead_letters(df)
+
+    got = ok.toPandas().sort_values(["page", "row"]).reset_index(drop=True)
+    assert len(got) == 60  # 6 surviving pages x 10 rows
+    assert sorted(set(got.page)) == [0, 1, 3, 4, 6, 7]
+    assert (got[DL_PAGE_COL] == got.page).all()  # provenance column
+
+    dl = dead.toPandas().sort_values(DL_PAGE_COL)
+    assert list(dl[DL_PAGE_COL]) == [2, 5]
+    assert all("permanently broken" in e for e in dl[DL_ERROR_COL])
+
+
+def test_paginated_scan_coalesces_small_pages(spark):
+    """Many 1-row pages must arrive in few Arrow batches (bounded per-batch
+    overhead), with content identical to the uncoalesced scan."""
+    import pandas as pd
+
+    from datasmith_spark.sources import paginated_scan
+
+    def fetch_page(i: int) -> pd.DataFrame:
+        return pd.DataFrame({"page": [i], "row": [0]})
+
+    df = paginated_scan(
+        spark, fetch_page, n_pages=64, schema="page bigint, row bigint",
+        parallelism=2, coalesce_pages=16,
+    )
+    # count Arrow batches per task via mapInArrow passthrough
+    import pyarrow as pa
+
+    def count_batches(batches):
+        n = sum(1 for _ in batches)
+        yield pa.RecordBatch.from_pydict({"n": [n]})
+
+    n_batches = sum(r.n for r in df.mapInArrow(count_batches, "n long").collect())
+    got = df.toPandas().sort_values("page").reset_index(drop=True)
+    assert list(got.page) == list(range(64))
+    # 64 pages over 2 tasks, 16 pages/batch -> ~4 batches, certainly << 64
+    assert n_batches <= 8, n_batches

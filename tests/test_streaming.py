@@ -458,3 +458,62 @@ def test_stateful_sessionize_watermark_boundary_semantics(spark, tmp_path):
         (float(base), float(base), 1),
         (float(base + 3600), float(base + 3600), 2),
     ], u7
+
+
+def test_stream_crash_between_write_and_commit_recovers(spark, clips_path, tmp_path):
+    """Kill the query BETWEEN the labels/metrics write and the streaming
+    checkpoint commit of a mid-stream batch (failing foreachBatch after the
+    real sink ran), restart it, and require the final tables to be
+    byte-identical to an uninterrupted run: the replayed batch (same
+    batch_id, same offsets) must overwrite exactly its own partitions."""
+    import pandas as pd
+
+    from datasmith_spark.streaming import make_batch_sink, stream_clips
+    from datasmith_spark.tables import TableLayer
+
+    inp = str(tmp_path / "inp")
+    spark.read.parquet(clips_path).limit(600).repartition(4).write.parquet(inp)
+
+    def run(out: str, crash_once_at: int | None):
+        tl = TableLayer(out)
+        real = make_batch_sink(tl)
+        marker = pathlib.Path(out) / "_crashed_once"
+
+        def sink(df, bid):
+            real(df, bid)  # labels + metrics fully written
+            if crash_once_at is not None and bid == crash_once_at and not marker.exists():
+                marker.write_text("x")
+                raise RuntimeError("injected kill between write and checkpoint commit")
+
+        from datasmith_spark.pipeline import LABEL_COLS as COLS
+        from datasmith_spark.pipeline import label_clips as lc
+
+        labels = lc(stream_clips(spark, inp, max_files_per_trigger=2), n_parts=N_PARTS)
+        writer = (
+            labels.select(*COLS)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{out}/_stream_checkpoint")
+            .outputMode("append")
+        )
+        q = writer.trigger(availableNow=True).start()
+        try:
+            q.awaitTermination(600)
+        except Exception:
+            assert crash_once_at is not None and marker.exists()
+            return False  # crashed as injected
+        return True
+
+    crash_out, clean_out = str(tmp_path / "crash"), str(tmp_path / "clean")
+    assert run(clean_out, None)
+    assert not run(crash_out, 1)          # dies after batch 1's write
+    assert run(crash_out, 1)              # restart: replay batch 1, drain rest
+
+    def tbl(out, name, drop=()):
+        df = spark.read.parquet(f"{out}/{name}").drop(*drop)
+        return df.toPandas().sort_values(sorted(df.columns)[:3]).reset_index(drop=True)
+
+    for name, drop in [("labels", ()), ("metrics", ("ts",))]:
+        a, b = tbl(clean_out, name, drop), tbl(crash_out, name, drop)
+        pd.testing.assert_frame_equal(
+            a.sort_index(axis=1), b.sort_index(axis=1), check_like=True
+        )
