@@ -5,15 +5,16 @@ This module generalizes the same Spark-side plumbing — typed binary column +
 metadata columns + Arrow-batched mapInPandas feature extraction with bounded
 batch sizes — to image/video payloads.
 
-Codec reality in this sandbox: real image/audio libs (PIL, ffmpeg) are not
-installed, so JPEG/PNG decode is STUBBED behind an import-gate
-(NotImplementedError), while the deterministic raw formats below are fully
-implemented and tested:
+Codec reality in this sandbox: PIL/ffmpeg are not installed, so JPEG decode
+remains STUBBED behind an import-gate (NotImplementedError). Everything
+else is fully implemented and tested:
   * 'rgb8'  — bytes = height*width*3 uint8 (row-major RGB)
   * 'vid8'  — bytes = n_frames*height*width uint8 (mono frames)
+  * 'png'   — real pure-stdlib decoder below (zlib inflate, filters 0-4,
+              color types 0/2/3/4/6 at bit depth 8, non-interlaced)
 The schema, partitioning, UDF signature and batch shapes are the real,
-scale-ready parts; swapping the stub for PIL.Image.open is a kernel-local
-change.
+scale-ready parts; swapping the JPEG stub for PIL.Image.open is a
+kernel-local change.
 """
 
 from __future__ import annotations
@@ -33,6 +34,144 @@ _FEAT_DDL = (
 )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+
+
+def decode_png(buf: bytes) -> np.ndarray | None:
+    """Pure-stdlib PNG decode: bytes -> HxWx3 uint8, or None if undecodable.
+
+    Supports the common profile: bit depth 8, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced, all
+    five scanline filters (None/Sub/Up/Average/Paeth per the PNG spec).
+    Alpha is dropped; gray replicates to 3 channels; palette indices are
+    looked up in PLTE. Filters 1/3/4 unfilter with per-byte loops (the
+    recurrence is inherently sequential) — fine for the thumbnail-sized
+    payloads this lane carries; a real cluster deployment would swap in
+    PIL for megapixel inputs, which this decoder's tests then pin.
+    """
+    import struct
+    import zlib
+
+    if buf is None or len(buf) < 8 or buf[:8] != _PNG_SIG:
+        return None
+    pos, idat, pal, hdr = 8, [], None, None
+    try:
+        while pos + 8 <= len(buf):
+            ln, typ = struct.unpack(">I4s", buf[pos : pos + 8])
+            pos += 8
+            data = buf[pos : pos + ln]
+            pos += ln + 4  # skip CRC
+            if typ == b"IHDR":
+                hdr = struct.unpack(">IIBBBBB", data)
+            elif typ == b"PLTE":
+                pal = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+        if hdr is None or not idat:
+            return None
+        w, h, depth, ctype, comp, filt, interlace = hdr
+        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            return None
+        ch = _PNG_CHANNELS.get(ctype)
+        if ch is None or (ctype == 3 and pal is None):
+            return None
+        raw = zlib.decompress(b"".join(idat))
+    except Exception:
+        return None
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=base + 1).astype(np.int64)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(ch, stride):
+                row[i] = (row[i] + row[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            row = (row + prev) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - ch] if i >= ch else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            return None
+        out[y] = row
+        prev = row
+    img = out.reshape(h, w, ch)
+    if ctype == 3:
+        return pal[img[..., 0]]
+    if ctype in (0, 4):
+        return np.repeat(img[..., :1], 3, axis=2)
+    if ctype == 6:
+        return np.ascontiguousarray(img[..., :3])
+    return img
+
+
+def encode_png(img: np.ndarray, row_filters=0) -> bytes:
+    """Minimal PNG encoder (color type 2, depth 8) for sinks and tests.
+
+    row_filters: one filter type 0-4 for all rows, or a per-row sequence —
+    tests use this to exercise every unfilter path in decode_png."""
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+    img = img.astype(np.int64)
+    if isinstance(row_filters, int):
+        row_filters = [row_filters] * h
+    lines = []
+    prev = np.zeros(w * 3, dtype=np.int64)
+    for y in range(h):
+        row = img[y].reshape(-1)
+        f = int(row_filters[y])
+        left = np.concatenate([np.zeros(3, dtype=np.int64), row[:-3]])
+        up_left = np.concatenate([np.zeros(3, dtype=np.int64), prev[:-3]])
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - prev
+        elif f == 3:
+            enc = row - (left + prev) // 2
+        elif f == 4:
+            p = left + prev - up_left
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - up_left)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, up_left))
+            enc = row - pred
+        else:
+            raise ValueError(f"bad filter {f}")
+        lines.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 def decode_image(buf: bytes | None, width: int, height: int, fmt: str) -> np.ndarray | None:
     """bytes -> HxWx3 uint8 array; None if undecodable."""
     if buf is None or fmt is None:
@@ -41,12 +180,17 @@ def decode_image(buf: bytes | None, width: int, height: int, fmt: str) -> np.nda
         if len(buf) != width * height * 3:
             return None
         return np.frombuffer(buf, dtype=np.uint8).reshape(height, width, 3)
-    if fmt in ("jpeg", "png"):
+    if fmt == "png":
+        img = decode_png(buf)
+        if img is None or img.shape[:2] != (height, width):
+            return None
+        return img
+    if fmt == "jpeg":
         try:
             from PIL import Image  # noqa: F401  (not installed in sandbox)
         except ImportError as e:
             raise NotImplementedError(
-                "compressed image decode requires PIL; install it and decode "
+                "jpeg decode requires PIL; install it and decode "
                 "via Image.open(io.BytesIO(buf)) here"
             ) from e
         raise NotImplementedError("unreachable in sandbox")
@@ -129,20 +273,29 @@ def sample_video_frames(videos: DataFrame, every_k: int = 10) -> DataFrame:
 
 
 def synth_images(spark, n: int, width: int = 32, height: int = 24) -> DataFrame:
-    """Deterministic synthetic rgb8 image table (seeded per row index)."""
+    """Deterministic synthetic image table (seeded per row index): mostly
+    rgb8, every 9th row a real PNG (cycling through all five scanline
+    filters), every 17th a jpeg (the remaining honest stub)."""
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             recs = []
             for i in b["id"]:
-                rng = np.random.default_rng([4242, int(i)])
+                i = int(i)
+                rng = np.random.default_rng([4242, i])
                 img = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+                if i % 17 == 0:
+                    fmt, payload = "jpeg", img.tobytes()  # stubbed rows
+                elif i % 9 == 0:
+                    fmt, payload = "png", encode_png(img, row_filters=i % 5)
+                else:
+                    fmt, payload = "rgb8", img.tobytes()
                 recs.append(
                     {
-                        "img_id": f"img_{int(i):08d}",
-                        "bytes": img.tobytes(),
+                        "img_id": f"img_{i:08d}",
+                        "bytes": payload,
                         "width": width,
                         "height": height,
-                        "fmt": "rgb8" if i % 17 != 0 else "jpeg",  # stubbed rows
+                        "fmt": fmt,
                     }
                 )
             yield pd.DataFrame(recs)

@@ -297,3 +297,94 @@ def test_ivf_cell_udf_matches_expression(spark):
     expr_cell = np.argmax(got[[f"d{i}" for i in range(len(cents))]].to_numpy(), axis=1)
     assert (got.cell.to_numpy() == expr_cell).all()
     assert len(set(got.cell)) > 1  # cells actually partition the corpus
+
+
+def _raw_png(w, h, ctype, rows_payload, extra_chunks=b""):
+    """Hand-build a filter-0 PNG for arbitrary color types (test-only)."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + r for r in rows_payload)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + extra_chunks
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png -> decode_png is lossless under every scanline filter
+    (None/Sub/Up/Average/Paeth), including mixed per-row filters."""
+    from datasmith_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    for f in range(5):
+        got = decode_png(encode_png(img, row_filters=f))
+        assert got is not None and (got == img).all(), f
+    mixed = [y % 5 for y in range(13)]
+    got = decode_png(encode_png(img, row_filters=mixed))
+    assert (got == img).all()
+
+
+def test_png_color_types_and_corruption():
+    """Gray/palette/gray+alpha/RGBA decode to HxWx3; corrupt or unsupported
+    payloads return None instead of raising."""
+    import struct
+    import zlib
+
+    from datasmith_spark.operators.multimodal import decode_png, encode_png
+
+    w, h = 5, 3
+    gray = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    # ctype 0: grayscale
+    img = decode_png(_raw_png(w, h, 0, [gray[y].tobytes() for y in range(h)]))
+    assert (img == np.repeat(gray[..., None], 3, axis=2)).all()
+    # ctype 4: gray + alpha (alpha dropped)
+    ga = np.dstack([gray, np.full((h, w), 7, np.uint8)])
+    img = decode_png(_raw_png(w, h, 4, [ga[y].tobytes() for y in range(h)]))
+    assert (img == np.repeat(gray[..., None], 3, axis=2)).all()
+    # ctype 6: RGBA (alpha dropped)
+    rgb = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    rgba = np.concatenate([rgb, np.full((h, w, 1), 9, np.uint8)], axis=2)
+    img = decode_png(_raw_png(w, h, 6, [rgba[y].tobytes() for y in range(h)]))
+    assert (img == rgb).all()
+    # ctype 3: palette
+    pal = np.arange(256 * 3, dtype=np.uint8).reshape(256, 3)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    img = decode_png(
+        _raw_png(w, h, 3, [gray[y].tobytes() for y in range(h)],
+                 extra_chunks=chunk(b"PLTE", pal.tobytes()))
+    )
+    assert (img == pal[gray]).all()
+    # corruption / unsupported -> None, never an exception
+    good = encode_png(rgb)
+    assert decode_png(good[:20]) is None            # truncated
+    assert decode_png(b"nope" + good) is None       # bad signature
+    assert decode_png(good[:33] + good[41:]) is None  # IDAT mangled
+    interlaced = bytearray(good)
+    interlaced[8 + 8 + 12] = 1  # IHDR interlace flag
+    assert decode_png(bytes(interlaced)) is None
+
+
+def test_png_rows_flow_through_image_features(spark):
+    """PNG rows in the image table decode via the Spark UDF path with
+    features identical to the same image's raw-rgb8 form."""
+    from datasmith_spark.operators.multimodal import image_features, synth_images
+
+    feats = image_features(synth_images(spark, 100)).toPandas()
+    png = feats[feats.fmt == "png"]
+    assert len(png) > 0 and png.decode_ok.all()
+    # regenerate one png row's image locally and compare features exactly
+    row = png.sort_values("img_id").iloc[0]
+    i = int(row.img_id.split("_")[1])
+    img = np.random.default_rng([4242, i]).integers(
+        0, 256, size=(row.height, row.width, 3), dtype=np.uint8
+    ).astype(np.float64)
+    assert row.mean_r == img[..., 0].mean() and row.mean_b == img[..., 2].mean()
