@@ -49,14 +49,47 @@ class JsonLinesFormatter(logging.Formatter):
         return json.dumps(d)
 
 
+def _attach_json_sink(logger: logging.Logger, json_path: str) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(json_path)), exist_ok=True)
+    fh = logging.FileHandler(json_path)
+    fh.setFormatter(JsonLinesFormatter())
+    fh._datasmith_json = True  # type: ignore[attr-defined]
+    logger.addHandler(fh)
+
+
 def configure(
     name: str = "datasmith_spark",
     level: str | None = None,
     json_path: str | None = None,
 ) -> logging.Logger:
-    """Idempotent logger setup: console + optional JSON-lines file sink."""
+    """Logger setup: console + optional JSON-lines file sink.
+
+    Idempotent per logger name, but repeat calls RECONCILE changed config
+    instead of silently ignoring it: an explicit `level` re-applies, and a
+    json_path (argument or SPARK_GRAFT_LOG_JSON set after the first
+    run_pipeline of the session) attaches the JSON sink — swapping out a
+    previously-attached sink that points at a different file."""
     logger = logging.getLogger(name)
+    json_path = json_path or os.environ.get("SPARK_GRAFT_LOG_JSON")
     if getattr(logger, "_datasmith_configured", False):
+        if level is not None:
+            logger.setLevel(level.upper())
+        if json_path:
+            want = os.path.abspath(json_path)
+            stale = [
+                h for h in logger.handlers
+                if getattr(h, "_datasmith_json", False)
+                and os.path.abspath(getattr(h, "baseFilename", "")) != want
+            ]
+            for h in stale:
+                logger.removeHandler(h)
+                h.close()
+            if not any(
+                getattr(h, "_datasmith_json", False)
+                and os.path.abspath(getattr(h, "baseFilename", "")) == want
+                for h in logger.handlers
+            ):
+                _attach_json_sink(logger, json_path)
         return logger
     logger.setLevel((level or os.environ.get("SPARK_GRAFT_LOG_LEVEL", "INFO")).upper())
     logger.propagate = False  # keep out of Spark's root-logger noise
@@ -67,12 +100,8 @@ def configure(
     )
     logger.addHandler(console)
 
-    json_path = json_path or os.environ.get("SPARK_GRAFT_LOG_JSON")
     if json_path:
-        os.makedirs(os.path.dirname(os.path.abspath(json_path)), exist_ok=True)
-        fh = logging.FileHandler(json_path)
-        fh.setFormatter(JsonLinesFormatter())
-        logger.addHandler(fh)
+        _attach_json_sink(logger, json_path)
 
     logger._datasmith_configured = True  # type: ignore[attr-defined]
     return logger

@@ -889,7 +889,17 @@ def _clips_post_decode(spark: SparkSession, sf_dir: str):
     from .pipeline import ARROW_BATCH
 
     path = _clips_cache_path(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, path)
+    app = spark.sparkContext.applicationId
+    # bound the cache to the CURRENT application: entries from earlier
+    # sessions in a long-lived driver died with their context — unpersist
+    # best-effort and drop them so the dict cannot accumulate dead frames
+    for stale in [k for k in _POST_DECODE_CACHE if k[0] != app]:
+        old = _POST_DECODE_CACHE.pop(stale)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # context already stopped
+    key = (app, path)
     df = _POST_DECODE_CACHE.get(key)
     if df is None:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))

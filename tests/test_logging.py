@@ -46,3 +46,33 @@ def test_pipeline_logger_is_quiet_by_default():
     log = configure()
     assert log.propagate is False
     assert isinstance(log, logging.Logger)
+
+
+def test_reconfigure_attaches_late_json_sink(tmp_path):
+    """A json_path that appears AFTER the first configure() (e.g. the env
+    var set between runs) must attach the sink — and a changed path must
+    swap the sink, not double it or keep writing to the old file."""
+    from datasmith_spark.logging_config import configure
+
+    log = configure(name="datasmith_test_late")
+    assert len(log.handlers) == 1  # console only
+
+    p1 = str(tmp_path / "late1.jsonl")
+    assert configure(name="datasmith_test_late", json_path=p1) is log
+    assert len(log.handlers) == 2
+    log.info("first")
+
+    p2 = str(tmp_path / "late2.jsonl")
+    configure(name="datasmith_test_late", json_path=p2)
+    assert len(log.handlers) == 2  # swapped, not accumulated
+    log.info("second")
+
+    import json as _json
+
+    r1 = [_json.loads(x)["msg"] for x in open(p1)]
+    r2 = [_json.loads(x)["msg"] for x in open(p2)]
+    assert r1 == ["first"] and r2 == ["second"]
+
+    # explicit level on a repeat call re-applies
+    configure(name="datasmith_test_late", level="warning")
+    assert log.level == 30
