@@ -79,21 +79,24 @@ def test_features_nonfinite_flagged():
 
 
 def test_sumsq_tree_is_host_portable():
-    """rms's sum-of-squares must follow the documented balanced binary tree
+    """rms's sum-of-squares must follow the documented fixed-order reduction
     exactly (pure-scalar reference, no numpy reductions involved), so the
-    committed oracle fixture is reproducible bit-for-bit on any host/BLAS."""
+    committed oracle fixture is reproducible bit-for-bit on any host/BLAS:
+    strict left fold into 4096 lanes, then a balanced halving tree."""
     import math
 
+    L = audio._SUMSQ_LANES
     rng = np.random.default_rng(7)
-    for n in [1, 2, 3, 5, 127, 128, 129, 1000, 4096, 31999]:
+    for n in [1, 2, 3, 5, 127, 4095, 4096, 4097, 10000, 31999]:
         x = rng.standard_normal(n)
-        vals = [float(v) * float(v) for v in x.tolist()]
-        pad = 1 << (n - 1).bit_length()
-        vals += [0.0] * (pad - n)
-        while len(vals) > 1:
-            vals = [vals[i] + vals[i + 1] for i in range(0, len(vals), 2)]
+        sq = [float(v) * float(v) for v in x.tolist()]
+        lanes = [0.0] * L
+        for i, v in enumerate(sq):  # strict left fold per lane
+            lanes[i % L] = lanes[i % L] + v
+        while len(lanes) > 1:  # balanced halving tree over the lanes
+            lanes = [lanes[i] + lanes[i + 1] for i in range(0, len(lanes), 2)]
         got = audio._sumsq_tree(x)
-        assert got == vals[0], n
-        # and the tree is numerically sane vs the exact (fsum) result
-        exact = math.fsum(float(v) * float(v) for v in x.tolist())
+        assert got == lanes[0], n
+        # and the reduction is numerically sane vs the exact (fsum) result
+        exact = math.fsum(sq)
         assert abs(got - exact) <= 1e-9 * max(1.0, abs(exact)), n
