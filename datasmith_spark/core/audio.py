@@ -89,7 +89,13 @@ _ALAW_DEC = _alaw_decode_table()
 
 
 def encode(pcm: np.ndarray, codec: str) -> bytes:
-    """float64/float32 PCM in [-1, 1] -> encoded bytes for `codec`."""
+    """float64/float32 PCM in [-1, 1] -> encoded bytes for `codec`.
+
+    >>> encode(np.array([0.0, 1.0]), "pcm16")
+    b'\\x00\\x00\\xff\\x7f'
+    >>> len(encode(np.zeros(3), "mulaw"))
+    3
+    """
     if codec == "float32":
         return np.asarray(pcm, dtype="<f4").tobytes()
     x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
@@ -115,6 +121,15 @@ def decode(buf: bytes | None, codec: str) -> np.ndarray | None:
     buffer length not a multiple of the codec itemsize.
     Non-finite float32 payloads decode successfully here; the pipeline's
     decode stage flags them via the finite-fraction feature.
+
+    >>> decode(encode(np.array([0.0, 0.25, -0.5]), "float32"), "float32").tolist()
+    [0.0, 0.25, -0.5]
+    >>> decode(b"\\x00", "pcm16") is None   # misaligned for itemsize 2
+    True
+    >>> decode(b"", "pcm8") is None
+    True
+    >>> decode(b"\\x00\\x00", "opus") is None  # unknown codec
+    True
     """
     if buf is None or codec not in ITEMSIZE:
         return None
@@ -230,7 +245,13 @@ def pcm_features(
 
 
 def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
-    """Signal-to-noise ratio of `test` against `ref`, in dB."""
+    """Signal-to-noise ratio of `test` against `ref`, in dB.
+
+    >>> snr_db(np.ones(4), np.ones(4)) > 250      # identical => ~300 dB floor
+    True
+    >>> round(snr_db(np.ones(4), np.zeros(4)), 6)  # all noise
+    0.0
+    """
     ref = np.asarray(ref, dtype=np.float64)
     test = np.asarray(test, dtype=np.float64)
     n = min(ref.size, test.size)

@@ -58,6 +58,15 @@ def repetition_score(words: list[str]) -> float:
     length p repeated back-to-back matches itself at lag p). Natural Zipf text
     scores ~ sum(p_word^2) << 0.5. Exactly mirrored by the Spark side with
     zip_with(slice(w,1,n-p), slice(w,p+1,n-p), ==) aggregates.
+
+    >>> repetition_score(["buy"] * 10)          # lag-1 stutter
+    1.0
+    >>> repetition_score(["a", "b"] * 6)        # lag-2 phrase repeat
+    1.0
+    >>> repetition_score("the quick brown fox".split())
+    0.0
+    >>> repetition_score([])
+    0.0
     """
     n = len(words)
     best = 0.0
@@ -81,6 +90,16 @@ def rule_reasons(
 
     Null-hostile: missing values fail their predicate (reference
     filter_dashboards.py:113-119 semantics).
+
+    A clean pcm16 row — 1 s at 16 kHz is 32,000 bytes, 11 chars/s is in the
+    [CPS_MIN, CPS_MAX] band:
+
+    >>> rule_reasons("pcm16", 16000, 1000, 32000, "hello world")
+    []
+    >>> rule_reasons("ogg", None, 10, 0, "  ")
+    ['unknown_codec', 'empty_audio', 'bad_sr', 'bad_duration', 'empty_transcript']
+    >>> rule_reasons("pcm16", 16000, 1000, 33000, "hello world")
+    ['dur_mismatch']
     """
     reasons: list[str] = []
     itemsize = ITEMSIZE.get(codec or "")
@@ -126,7 +145,17 @@ def rule_reasons(
 
 
 def decode_reasons(ok: bool, rms: float, peak: float, finite_frac: float) -> list[str]:
-    """Stage-D drop reasons from decoded-audio features."""
+    """Stage-D drop reasons from decoded-audio features.
+
+    >>> decode_reasons(True, 0.1, 0.5, 1.0)
+    []
+    >>> decode_reasons(False, 0.1, 0.5, 1.0)
+    ['decode_error']
+    >>> decode_reasons(True, 1e-6, 0.5, 1.0)   # below RMS_MIN
+    ['silence']
+    >>> decode_reasons(True, 0.1, 2.0, 0.99)   # nonfinite wins over amplitude
+    ['nonfinite_audio']
+    """
     if not ok:
         return ["decode_error"]
     reasons: list[str] = []

@@ -32,6 +32,15 @@ def scrub_text(text: str | None) -> tuple[str | None, int, int]:
     Returns (scrubbed_text, pii_count, tox_count). PII spans are replaced by
     ``<PII:KIND>`` tokens; toxicity lexicon hits by ``<TOX>``. Deterministic,
     per-row only.
+
+    >>> scrub_text("mail john.doe3@example.com or call (212) 555-0147")
+    ('mail <PII:EMAIL> or call <PII:PHONE>', 2, 0)
+    >>> scrub_text("what a smeghead")  # lexicon hit, case-insensitive
+    ('what a <TOX>', 0, 1)
+    >>> scrub_text("SSN 123-45-6789 from 10.0.0.1")
+    ('SSN <PII:SSN> from <PII:IP>', 2, 0)
+    >>> scrub_text(None)
+    (None, 0, 0)
     """
     if text is None:
         return None, 0, 0
@@ -45,6 +54,13 @@ def scrub_text(text: str | None) -> tuple[str | None, int, int]:
 
 
 def count_words(text: str) -> int:
+    """Whitespace-token count; blank/empty strings count zero words.
+
+    >>> count_words("  a  b \\t c ")
+    3
+    >>> count_words("   ")
+    0
+    """
     t = text.strip()
     if not t:
         return 0

@@ -85,7 +85,15 @@ TOXICITY_LEXICON = (
 
 
 def zipf_lang(u: float) -> str:
-    """Map a uniform [0,1) draw to a language code by the Zipf mix."""
+    """Map a uniform [0,1) draw to a language code by the Zipf mix.
+
+    >>> zipf_lang(0.0)      # en holds the first 55% of mass
+    'en'
+    >>> zipf_lang(0.60)
+    'es'
+    >>> zipf_lang(0.9999)
+    'ru'
+    """
     acc = 0.0
     for lang, p in zip(LANGS, LANG_PROBS):
         acc += p
