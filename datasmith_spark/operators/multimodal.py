@@ -5,16 +5,17 @@ This module generalizes the same Spark-side plumbing — typed binary column +
 metadata columns + Arrow-batched mapInPandas feature extraction with bounded
 batch sizes — to image/video payloads.
 
-Codec reality in this sandbox: PIL/ffmpeg are not installed, so JPEG decode
-remains STUBBED behind an import-gate (NotImplementedError). Everything
-else is fully implemented and tested:
+All four codec lanes are fully implemented (no stubs, no PIL/ffmpeg
+dependency):
   * 'rgb8'  — bytes = height*width*3 uint8 (row-major RGB)
   * 'vid8'  — bytes = n_frames*height*width uint8 (mono frames)
-  * 'png'   — real pure-stdlib decoder below (zlib inflate, filters 0-4,
+  * 'png'   — pure-stdlib decoder below (zlib inflate, filters 0-4,
               color types 0/2/3/4/6 at bit depth 8, non-interlaced)
-The schema, partitioning, UDF signature and batch shapes are the real,
-scale-ready parts; swapping the JPEG stub for PIL.Image.open is a
-kernel-local change.
+  * 'jpeg'  — pure-python baseline codec (operators/jpeg.py: T.81
+              sequential DCT, Annex K tables, 4:4:4 / 4:2:0, restarts)
+The schema, partitioning, UDF signature and batch shapes are the
+scale-ready parts; a real cluster deployment can swap libjpeg-turbo/PIL in
+behind the same decode_image() seam for megapixel throughput.
 """
 
 from __future__ import annotations
@@ -186,14 +187,12 @@ def decode_image(buf: bytes | None, width: int, height: int, fmt: str) -> np.nda
             return None
         return img
     if fmt == "jpeg":
-        try:
-            from PIL import Image  # noqa: F401  (not installed in sandbox)
-        except ImportError as e:
-            raise NotImplementedError(
-                "jpeg decode requires PIL; install it and decode "
-                "via Image.open(io.BytesIO(buf)) here"
-            ) from e
-        raise NotImplementedError("unreachable in sandbox")
+        from .jpeg import decode_jpeg
+
+        img = decode_jpeg(buf)
+        if img is None or img.shape[:2] != (height, width):
+            return None
+        return img
     return None
 
 
@@ -215,10 +214,7 @@ def image_features(images: DataFrame) -> DataFrame:
             for i, (buf, w, h, fmt) in enumerate(
                 zip(pdf["bytes"], pdf["width"], pdf["height"], pdf["fmt"])
             ):
-                try:
-                    img = decode_image(buf, int(w), int(h), fmt)
-                except NotImplementedError:
-                    img = None
+                img = decode_image(buf, int(w), int(h), fmt)
                 if img is None:
                     continue
                 ok[i] = True
@@ -275,8 +271,12 @@ def sample_video_frames(videos: DataFrame, every_k: int = 10) -> DataFrame:
 def synth_images(spark, n: int, width: int = 32, height: int = 24) -> DataFrame:
     """Deterministic synthetic image table (seeded per row index): mostly
     rgb8, every 9th row a real PNG (cycling through all five scanline
-    filters), every 17th a jpeg (the remaining honest stub)."""
+    filters), every 17th a real baseline JPEG (alternating 4:4:4 / 4:2:0,
+    occasionally with restart markers), every 51st a deliberately corrupt
+    JPEG (truncated stream) to pin flag-not-crash decode behavior."""
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import encode_jpeg
+
         for b in batches:
             recs = []
             for i in b["id"]:
@@ -284,7 +284,14 @@ def synth_images(spark, n: int, width: int = 32, height: int = 24) -> DataFrame:
                 rng = np.random.default_rng([4242, i])
                 img = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
                 if i % 17 == 0:
-                    fmt, payload = "jpeg", img.tobytes()  # stubbed rows
+                    enc = encode_jpeg(
+                        img,
+                        subsample=bool((i // 17) % 2),
+                        restart_interval=2 if i % 5 == 0 else 0,
+                    )
+                    if i % 51 == 0:  # corrupt lane: torn mid-entropy-stream
+                        enc = enc[: max(len(enc) // 2, 24)]
+                    fmt, payload = "jpeg", enc
                 elif i % 9 == 0:
                     fmt, payload = "png", encode_png(img, row_filters=i % 5)
                 else:

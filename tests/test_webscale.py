@@ -105,7 +105,11 @@ def test_image_features_and_stub(spark):
     assert len(feats) == 100
     ok = feats[feats.decode_ok]
     stub = feats[~feats.decode_ok]
-    assert len(stub) == len(feats[feats.fmt == "jpeg"])  # stubbed codecs flagged, not crashed
+    # jpeg is a real codec lane now; only the deliberately-corrupt rows
+    # (img_id index % 51 == 0, truncated streams) are flagged, never crashed
+    jpeg = feats[feats.fmt == "jpeg"]
+    assert len(jpeg) > 2 and jpeg.decode_ok.sum() == len(jpeg) - 2
+    assert set(stub.fmt) == {"jpeg"} and len(stub) == 2
     assert ok.mean_r.between(100, 155).all()  # uniform-noise images
     assert ok.std_gray.notna().all()
     # decode parity with the local kernel on one row
