@@ -1,0 +1,160 @@
+"""Sample-rate conversion + log-mel kernels and their Spark operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from datasmith_spark.core.audio import decode, snr_db
+from datasmith_spark.core.resample import logmel, mel_filterbank, resample
+
+
+def _sine(freq: float, sr: int, sec: float = 0.5) -> np.ndarray:
+    t = np.arange(int(sr * sec), dtype=np.float64) / sr
+    return 0.5 * np.sin(2 * np.pi * freq * t)
+
+
+def _trim(x: np.ndarray, n: int = 256) -> np.ndarray:
+    return x[n:-n]
+
+
+class TestResampleKernel:
+    def test_identity_and_empty(self):
+        x = _sine(440, 16000)
+        assert np.array_equal(resample(x, 16000, 16000), x)
+        assert resample(np.zeros(0), 8000, 16000).size == 0
+
+    def test_output_length(self):
+        x = _sine(440, 16000, 0.1)
+        assert resample(x, 16000, 48000).size == x.size * 3
+        assert resample(x, 16000, 8000).size == x.size // 2
+
+    def test_sinc_roundtrip_snr(self):
+        # mid-band tone survives 16k -> 8k -> 16k well above the 30 dB gate
+        x = _sine(1000, 16000)
+        y = resample(resample(x, 16000, 8000), 8000, 16000)
+        assert snr_db(_trim(x), _trim(y)) >= 40.0
+
+    def test_upsample_snr(self):
+        x = _sine(1000, 16000)
+        y = resample(x, 16000, 48000)
+        ref = _sine(1000, 48000)[: y.size]
+        assert snr_db(_trim(ref, 768), _trim(y, 768)) >= 40.0
+
+    def test_antialias_on_downsample(self):
+        # 7 kHz tone is above the 8 kHz output's Nyquist: it must be
+        # attenuated, not folded back as a 1 kHz alias
+        x = _sine(7000, 16000)
+        y = resample(x, 16000, 8000)
+        in_rms = float(np.sqrt((x**2).mean()))
+        out_rms = float(np.sqrt((_trim(y) ** 2).mean()))
+        assert out_rms < 0.05 * in_rms
+
+    def test_linear_mode(self):
+        x = _sine(200, 16000)
+        y = resample(x, 16000, 48000, mode="linear")
+        ref = _sine(200, 48000)[: y.size]
+        assert snr_db(_trim(ref, 768), _trim(y, 768)) >= 35.0
+
+    def test_determinism_and_batch_invariance(self):
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal(50_000) * 0.1
+        a = resample(x, 48000, 16000)
+        b = resample(x, 48000, 16000)
+        assert np.array_equal(a, b)
+
+    def test_bad_args(self):
+        with pytest.raises(ValueError):
+            resample(_sine(440, 16000, 0.01), 16000, 0)
+        with pytest.raises(ValueError):
+            resample(_sine(440, 16000, 0.01), 16000, 8000, mode="cubic")
+
+
+class TestLogmelKernel:
+    def test_shapes_and_short_clip(self):
+        x = _sine(1000, 16000)  # 8000 samples
+        m = logmel(x, 16000, n_fft=512, hop=256, n_mels=40)
+        assert m.shape == (1 + (x.size - 512) // 256, 40)
+        assert logmel(np.zeros(100), 16000, n_fft=512).shape == (0, 40)
+
+    def test_tone_lands_in_right_mel_band(self):
+        sr, n_fft, n_mels = 16000, 512, 40
+        m = logmel(_sine(2000, sr), sr, n_fft=n_fft, n_mels=n_mels)
+        hot = int(np.bincount(m.argmax(axis=1), minlength=n_mels).argmax())
+        fb = mel_filterbank(sr, n_fft, n_mels)
+        centers = fb.argmax(axis=1) * sr / n_fft
+        assert abs(centers[hot] - 2000) < 300
+        # louder tone -> larger log energy in its band
+        quiet = logmel(0.05 * _sine(2000, sr), sr, n_fft=n_fft, n_mels=n_mels)
+        assert m[:, hot].mean() > quiet[:, hot].mean()
+
+    def test_filterbank_covers_spectrum(self):
+        fb = mel_filterbank(16000, 512, 40)
+        assert fb.shape == (40, 257)
+        assert (fb >= 0).all() and (fb.sum(axis=1) > 0).all()
+
+
+class TestSparkOperators:
+    @pytest.fixture(scope="class")
+    def clips(self, spark):
+        from datasmith_spark.datagen import clips_df
+
+        return clips_df(spark, 120, n_partitions=4).cache()
+
+    def test_resample_clips(self, spark, clips):
+        from datasmith_spark.operators.audio_ops import resample_clips
+
+        out = resample_clips(clips, 16000).toPandas().set_index("clip_id")
+        src = clips.toPandas().set_index("clip_id")
+        assert len(out) == len(src)
+        ok = out[out.resample_ok]
+        assert len(ok) > 0
+        assert (ok.sr_hz == 16000).all() and (ok.codec == "pcm16").all()
+        # byte payloads decode at the new rate to roughly the same duration
+        for cid, row in ok.head(5).iterrows():
+            pcm = decode(row.bytes, "pcm16")
+            assert abs(pcm.size / 16000 * 1000 - row.dur_ms) <= 1
+        # undecodable rows pass through byte-identical, never dropped
+        bad = out[~out.resample_ok]
+        for cid, row in bad.iterrows():
+            assert row.bytes == src.loc[cid].bytes
+
+    def test_resample_preserves_content(self, spark, clips):
+        from datasmith_spark.operators.audio_ops import resample_clips
+
+        src = clips.toPandas()
+        srow = next(
+            r for _, r in src.iterrows()
+            if decode(r.bytes, r.codec) is not None
+            and r.sr_hz in (44100, 48000)
+            and decode(r.bytes, r.codec).size > 4096
+        )
+        out = (
+            resample_clips(clips, 16000)
+            .filter(f"clip_id = '{srow.clip_id}'")
+            .toPandas()
+            .iloc[0]
+        )
+        got = decode(out.bytes, "pcm16")
+        ref = resample(decode(srow.bytes, srow.codec), int(srow.sr_hz), 16000)
+        # pcm16 re-quantization is the only loss; SNR far above the 30 dB gate
+        assert snr_db(ref, got) >= 40.0
+
+    def test_logmel_features(self, spark, clips):
+        from datasmith_spark.operators.audio_ops import logmel_features
+
+        out = logmel_features(clips, n_fft=256, hop=128, n_mels=24).toPandas()
+        assert len(out) == clips.count()
+        ok = out[out.ok]
+        assert len(ok) > 0
+        for _, row in ok.iterrows():
+            assert len(row.feats) == row.n_frames * row.n_mels
+        # a known row matches the kernel exactly
+        src = clips.toPandas()
+        srow = next(r for _, r in src.iterrows() if decode(r.bytes, r.codec) is not None)
+        ref = logmel(decode(srow.bytes, srow.codec), int(srow.sr_hz), n_fft=256, hop=128, n_mels=24)
+        got = np.asarray(
+            out[out.clip_id == srow.clip_id].iloc[0].feats, dtype=np.float64
+        ).reshape(-1, 24)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
