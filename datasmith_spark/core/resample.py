@@ -111,6 +111,12 @@ def logmel(
     with a 1e-10 floor (the engine-wide epsilon convention, core/rules.py).
     Frames are full windows only (no partial tail); a clip shorter than
     n_fft yields an empty (0, n_mels) array rather than a padded frame.
+
+    The mel projection is computed per-bin over the filter's support with
+    numpy's fixed pairwise summation rather than a BLAS matmul, so results
+    are bit-identical across hosts/BLAS builds — the committed audio-ops
+    oracle fixture depends on this (same portability rule as the
+    fixed-order rms reduction in core/audio.py).
     """
     x = np.asarray(pcm, dtype=np.float64)
     if x.size < n_fft:
@@ -120,4 +126,12 @@ def logmel(
     frames = x[idx] * np.hanning(n_fft)[None, :]
     power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
     fb = mel_filterbank(sr, n_fft, n_mels)
-    return np.log10(power @ fb.T + 1e-10)
+    mel = np.empty((n_frames, n_mels))
+    for m in range(n_mels):
+        (nz,) = np.nonzero(fb[m])
+        if nz.size == 0:
+            mel[:, m] = 0.0
+            continue
+        lo, hi = int(nz[0]), int(nz[-1]) + 1
+        mel[:, m] = (power[:, lo:hi] * fb[m, lo:hi][None, :]).sum(axis=1)
+    return np.log10(mel + 1e-10)

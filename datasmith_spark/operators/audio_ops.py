@@ -6,19 +6,32 @@ compact features out, nothing per-row in Python at the Spark level. The
 kernels live in core/resample.py and are shared with the tests' single-
 process oracles, so both sides move together.
 
+Two input paths, mirroring the pipeline's transfer-scan vs fused-scan split:
+
+  * resample_clips / logmel_features take a clips DataFrame — composable
+    with any upstream operator, but the binary column crosses the
+    JVM<->Python socket once on the way in.
+  * resample_digest_scan / logmel_digest_scan take a parquet directory and
+    read it worker-side via pyarrow (memory_map, bounded row-group
+    batches) — audio bytes never enter the JVM at all, so even a
+    default-heap session verifies the full table (q36/q37's path).
+
 At 100 TB these are embarrassingly parallel narrow maps — no shuffle, no
-cross-row state; the only knob that matters is Arrow batch size
-(spark.sql.execution.arrow.maxRecordsPerBatch) against executor memory,
-bounded here by the kernels' internal chunking.
+cross-row state; the only knobs are Arrow batch size
+(spark.sql.execution.arrow.maxRecordsPerBatch) against executor memory and
+scan parallelism (the fused path reuses scan_decode's $SPARK_GRAFT_SCAN_PAR
+cap, a sandbox-only I/O-serialization workaround).
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+import hashlib
+import os
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 from ..core.audio import ITEMSIZE, decode, encode
 from ..core.resample import logmel, resample
@@ -28,11 +41,101 @@ RESAMPLED_DDL = (
     "transcript string, resample_ok boolean"
 )
 
+RESAMPLED_DIGEST_DDL = (
+    "clip_id string, resample_ok boolean, sr_hz int, dur_ms int, payload_md5 string"
+)
+
 LOGMEL_DDL = "clip_id string, ok boolean, n_frames int, n_mels int, feats array<double>"
+
+LOGMEL_DIGEST_DDL = "clip_id string, ok boolean, n_frames int, n_mels int, feats_md5 string"
+
+
+def _resample_pdf(
+    pdf: pd.DataFrame, target_sr: int, mode: str, codec_out: str, digest: bool
+) -> pd.DataFrame:
+    """One pandas batch of clips -> resampled batch (or digest batch)."""
+    out_bytes, out_sr, out_dur, out_codec, ok = [], [], [], [], []
+    for buf, sr, codec in zip(pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        if pcm is None:
+            out_bytes.append(buf)
+            out_sr.append(sr)
+            out_dur.append(None)
+            out_codec.append(codec)
+            ok.append(False)
+            continue
+        y = resample(pcm, int(sr), target_sr, mode=mode)
+        out_bytes.append(encode(y, codec_out))
+        out_sr.append(target_sr)
+        out_dur.append(int(round(y.size / target_sr * 1000.0)))
+        out_codec.append(codec_out)
+        ok.append(True)
+    dur = pd.array(
+        [d if d is not None else pdf["dur_ms"].iloc[i] for i, d in enumerate(out_dur)],
+        dtype="Int32",
+    )
+    if digest:
+        return pd.DataFrame(
+            {
+                "clip_id": pdf["clip_id"],
+                "resample_ok": ok,
+                "sr_hz": pd.array(out_sr, dtype="Int32"),
+                "dur_ms": dur,
+                "payload_md5": [
+                    None if b is None else hashlib.md5(b).hexdigest() for b in out_bytes
+                ],
+            }
+        )
+    return pd.DataFrame(
+        {
+            "clip_id": pdf["clip_id"],
+            "bytes": out_bytes,
+            "sr_hz": pd.array(out_sr, dtype="Int32"),
+            "dur_ms": dur,
+            "codec": out_codec,
+            "transcript": pdf["transcript"],
+            "resample_ok": ok,
+        }
+    )
+
+
+def _logmel_pdf(
+    pdf: pd.DataFrame, n_fft: int, hop: int, n_mels: int, digest: bool
+) -> pd.DataFrame:
+    """One pandas batch of clips -> log-mel batch (or digest batch)."""
+    oks, nfs, feats = [], [], []
+    for buf, sr, codec in zip(pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        if pcm is None:
+            oks.append(False)
+            nfs.append(0)
+            feats.append(np.zeros(0))
+            continue
+        m = logmel(pcm, int(sr), n_fft=n_fft, hop=hop, n_mels=n_mels)
+        oks.append(True)
+        nfs.append(m.shape[0])
+        feats.append(m.reshape(-1))
+    out = {
+        "clip_id": pdf["clip_id"],
+        "ok": oks,
+        "n_frames": pd.array(nfs, dtype="Int32"),
+        "n_mels": pd.array([n_mels] * len(pdf), dtype="Int32"),
+    }
+    if digest:
+        out["feats_md5"] = [
+            hashlib.md5(np.ascontiguousarray(a, dtype="<f8").tobytes()).hexdigest()
+            for a in feats
+        ]
+    else:
+        out["feats"] = feats
+    return pd.DataFrame(out)
 
 
 def resample_clips(
-    clips: DataFrame, target_sr: int, mode: str = "sinc", codec_out: str = "pcm16"
+    clips: DataFrame, target_sr: int, mode: str = "sinc", codec_out: str = "pcm16",
+    digest: bool = False,
 ) -> DataFrame:
     """Normalize every decodable clip to target_sr, re-encoded as codec_out.
 
@@ -40,51 +143,26 @@ def resample_clips(
     the table stays complete for lineage; downstream filters decide.
     Already-at-rate clips are still re-encoded to codec_out so the output
     column is homogeneous (one codec) for training consumers.
+
+    digest=True replaces the payload column with its md5 computed in the
+    same pass — the verification mode (q36's oracle compare): the resampled
+    bytes never cross back over the JVM<->Python socket.
     """
     if codec_out not in ITEMSIZE:
         raise ValueError(f"unknown codec_out: {codec_out}")
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_bytes, out_sr, out_dur, out_codec, ok = [], [], [], [], []
-            for buf, sr, codec in zip(pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
-                sr = None if pd.isna(sr) else int(sr)
-                pcm = decode(buf, codec) if sr and sr > 0 else None
-                if pcm is None:
-                    out_bytes.append(buf)
-                    out_sr.append(sr)
-                    out_dur.append(None)
-                    out_codec.append(codec)
-                    ok.append(False)
-                    continue
-                y = resample(pcm, int(sr), target_sr, mode=mode)
-                out_bytes.append(encode(y, codec_out))
-                out_sr.append(target_sr)
-                out_dur.append(int(round(y.size / target_sr * 1000.0)))
-                out_codec.append(codec_out)
-                ok.append(True)
-            yield pd.DataFrame(
-                {
-                    "clip_id": pdf["clip_id"],
-                    "bytes": out_bytes,
-                    "sr_hz": pd.array(out_sr, dtype="Int32"),
-                    "dur_ms": pd.array(
-                        [d if d is not None else pdf["dur_ms"].iloc[i] for i, d in enumerate(out_dur)],
-                        dtype="Int32",
-                    ),
-                    "codec": out_codec,
-                    "transcript": pdf["transcript"],
-                    "resample_ok": ok,
-                }
-            )
+            yield _resample_pdf(pdf, target_sr, mode, codec_out, digest)
 
     return clips.select(
         "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
-    ).mapInPandas(_run, schema=RESAMPLED_DDL)
+    ).mapInPandas(_run, schema=RESAMPLED_DIGEST_DDL if digest else RESAMPLED_DDL)
 
 
 def logmel_features(
-    clips: DataFrame, n_fft: int = 512, hop: int = 256, n_mels: int = 40
+    clips: DataFrame, n_fft: int = 512, hop: int = 256, n_mels: int = 40,
+    digest: bool = False,
 ) -> DataFrame:
     """Per-clip log-mel spectrogram, flattened row-major into one array.
 
@@ -92,33 +170,85 @@ def logmel_features(
     n_frames=0 for clips shorter than one FFT window. Flattening keeps the
     Arrow transfer a single fixed-type list column; consumers reshape with
     (n_frames, n_mels).
+
+    digest=True replaces the feature array with its bit-exact md5 (little-
+    endian float64 bytes) computed in the same pass — the verification mode
+    (q37's oracle compare) without shipping the arrays through Arrow.
     """
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            oks, nfs, feats = [], [], []
-            for buf, sr, codec in zip(pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
-                sr = None if pd.isna(sr) else int(sr)
-                pcm = decode(buf, codec) if sr and sr > 0 else None
-                if pcm is None:
-                    oks.append(False)
-                    nfs.append(0)
-                    feats.append(np.zeros(0))
-                    continue
-                m = logmel(pcm, int(sr), n_fft=n_fft, hop=hop, n_mels=n_mels)
-                oks.append(True)
-                nfs.append(m.shape[0])
-                feats.append(m.reshape(-1))
-            yield pd.DataFrame(
-                {
-                    "clip_id": pdf["clip_id"],
-                    "ok": oks,
-                    "n_frames": pd.array(nfs, dtype="Int32"),
-                    "n_mels": pd.array([n_mels] * len(pdf), dtype="Int32"),
-                    "feats": feats,
-                }
-            )
+            yield _logmel_pdf(pdf, n_fft, hop, n_mels, digest)
 
     return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
-        _run, schema=LOGMEL_DDL
+        _run, schema=LOGMEL_DIGEST_DDL if digest else LOGMEL_DDL
+    )
+
+
+# ----------------------------------------------------- fused manifest path
+
+_CLIP_COLUMNS = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+
+
+def _manifest_scan(
+    spark: SparkSession,
+    input_dir: str,
+    per_pdf: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+    batch_rows: int = 256,
+    scan_parallelism: int | None = None,
+) -> DataFrame:
+    """Fused worker-side parquet scan (shape of scan_decode.scan_rules_decode):
+    file paths are the only rows the JVM ever sees; each task opens its files
+    with pyarrow memory_map and streams bounded row-group batches through
+    per_pdf. Heavy binary columns stay entirely inside the Python worker."""
+    from .scan_decode import list_manifest
+
+    manifest = list_manifest(input_dir)
+    if scan_parallelism is None:
+        cap = int(os.environ.get("SPARK_GRAFT_SCAN_PAR", "8"))
+        scan_parallelism = max(
+            1, min(len(manifest), spark.sparkContext.defaultParallelism, cap)
+        )
+    paths = spark.createDataFrame([(p,) for p in manifest], "path string").repartition(
+        max(scan_parallelism, 1)
+    )
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for path in b["path"]:
+                pf = pq.ParquetFile(path, memory_map=True)
+                for rb in pf.iter_batches(batch_size=batch_rows, columns=_CLIP_COLUMNS):
+                    yield per_pdf(rb.to_pandas())
+
+    return paths.mapInPandas(_scan, schema=schema)
+
+
+def resample_digest_scan(
+    spark: SparkSession, input_dir: str, target_sr: int,
+    mode: str = "sinc", codec_out: str = "pcm16",
+) -> DataFrame:
+    """resample_clips(digest=True) over a parquet directory via the fused
+    manifest scan — the verification path at any heap size (q36)."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _resample_pdf(pdf, target_sr, mode, codec_out, True),
+        RESAMPLED_DIGEST_DDL,
+    )
+
+
+def logmel_digest_scan(
+    spark: SparkSession, input_dir: str,
+    n_fft: int = 512, hop: int = 256, n_mels: int = 40,
+) -> DataFrame:
+    """logmel_features(digest=True) over a parquet directory via the fused
+    manifest scan (q37)."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _logmel_pdf(pdf, n_fft, hop, n_mels, True),
+        LOGMEL_DIGEST_DDL,
     )

@@ -1279,3 +1279,57 @@ def q35_ivf_ann_search(spark, sf_dir):
     from .operators.similarity import ivf_ann_search
 
     return ivf_ann_search(_t(spark, sf_dir, "embeddings"), n_queries=20, k=3)
+
+
+# ------------------------------------------------------- audio prep ops
+
+_AUDIO_OPS_FIXTURE = f"/root/repo/fixtures/oracle_audio_ops_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q36_resample_clips",
+    f"""
+    SELECT clip_id, resample_ok, sr_hz, dur_ms, payload_md5
+    FROM read_parquet('{_AUDIO_OPS_FIXTURE}')
+    """,
+)
+def q36_resample_clips(spark, sf_dir):
+    """Sample-rate normalization to 16 kHz (windowed-sinc, anti-aliased) over
+    the pinned clips table — Arrow-batched mapInPandas, undecodable rows
+    passed through byte-identical with resample_ok=false.
+
+    Value check is digest-exact: the operator's digest mode hashes its
+    resampled payload per clip inside the fused manifest scan (pyarrow
+    memory_map reads in the worker — audio bytes never touch the JVM in
+    either direction, so a default-heap driver session verifies the full
+    table), while the DuckDB oracle reads the committed single-process
+    oracle's digests (scripts/make_audio_ops_fixture.py — shared fixed-order
+    kernels, independent driver loop); any bit difference in decode,
+    resample, or re-encode flips the hash. At scale this is a shuffle-free
+    narrow map; only Arrow batch size matters (operators/audio_ops.py).
+    """
+    from .operators.audio_ops import resample_digest_scan
+
+    return resample_digest_scan(spark, _clips_cache_path(spark, sf_dir), target_sr=16000)
+
+
+@register(
+    "q37_logmel_features",
+    f"""
+    SELECT clip_id, ok, n_frames, n_mels, feats_md5
+    FROM read_parquet('{_AUDIO_OPS_FIXTURE}')
+    """,
+)
+def q37_logmel_features(spark, sf_dir):
+    """Log-mel featurization (Hann rfft power -> HTK-mel filterbank ->
+    log10 with the engine-wide 1e-10 floor) over the pinned clips table.
+
+    Digest-exact value check like q36: the operator's digest mode hashes
+    each clip's float64 feature array bit-for-bit (in the same Arrow pass,
+    no array transfer) against the committed oracle's digest. The mel
+    projection uses fixed-order (BLAS-free) summation in core/resample.py
+    so the fixture is host-portable.
+    """
+    from .operators.audio_ops import logmel_digest_scan
+
+    return logmel_digest_scan(spark, _clips_cache_path(spark, sf_dir))

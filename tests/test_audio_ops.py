@@ -158,3 +158,63 @@ class TestSparkOperators:
         ).reshape(-1, 24)
         assert got.shape == ref.shape
         np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+
+class TestFixtureAndDigests:
+    @pytest.fixture(scope="class")
+    def clips(self, spark):
+        from datasmith_spark.datagen import clips_df
+
+        return clips_df(spark, 120, n_partitions=4).cache()
+
+    def test_audio_ops_fixture_is_honest(self):
+        """The committed audio-ops fixture (q36/q37 DuckDB oracle input)
+        must equal a fresh regeneration on a deterministic row sample."""
+        import sys
+
+        import pandas as pd
+
+        sys.path.insert(0, "/root/repo/scripts")
+        import make_audio_ops_fixture as maf
+
+        fix = pd.read_parquet("/root/repo/fixtures/oracle_audio_ops_n4000.parquet")
+        assert len(fix) == 4000
+        idx = list(range(0, 4000, 29))  # 138-row deterministic sample
+        fresh = maf.oracle_rows(idx).reset_index(drop=True)
+        sample = fix.iloc[idx].reset_index(drop=True)
+        for c in fresh.columns:
+            a = sample[c].astype("object").where(sample[c].notna(), "<null>").astype(str)
+            b = fresh[c].astype("object").where(fresh[c].notna(), "<null>").astype(str)
+            assert (a == b).all(), c
+
+    def test_logmel_digest_mode_matches_array_mode(self, spark, clips):
+        import hashlib
+
+        from datasmith_spark.operators.audio_ops import logmel_features
+
+        arr = logmel_features(clips).toPandas().set_index("clip_id")
+        dig = logmel_features(clips, digest=True).toPandas().set_index("clip_id")
+        assert (arr[["ok", "n_frames", "n_mels"]] == dig[["ok", "n_frames", "n_mels"]]).all().all()
+        for cid, row in arr.iterrows():
+            want = hashlib.md5(
+                np.ascontiguousarray(np.asarray(row.feats), dtype="<f8").tobytes()
+            ).hexdigest()
+            assert dig.loc[cid].feats_md5 == want
+
+    def test_registry_has_audio_ops_queries(self):
+        from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+        for name in ("q36_resample_clips", "q37_logmel_features"):
+            assert name in QUERIES and name in ORACLE_SQL
+
+    def test_resample_digest_mode_matches_bytes_mode(self, spark, clips):
+        import hashlib
+
+        from datasmith_spark.operators.audio_ops import resample_clips
+
+        full = resample_clips(clips, 16000).toPandas().set_index("clip_id")
+        dig = resample_clips(clips, 16000, digest=True).toPandas().set_index("clip_id")
+        assert (full["resample_ok"] == dig["resample_ok"]).all()
+        for cid, row in full.iterrows():
+            want = None if row.bytes is None else hashlib.md5(row.bytes).hexdigest()
+            assert dig.loc[cid].payload_md5 == want
