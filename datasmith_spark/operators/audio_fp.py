@@ -1,0 +1,156 @@
+"""Audio-fingerprint near-duplicate detection (Spark operators).
+
+Flow (all shapes already proven by the text dedup families):
+
+  1. fingerprint: Arrow-batched narrow map, one (clip_id, fp_key) row per
+     distinct k-gram key — embarrassingly parallel, no shuffle, audio bytes
+     never leave the worker on the fused-scan path.
+  2. candidates: ONE self-join on the key through the shared hot-key cap
+     (operators/pairs.py) — a viral clip re-uploaded thousands of times
+     lands its keys in O(m) star pairs, never O(m^2).
+  3. verify: integer-exact Jaccard over the full key sets, computed only
+     for candidate pairs (verify-after-filter, same shape as
+     dedup.jaccard_verify). The threshold test is cross-multiplied in
+     integers (den * |A∩B| >= num * |A∪B|) so the emitted columns are all
+     engine-exact (no float rounding in the value check).
+
+At 10^12 clips: stage 1 is a narrow map; stage 2 shuffles short uniform hex
+keys (capped); stage 3 touches candidates only. The brute-force alternative
+(all-pairs BER on aligned fingerprints) never appears.
+
+The planted-duplicate derivation (core/audio_fp.aug_variant) lives in the
+same scan: for every aug_every-th clip the batch also emits keys for a
+gain-scaled, re-quantized copy under an `aug_` id — deterministic ground
+truth for recall tests and the DuckDB oracle, derived from the SAME decode
+pass (no second scan of the binary column).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.audio import decode
+from ..core.audio_fp import FP_KGRAM, FP_MAX_S, aug_variant, fp_keys
+
+FP_KEYS_DDL = "clip_id string, fp_key string"
+
+# q38's pinned subset of the n=4000 clips table: fingerprint every 4th clip
+# (1000 rows) and plant an augmented near-duplicate for every 40th (100
+# aug_ rows). Shared by the Spark query, the fixture script, and the tests
+# so the committed oracle fixture describes exactly this input.
+FP_EVERY = 4
+FP_AUG_EVERY = 40
+
+
+def clip_index(clip_id: str) -> int:
+    """Row index from a `clip_<i>` / `aug_<i>` id (datagen naming)."""
+    return int(clip_id.rsplit("_", 1)[1])
+
+
+def _fp_rows(
+    pdf: pd.DataFrame, every: int, aug_every: int, kgram: int, max_s: float
+) -> pd.DataFrame:
+    """One pandas batch of clips -> (clip_id, fp_key) rows (+ planted augs)."""
+    ids: list[str] = []
+    keys: list[str] = []
+    for cid, buf, sr, codec in zip(pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
+        i = clip_index(cid)
+        if every > 1 and i % every:
+            continue
+        sr = None if pd.isna(sr) else int(sr)
+        if not sr or sr <= 0:
+            continue
+        pcm = decode(buf, codec)
+        if pcm is None or pcm.size == 0:
+            continue
+        ks = fp_keys(pcm, sr, kgram, max_s)
+        ids.extend([cid] * len(ks))
+        keys.extend(ks)
+        if aug_every and i % aug_every == 0:
+            ks2 = fp_keys(aug_variant(pcm[: int(round(max_s * sr))]), sr, kgram, max_s)
+            aid = f"aug_{i:012d}"
+            ids.extend([aid] * len(ks2))
+            keys.extend(ks2)
+    return pd.DataFrame({"clip_id": ids, "fp_key": keys})
+
+
+def fingerprint_clips(
+    clips: DataFrame,
+    every: int = 1,
+    aug_every: int = 0,
+    kgram: int = FP_KGRAM,
+    max_s: float = FP_MAX_S,
+) -> DataFrame:
+    """(clip_id, fp_key) rows from a clips DataFrame (composable path; the
+    binary column crosses the JVM<->Python socket once on the way in)."""
+    from collections.abc import Iterator
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _fp_rows(pdf, every, aug_every, kgram, max_s)
+
+    return clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript").mapInPandas(
+        _run, schema=FP_KEYS_DDL
+    )
+
+
+def fingerprint_scan(
+    spark: SparkSession,
+    input_dir: str,
+    every: int = 1,
+    aug_every: int = 0,
+    kgram: int = FP_KGRAM,
+    max_s: float = FP_MAX_S,
+) -> DataFrame:
+    """fingerprint_clips over a parquet directory via the fused manifest
+    scan (audio bytes never enter the JVM — q38's path)."""
+    from .audio_ops import _manifest_scan
+
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _fp_rows(pdf, every, aug_every, kgram, max_s),
+        FP_KEYS_DDL,
+    )
+
+
+def audio_neardup_pairs(
+    keys: DataFrame, num: int = 35, den: int = 100, cap: int | None = None
+) -> DataFrame:
+    """Near-duplicate clip pairs from (clip_id, fp_key) rows.
+
+    Candidates: ids sharing ANY key, via the capped self-join. Verified:
+    key-set Jaccard >= num/den, tested as den*inter >= num*union in exact
+    integers. Output (clip_a, clip_b, n_shared, sz_a, sz_b) is all
+    strings/longs — hash-exact against the DuckDB oracle.
+    """
+    from .pairs import capped_key_pairs
+
+    kk = keys.select(F.col("clip_id").alias("id"), F.col("fp_key").alias("k"))
+    cand = capped_key_pairs(kk, "k", "id", cap).distinct()
+    sizes = kk.groupBy("id").agg(F.count("*").alias("sz"))
+    a = kk.select(F.col("id").alias("a"), "k")
+    b = kk.select(F.col("id").alias("b"), "k")
+    inter = (
+        cand.join(a, "a")
+        .join(b, ["b", "k"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "a", "sz": "sz_a"}), "a")
+        .join(sizes.withColumnsRenamed({"id": "b", "sz": "sz_b"}), "b")
+        .filter(
+            F.lit(den) * F.col("n_shared")
+            >= F.lit(num) * (F.col("sz_a") + F.col("sz_b") - F.col("n_shared"))
+        )
+        .select(
+            F.col("a").alias("clip_a"),
+            F.col("b").alias("clip_b"),
+            "n_shared",
+            "sz_a",
+            "sz_b",
+        )
+    )

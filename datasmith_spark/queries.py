@@ -1333,3 +1333,65 @@ def q37_logmel_features(spark, sf_dir):
     from .operators.audio_ops import logmel_digest_scan
 
     return logmel_digest_scan(spark, _clips_cache_path(spark, sf_dir))
+
+
+_AUDIO_FP_FIXTURE = f"/root/repo/fixtures/oracle_audio_fp_n{_CLIPS_N}.parquet"
+_FP_JACC_NUM, _FP_JACC_DEN = 35, 100  # key-set Jaccard threshold num/den
+
+
+@register(
+    "q38_audio_fp_neardup",
+    rf"""
+    WITH keys AS (
+      SELECT clip_id AS id, fp_key AS k FROM read_parquet('{_AUDIO_FP_FIXTURE}')
+    ),
+    melt AS (SELECT id, k FROM keys),
+    {_capped_pairs_sql_cte(_default_pair_cap())},
+    sizes AS (SELECT id, count(*) AS sz FROM keys GROUP BY id),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS n_shared
+      FROM cand c
+      JOIN keys x ON x.id = c.a
+      JOIN keys y ON y.id = c.b AND y.k = x.k
+      GROUP BY c.a, c.b
+    )
+    SELECT i.a AS clip_a, i.b AS clip_b, i.n_shared, sa.sz AS sz_a, sb.sz AS sz_b
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.a
+    JOIN sizes sb ON sb.id = i.b
+    WHERE {_FP_JACC_DEN} * i.n_shared >= {_FP_JACC_NUM} * (sa.sz + sb.sz - i.n_shared)
+    """,
+)
+def q38_audio_fp_neardup(spark, sf_dir):
+    """Audio near-duplicate pairs via Haitsma-Kalker robust fingerprints:
+    decode -> 16 kHz sinc resample -> 17-band log-mel -> sign-of-ddE bits
+    -> 4-gram hex keys -> capped candidate self-join -> integer-exact
+    key-set Jaccard verify (den*inter >= num*union, no float columns).
+
+    Input is the pinned clips subset (every 4th clip) PLUS deterministic
+    planted near-duplicates (gain 0.8 + pcm16 requantization, aug_ ids)
+    derived in the same decode pass — the ground truth the pairs must
+    recover. Split oracle design like q34: the numeric kernel is pinned by
+    the committed key fixture (scripts/make_audio_fp_fixture.py,
+    independent driver loop over the shared fixed-order kernels), while the
+    DuckDB SQL re-derives the ENTIRE distributed part — hot-key-capped pair
+    generation and the Jaccard verify — from those keys, so the driver
+    value-hashes both the fingerprint math and the join semantics. At
+    10^12 clips: narrow fingerprint map (fused scan, bytes never in the
+    JVM), one capped self-join on short uniform hex keys, verify on
+    candidates only — never all-pairs (operators/audio_fp.py).
+    """
+    from .operators.audio_fp import (
+        FP_AUG_EVERY,
+        FP_EVERY,
+        audio_neardup_pairs,
+        fingerprint_scan,
+    )
+
+    keys = fingerprint_scan(
+        spark,
+        _clips_cache_path(spark, sf_dir),
+        every=FP_EVERY,
+        aug_every=FP_AUG_EVERY,
+    )
+    return audio_neardup_pairs(keys, num=_FP_JACC_NUM, den=_FP_JACC_DEN)

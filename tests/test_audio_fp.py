@@ -1,0 +1,144 @@
+"""Audio-fingerprint near-dup: kernel invariances, Spark recall of planted
+duplicates, and fixture honesty for the q38 oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from datasmith_spark.core.audio import decode, encode
+from datasmith_spark.core.audio_fp import (
+    FP_KGRAM,
+    aug_variant,
+    fingerprint_bits,
+    fp_keys,
+)
+
+
+def _tone(sr: int, secs: float, f: float = 523.0, seed: int = 11) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * secs)) / sr
+    return 0.5 * np.sin(2 * np.pi * f * t) + 0.04 * rng.standard_normal(t.size)
+
+
+class TestKernel:
+    def test_gain_invariance_exact(self):
+        x = _tone(16000, 2.0)
+        fp = fingerprint_bits(x, 16000)
+        assert fp.size > 0
+        for g in (0.1, 0.5, 2.0):
+            assert np.array_equal(fp, fingerprint_bits(g * x, 16000))
+
+    def test_cross_rate_comparability(self):
+        """The same signal fingerprinted at its native 16k vs delivered at
+        48k (sinc-resampled in) must agree on most keys — the property that
+        makes fingerprints joinable across source sample rates."""
+        from datasmith_spark.core.resample import resample
+
+        x = _tone(16000, 3.0)
+        x48 = resample(x, 16000, 48000)
+        a = set(fp_keys(x, 16000))
+        b = set(fp_keys(x48, 48000))
+        assert a and b
+        jacc = len(a & b) / len(a | b)
+        assert jacc > 0.5, jacc
+
+    def test_requantization_robustness(self):
+        """A gain-ridden pcm16 re-encode of the same signal keeps high key
+        overlap — the near-dup case the operator exists to catch. (Coarse
+        8-bit companding like mu-law flips too many sign bits for EXACT
+        k-gram keys; catching those would need Hamming-ball matching on the
+        sub-fingerprints, documented as out of scope in core/audio_fp.py.)"""
+        x = _tone(16000, 2.5)
+        base = set(fp_keys(x, 16000))
+        y = decode(encode(0.7 * x, "pcm16"), "pcm16")
+        other = set(fp_keys(y, 16000))
+        jacc = len(base & other) / len(base | other)
+        assert jacc > 0.5, jacc
+
+    def test_unrelated_signals_share_nothing(self):
+        a = set(fp_keys(_tone(16000, 2.0, f=440.0, seed=1), 16000))
+        b = set(fp_keys(_tone(16000, 2.0, f=880.0, seed=2), 16000))
+        assert len(a & b) <= 1  # chance collision at most
+
+    def test_short_and_degenerate_inputs(self):
+        assert fp_keys(np.zeros(100), 16000) == []
+        assert fp_keys(np.zeros(100000), -1) == []
+        assert fingerprint_bits(np.zeros(300), 16000).size == 0
+        # all-silence: degenerate but defined (constant key set, no crash)
+        ks = fp_keys(np.zeros(32000), 16000)
+        assert all(len(k) == 4 * FP_KGRAM for k in ks)
+
+    def test_aug_variant_is_deterministic(self):
+        x = _tone(16000, 1.0)
+        assert np.array_equal(aug_variant(x), aug_variant(x))
+
+
+class TestSparkRecall:
+    @pytest.fixture(scope="class")
+    def pairs(self, spark):
+        from datasmith_spark import datagen
+        from datasmith_spark.operators.audio_fp import (
+            audio_neardup_pairs,
+            fingerprint_clips,
+        )
+
+        clips = datagen.clips_df(spark, 120, n_partitions=4)
+        keys = fingerprint_clips(clips, every=2, aug_every=10)
+        return audio_neardup_pairs(keys).toPandas(), keys.toPandas()
+
+    def test_planted_augs_pair_with_their_base(self, pairs):
+        got, keys = pairs
+        fingerprinted = set(keys.clip_id)
+        want = {
+            (f"aug_{i:012d}", f"clip_{i:012d}")
+            for i in range(0, 120, 10)
+            if f"aug_{i:012d}" in fingerprinted
+        }
+        assert want, "no decodable planted augs in the sample"
+        found = {tuple(sorted((a, b))) for a, b in zip(got.clip_a, got.clip_b)}
+        missed = {tuple(sorted(p)) for p in want} - found
+        assert not missed, missed
+
+    def test_no_pair_between_distinct_base_clips(self, pairs):
+        got, _ = pairs
+        both_base = got[
+            got.clip_a.str.startswith("clip_") & got.clip_b.str.startswith("clip_")
+        ]
+        assert len(both_base) == 0, both_base
+
+    def test_pair_columns_are_integer_exact(self, pairs):
+        got, _ = pairs
+        for c in ("n_shared", "sz_a", "sz_b"):
+            assert str(got[c].dtype) == "int64", (c, got[c].dtype)
+        # threshold actually enforced
+        union = got.sz_a + got.sz_b - got.n_shared
+        assert (100 * got.n_shared >= 35 * union).all()
+
+
+class TestFixture:
+    def test_fixture_is_honest(self):
+        """The committed q38 key fixture must equal a fresh regeneration on
+        a deterministic clip-index sample (same pattern as test_audio_ops)."""
+        import sys
+
+        import pandas as pd
+
+        sys.path.insert(0, "/root/repo/scripts")
+        import make_audio_fp_fixture as maf
+
+        fix = pd.read_parquet("/root/repo/fixtures/oracle_audio_fp_n4000.parquet")
+        lo, hi = 480, 680  # covers 50 base clips incl. 5 aug derivations
+        fresh = maf.oracle_rows(range(lo, hi))
+        ids = {f"clip_{i:012d}" for i in range(lo, hi)} | {
+            f"aug_{i:012d}" for i in range(lo, hi)
+        }
+        sample = fix[fix.clip_id.isin(ids)]
+        key = lambda df: sorted(map(tuple, df[["clip_id", "fp_key"]].to_numpy()))
+        assert key(sample) == key(fresh)
+
+    def test_registry_has_q38(self):
+        from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+        assert "q38_audio_fp_neardup" in QUERIES
+        assert "q38_audio_fp_neardup" in ORACLE_SQL
