@@ -17,7 +17,12 @@ from __future__ import annotations
 
 import numpy as np
 
-_CHUNK = 1 << 16  # output samples per block: bounds the (chunk, taps) gather
+# Output samples per block. Bounds the (chunk, taps) gather, and small enough
+# (~3 MB of float64 temporaries at 46 taps) that the intermediates stay in the
+# allocator's warm arena — this sandbox's kernel serializes page faults, so
+# 24 MB-per-temporary blocks measured ~2x slower. Chunking cannot change
+# results: each output sample depends only on its own position.
+_CHUNK = 1 << 13
 
 
 def resample(

@@ -105,14 +105,23 @@ def fingerprint_scan(
     max_s: float = FP_MAX_S,
 ) -> DataFrame:
     """fingerprint_clips over a parquet directory via the fused manifest
-    scan (audio bytes never enter the JVM — q38's path)."""
-    from .audio_ops import _manifest_scan
+    scan (audio bytes never enter the JVM — q38's path).
 
+    Unlike the byte-heavy decode scans, this stage is dominated by the
+    resample+FFT kernel (~0.1 s/clip) rather than file reads, so it does
+    NOT take the sandbox I/O-serialization cap (SPARK_GRAFT_SCAN_PAR):
+    one task per manifest file up to the session's parallelism.
+    """
+    from .audio_ops import _manifest_scan
+    from .scan_decode import list_manifest
+
+    par = max(1, min(len(list_manifest(input_dir)), spark.sparkContext.defaultParallelism))
     return _manifest_scan(
         spark,
         input_dir,
         lambda pdf: _fp_rows(pdf, every, aug_every, kgram, max_s),
         FP_KEYS_DDL,
+        scan_parallelism=par,
     )
 
 

@@ -1381,6 +1381,8 @@ def q38_audio_fp_neardup(spark, sf_dir):
     JVM), one capped self-join on short uniform hex keys, verify on
     candidates only — never all-pairs (operators/audio_fp.py).
     """
+    from pyspark import StorageLevel
+
     from .operators.audio_fp import (
         FP_AUG_EVERY,
         FP_EVERY,
@@ -1388,10 +1390,17 @@ def q38_audio_fp_neardup(spark, sf_dir):
         fingerprint_scan,
     )
 
+    # the pair op consumes the key table four ways (key stats, both join
+    # sides, set sizes) — persist so the expensive fingerprint scan runs
+    # ONCE, then pin the small result and release (q22's shingle pattern)
     keys = fingerprint_scan(
         spark,
         _clips_cache_path(spark, sf_dir),
         every=FP_EVERY,
         aug_every=FP_AUG_EVERY,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    out = audio_neardup_pairs(keys, num=_FP_JACC_NUM, den=_FP_JACC_DEN).localCheckpoint(
+        eager=True
     )
-    return audio_neardup_pairs(keys, num=_FP_JACC_NUM, den=_FP_JACC_DEN)
+    keys.unpersist()
+    return out
