@@ -105,3 +105,18 @@ def test_shingles_have_no_interpreted_lambda(spark):
 
     plan = _plan(shingles(_corpus(spark, SF_DIR), distinct=False))
     assert "lambdafunction" not in plan.lower(), plan
+
+
+def test_audio_fp_pairs_plan_is_capped_equi_join(spark):
+    """q38's pair stage (audited on the operator, since the query itself
+    returns a localCheckpointed result) must be equi-joins on the key —
+    no nested-loop shapes — and must contain the hot-key stats aggregate."""
+    from datasmith_spark.operators.audio_fp import audio_neardup_pairs
+
+    keys = spark.createDataFrame(
+        [("a", "k1"), ("b", "k1"), ("c", "k2")], "clip_id string, fp_key string"
+    )
+    plan = _plan(audio_neardup_pairs(keys))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashAggregate" in plan  # key-frequency stats + size/inter counts
