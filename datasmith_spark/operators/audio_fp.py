@@ -55,8 +55,12 @@ def _fp_rows(
     """One pandas batch of clips -> (clip_id, fp_key) rows (+ planted augs)."""
     ids: list[str] = []
     keys: list[str] = []
+    # The datagen index is a test-harness concern (subsetting / planting
+    # augmented duplicates); the composable default (every=1, aug_every=0)
+    # must accept arbitrary clip ids, so only parse when sampling is on.
+    sampled = every > 1 or bool(aug_every)
     for cid, buf, sr, codec in zip(pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
-        i = clip_index(cid)
+        i = clip_index(cid) if sampled else 0
         if every > 1 and i % every:
             continue
         sr = None if pd.isna(sr) else int(sr)
@@ -112,16 +116,14 @@ def fingerprint_scan(
     NOT take the sandbox I/O-serialization cap (SPARK_GRAFT_SCAN_PAR):
     one task per manifest file up to the session's parallelism.
     """
-    from .audio_ops import _manifest_scan
-    from .scan_decode import list_manifest
+    from .audio_ops import _kernel_parallelism, _manifest_scan
 
-    par = max(1, min(len(list_manifest(input_dir)), spark.sparkContext.defaultParallelism))
     return _manifest_scan(
         spark,
         input_dir,
         lambda pdf: _fp_rows(pdf, every, aug_every, kgram, max_s),
         FP_KEYS_DDL,
-        scan_parallelism=par,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
     )
 
 

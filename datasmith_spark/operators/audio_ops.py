@@ -197,11 +197,15 @@ def _manifest_scan(
     schema: str,
     batch_rows: int = 256,
     scan_parallelism: int | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Fused worker-side parquet scan (shape of scan_decode.scan_rules_decode):
     file paths are the only rows the JVM ever sees; each task opens its files
     with pyarrow memory_map and streams bounded row-group batches through
-    per_pdf. Heavy binary columns stay entirely inside the Python worker."""
+    per_pdf. Heavy binary columns stay entirely inside the Python worker.
+
+    columns defaults to the clip-table layout; the image lane passes its own
+    (operators/multimodal.py image_digest_scan)."""
     from .scan_decode import list_manifest
 
     manifest = list_manifest(input_dir)
@@ -210,6 +214,7 @@ def _manifest_scan(
         scan_parallelism = max(
             1, min(len(manifest), spark.sparkContext.defaultParallelism, cap)
         )
+    read_cols = _CLIP_COLUMNS if columns is None else columns
     paths = spark.createDataFrame([(p,) for p in manifest], "path string").repartition(
         max(scan_parallelism, 1)
     )
@@ -220,10 +225,23 @@ def _manifest_scan(
         for b in batches:
             for path in b["path"]:
                 pf = pq.ParquetFile(path, memory_map=True)
-                for rb in pf.iter_batches(batch_size=batch_rows, columns=_CLIP_COLUMNS):
+                for rb in pf.iter_batches(batch_size=batch_rows, columns=read_cols):
                     yield per_pdf(rb.to_pandas())
 
     return paths.mapInPandas(_scan, schema=schema)
+
+
+def _kernel_parallelism(spark: SparkSession, input_dir: str) -> int:
+    """Scan parallelism for KERNEL-bound digest scans.
+
+    SPARK_GRAFT_SCAN_PAR caps byte-bound scans because this sandbox's kernel
+    serializes file-I/O syscalls (BASELINE.md "Sandbox scaling protocol").
+    The resample/log-mel/fingerprint scans are dominated by the numpy
+    resample+FFT kernel, not reads, so they take the session's full
+    parallelism — exactly the split fingerprint_scan already made."""
+    from .scan_decode import list_manifest
+
+    return max(1, min(len(list_manifest(input_dir)), spark.sparkContext.defaultParallelism))
 
 
 def resample_digest_scan(
@@ -237,6 +255,7 @@ def resample_digest_scan(
         input_dir,
         lambda pdf: _resample_pdf(pdf, target_sr, mode, codec_out, True),
         RESAMPLED_DIGEST_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
     )
 
 
@@ -251,4 +270,5 @@ def logmel_digest_scan(
         input_dir,
         lambda pdf: _logmel_pdf(pdf, n_fft, hop, n_mels, True),
         LOGMEL_DIGEST_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
     )

@@ -146,6 +146,8 @@ class _BitWriter:
         while self.nbits >= 8:
             self.nbits -= 8
             byte = (self.acc >> self.nbits) & 0xFF
+            # keep only the live low bits — see _BitReader.read_bit
+            self.acc &= (1 << self.nbits) - 1
             self.buf.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
@@ -412,7 +414,12 @@ class _BitReader:
         if self.nbits == 0:
             raise EOFError
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        bit = (self.acc >> self.nbits) & 1
+        # Truncate to the live bits: without this the accumulator grows into
+        # an unbounded bignum and every shift is O(stream length), making
+        # entropy decode O(n^2) overall.
+        self.acc &= (1 << self.nbits) - 1
+        return bit
 
     def read_bits(self, n: int) -> int:
         v = 0

@@ -85,6 +85,15 @@ def decode_png(buf: bytes) -> np.ndarray | None:
     stride = w * ch
     if len(raw) != h * (stride + 1):
         return None
+    try:
+        return _png_unfilter(raw, w, h, ch, stride, ctype, pal)
+    except Exception:
+        # the 'None if undecodable' contract covers malformed filter bytes
+        # and out-of-range palette indices too — flag, never crash the task
+        return None
+
+
+def _png_unfilter(raw, w, h, ch, stride, ctype, pal) -> np.ndarray | None:
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
@@ -117,6 +126,8 @@ def decode_png(buf: bytes) -> np.ndarray | None:
         prev = row
     img = out.reshape(h, w, ch)
     if ctype == 3:
+        if int(img[..., 0].max(initial=0)) >= len(pal):
+            return None
         return pal[img[..., 0]]
     if ctype in (0, 4):
         return np.repeat(img[..., :1], 3, axis=2)
@@ -228,6 +239,63 @@ def image_features(images: DataFrame) -> DataFrame:
     return images.mapInPandas(_feats, schema=_FEAT_DDL)
 
 
+_DIGEST_DDL = "img_id string, fmt string, width int, height int, decode_ok boolean, rgb_md5 string"
+
+
+def _image_digest_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One pandas batch of images -> decode-digest batch.
+
+    rgb_md5 is the md5 of the decoded HxWx3 uint8 buffer — pure-integer and
+    bit-exact by construction (no float reductions), so the committed oracle
+    fixture is host-portable without the BLAS-ordering care the audio
+    digests need. Undecodable rows flag decode_ok=false with a null digest
+    (never crash the task — same contract as decode_image)."""
+    import hashlib
+
+    n = len(pdf)
+    ok = np.zeros(n, dtype=bool)
+    digests: list[str | None] = [None] * n
+    for i, (buf, w, h, fmt) in enumerate(
+        zip(pdf["bytes"], pdf["width"], pdf["height"], pdf["fmt"])
+    ):
+        img = decode_image(buf, int(w), int(h), fmt)
+        if img is None:
+            continue
+        ok[i] = True
+        digests[i] = hashlib.md5(np.ascontiguousarray(img, dtype=np.uint8).tobytes()).hexdigest()
+    return pd.DataFrame(
+        {
+            "img_id": pdf["img_id"],
+            "fmt": pdf["fmt"],
+            "width": pd.array(pdf["width"], dtype="Int32"),
+            "height": pd.array(pdf["height"], dtype="Int32"),
+            "decode_ok": ok,
+            "rgb_md5": digests,
+        }
+    )
+
+
+IMAGE_COLUMNS = ["img_id", "bytes", "width", "height", "fmt"]
+
+
+def image_digest_scan(spark, input_dir: str):
+    """Decode-digest scan over an image parquet directory via the fused
+    manifest scan — image bytes never enter the JVM; the pure-python
+    PNG/JPEG decoders are the kernel, so like the other kernel-bound digest
+    scans it takes full session parallelism, not the byte-bound I/O cap
+    (q39's verification path; see audio_ops._kernel_parallelism)."""
+    from .audio_ops import _kernel_parallelism, _manifest_scan
+
+    return _manifest_scan(
+        spark,
+        input_dir,
+        _image_digest_pdf,
+        _DIGEST_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+        columns=IMAGE_COLUMNS,
+    )
+
+
 def resize_rgb8(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize (pure-numpy, deterministic)."""
     h, w = img.shape[:2]
@@ -268,43 +336,46 @@ def sample_video_frames(videos: DataFrame, every_k: int = 10) -> DataFrame:
     )
 
 
-def synth_images(spark, n: int, width: int = 32, height: int = 24) -> DataFrame:
-    """Deterministic synthetic image table (seeded per row index): mostly
-    rgb8, every 9th row a real PNG (cycling through all five scanline
+def synth_image_record(i: int, width: int = 32, height: int = 24) -> dict:
+    """One deterministic synthetic image row for index i (seeded per index):
+    mostly rgb8, every 9th row a real PNG (cycling through all five scanline
     filters), every 17th a real baseline JPEG (alternating 4:4:4 / 4:2:0,
     occasionally with restart markers), every 51st a deliberately corrupt
-    JPEG (truncated stream) to pin flag-not-crash decode behavior."""
-    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .jpeg import encode_jpeg
+    JPEG (truncated stream) to pin flag-not-crash decode behavior.
 
+    Shared by synth_images (distributed) and scripts/make_image_fixture.py
+    (single-process oracle) so the two sides cannot drift."""
+    from .jpeg import encode_jpeg
+
+    i = int(i)
+    rng = np.random.default_rng([4242, i])
+    img = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    if i % 17 == 0:
+        enc = encode_jpeg(
+            img,
+            subsample=bool((i // 17) % 2),
+            restart_interval=2 if i % 5 == 0 else 0,
+        )
+        if i % 51 == 0:  # corrupt lane: torn mid-entropy-stream
+            enc = enc[: max(len(enc) // 2, 24)]
+        fmt, payload = "jpeg", enc
+    elif i % 9 == 0:
+        fmt, payload = "png", encode_png(img, row_filters=i % 5)
+    else:
+        fmt, payload = "rgb8", img.tobytes()
+    return {
+        "img_id": f"img_{i:08d}",
+        "bytes": payload,
+        "width": width,
+        "height": height,
+        "fmt": fmt,
+    }
+
+
+def synth_images(spark, n: int, width: int = 32, height: int = 24) -> DataFrame:
+    """Deterministic synthetic image table — see synth_image_record."""
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            recs = []
-            for i in b["id"]:
-                i = int(i)
-                rng = np.random.default_rng([4242, i])
-                img = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
-                if i % 17 == 0:
-                    enc = encode_jpeg(
-                        img,
-                        subsample=bool((i // 17) % 2),
-                        restart_interval=2 if i % 5 == 0 else 0,
-                    )
-                    if i % 51 == 0:  # corrupt lane: torn mid-entropy-stream
-                        enc = enc[: max(len(enc) // 2, 24)]
-                    fmt, payload = "jpeg", enc
-                elif i % 9 == 0:
-                    fmt, payload = "png", encode_png(img, row_filters=i % 5)
-                else:
-                    fmt, payload = "rgb8", img.tobytes()
-                recs.append(
-                    {
-                        "img_id": f"img_{i:08d}",
-                        "bytes": payload,
-                        "width": width,
-                        "height": height,
-                        "fmt": fmt,
-                    }
-                )
-            yield pd.DataFrame(recs)
+            yield pd.DataFrame([synth_image_record(i, width, height) for i in b["id"]])
 
     return spark.range(n).mapInPandas(_gen, schema=IMAGE_SCHEMA_DDL)

@@ -181,7 +181,10 @@ def run_pipeline(
         if "n_parts" not in cp_raw.columns:
             stored_np = None  # pre-guard checkpoints: layout unknown
         else:
-            stored_np = int(cp_raw.orderBy(F.col("ts").desc()).select("n_parts").first()[0])
+            # a null value (schema-merged old rows) means layout unknown too —
+            # treat like a missing column and recompute, don't TypeError
+            raw_np = cp_raw.orderBy(F.col("ts").desc()).select("n_parts").first()[0]
+            stored_np = None if raw_np is None else int(raw_np)
         if stored_np != n_parts:
             log.warning(
                 "partition layout changed (checkpointed n_parts=%s, requested %d): "

@@ -1335,6 +1335,48 @@ def q37_logmel_features(spark, sf_dir):
     return logmel_digest_scan(spark, _clips_cache_path(spark, sf_dir))
 
 
+_IMAGES_FIXTURE = f"/root/repo/fixtures/oracle_images_n{_CLIPS_N}.parquet"
+
+
+def _images_cache_path(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic synthetic image table (n=_CLIPS_N rows), cached as
+    parquet — pinned count for the same reason as _clips_cache_path."""
+    import os
+
+    from .operators.multimodal import synth_images
+
+    path = f"/root/repo/.data/images_cache/n{_CLIPS_N}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth_images(spark, _CLIPS_N).write.mode("overwrite").parquet(path)
+    return path
+
+
+@register(
+    "q39_image_decode_digest",
+    f"""
+    SELECT img_id, fmt, width, height, decode_ok, rgb_md5
+    FROM read_parquet('{_IMAGES_FIXTURE}')
+    """,
+)
+def q39_image_decode_digest(spark, sf_dir):
+    """Image decode over the pinned synthetic image table (rgb8 passthrough,
+    pure-stdlib PNG with all five scanline filters, pure-python baseline
+    JPEG incl. 4:2:0 and restart markers, plus a torn-stream corrupt lane
+    that must flag decode_ok=false, never crash).
+
+    Digest-exact value check like q36: the fused manifest scan decodes
+    worker-side (image bytes never in the JVM) and hashes the decoded
+    HxWx3 uint8 buffer per row; the DuckDB oracle reads the committed
+    single-process oracle's digests (scripts/make_image_fixture.py — shared
+    codec kernels + shared synth_image_record rules, independent driver
+    loop). The digest is over integer pixels, so no float-portability care
+    is needed. At scale this is a shuffle-free narrow map (the multimodal
+    conditional-enrich shape, operators/multimodal.py)."""
+    from .operators.multimodal import image_digest_scan
+
+    return image_digest_scan(spark, _images_cache_path(spark, sf_dir))
+
+
 _AUDIO_FP_FIXTURE = f"/root/repo/fixtures/oracle_audio_fp_n{_CLIPS_N}.parquet"
 _FP_JACC_NUM, _FP_JACC_DEN = 35, 100  # key-set Jaccard threshold num/den
 

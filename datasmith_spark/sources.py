@@ -145,6 +145,14 @@ def paginated_scan(
 
     struct = schema if isinstance(schema, T.StructType) else T.StructType.fromDDL(schema)
     data_cols = [f.name for f in struct.fields]
+    # dead-letter placeholder dtypes: declared nullable dtypes, not object
+    # arrays, so wide numeric schemas round-trip through Arrow cleanly
+    _pd_dtypes = {
+        T.ByteType(): "Int8", T.ShortType(): "Int16", T.IntegerType(): "Int32",
+        T.LongType(): "Int64", T.FloatType(): "float32", T.DoubleType(): "float64",
+        T.BooleanType(): "boolean",
+    }
+    dl_dtypes = {f.name: _pd_dtypes.get(f.dataType, "object") for f in struct.fields}
     out_schema: T.StructType | str = schema
     if dead_letter:
         out_schema = T.StructType(
@@ -162,7 +170,9 @@ def paginated_scan(
                 except Exception as e:  # noqa: BLE001 - dead-letter boundary
                     if not dead_letter:
                         raise
-                    page = pd.DataFrame({c: pd.Series([None], dtype="object") for c in data_cols})
+                    page = pd.DataFrame(
+                        {c: pd.Series([None], dtype=dl_dtypes[c]) for c in data_cols}
+                    )
                     page[DL_PAGE_COL] = [i]
                     page[DL_ERROR_COL] = [f"{type(e).__name__}: {e}"]
                 else:

@@ -116,6 +116,50 @@ class TestSparkRecall:
         assert (100 * got.n_shared >= 35 * union).all()
 
 
+class TestArbitraryIds:
+    def test_fingerprint_and_pairs_accept_any_clip_id(self, spark):
+        """The composable default (every=1, aug_every=0) must work on
+        arbitrary real-world ids — no datagen `*_<int>` suffix required.
+        (r4 verdict What's wrong #1: clip_index was parsed unconditionally
+        and crashed the stage on any non-datagen id.)"""
+        import pandas as pd
+
+        from datasmith_spark.operators.audio_fp import (
+            audio_neardup_pairs,
+            fingerprint_clips,
+        )
+
+        x = _tone(16000, 2.0)
+        rows = [
+            ("s3://bucket/podcast-ep01.wav", encode(x, "pcm16")),
+            ("UUID-9f8e7d6c", encode(0.5 * x, "pcm16")),  # gain-scaled dup
+            ("plain", encode(_tone(16000, 2.0, f=880.0, seed=7), "pcm16")),
+        ]
+        pdf = pd.DataFrame(
+            {
+                "clip_id": [r[0] for r in rows],
+                "bytes": [r[1] for r in rows],
+                "sr_hz": 16000,
+                "dur_ms": 2000,
+                "codec": "pcm16",
+                "transcript": "",
+            }
+        )
+        clips = spark.createDataFrame(pdf)
+        keys = fingerprint_clips(clips)  # defaults: every=1, aug_every=0
+        got = audio_neardup_pairs(keys).toPandas()
+        found = {tuple(sorted((a, b))) for a, b in zip(got.clip_a, got.clip_b)}
+        assert ("UUID-9f8e7d6c", "s3://bucket/podcast-ep01.wav") in found
+        assert all("plain" not in p for p in found)
+
+    def test_sampling_still_requires_indexed_ids(self):
+        from datasmith_spark.operators.audio_fp import clip_index
+
+        assert clip_index("clip_000000000042") == 42
+        with pytest.raises((ValueError, IndexError)):
+            clip_index("no-index-here")
+
+
 class TestFixture:
     def test_fixture_is_honest(self):
         """The committed q38 key fixture must equal a fresh regeneration on

@@ -80,6 +80,29 @@ def test_determinism():
     assert encode_jpeg(img) == encode_jpeg(img)
 
 
+def test_bit_accumulators_stay_bounded():
+    """The entropy reader/writer must truncate their accumulators to the
+    live bits — an unbounded Python bignum makes every shift O(stream) and
+    the whole codec O(n^2) (r4 ADVICE). A 64x64 noise image pushes ~10k+
+    coded bytes through both paths; the accumulators must stay word-sized."""
+    from datasmith_spark.operators.jpeg import _BitReader, _BitWriter
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    buf = encode_jpeg(img)
+    assert decode_jpeg(buf) is not None
+
+    bw = _BitWriter()
+    for v in rng.integers(0, 1 << 13, 4096):
+        bw.write(int(v), 13)
+        assert bw.acc.bit_length() <= bw.nbits
+    bw.flush()
+    br = _BitReader(bytes(bw.buf), 0)
+    for _ in range(4096 * 13 // 8):
+        br.read_bits(8)
+        assert br.acc.bit_length() <= br.nbits + 1
+
+
 def test_garbage_returns_none_not_crash():
     img = _gradient(16, 16)
     good = encode_jpeg(img)

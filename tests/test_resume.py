@@ -218,6 +218,34 @@ def test_n_parts_change_recomputes_clean(spark, clips_path, tmp_path):
     assert run_pipeline(spark, clips, out, n_parts=N_PARTS)["parts_processed"] == 0
 
 
+def test_null_n_parts_checkpoint_triggers_recompute(spark, clips_path, tmp_path):
+    """A checkpoint row whose n_parts reads back NULL (schema-merged old
+    parquet files where the column exists but the latest row predates the
+    guard) must behave like a missing column — wipe and recompute — not
+    TypeError out of the run (r4 ADVICE)."""
+    clips = spark.read.parquet(clips_path)
+    total = clips.count()
+    out = str(tmp_path / "out")
+
+    run_pipeline(spark, clips, out, n_parts=N_PARTS)
+    cp = spark.read.parquet(f"{out}/checkpoints")
+    # rewrite the checkpoints with n_parts nulled on the LATEST row
+    latest_ts = cp.agg(F.max("ts")).first()[0]
+    mangled = cp.withColumn(
+        "n_parts",
+        F.when(F.col("ts") == latest_ts, F.lit(None).cast("int")).otherwise(F.col("n_parts")),
+    )
+    pdf = mangled.toPandas()
+    shutil.rmtree(f"{out}/checkpoints")
+    spark.createDataFrame(pdf, schema=mangled.schema).write.parquet(f"{out}/checkpoints")
+
+    r = run_pipeline(spark, clips, out, n_parts=N_PARTS)
+    assert r["parts_processed"] == N_PARTS  # layout unknown -> full recompute
+    lab = spark.read.parquet(f"{out}/labels")
+    assert lab.count() == total
+    assert lab.select("clip_id").distinct().count() == total
+
+
 def test_payload_fingerprint_opt_in(spark, clips_path, tmp_path):
     """fingerprint_payload=True must invalidate exactly the part whose audio
     bytes were swapped under unchanged metadata; the default metadata-only

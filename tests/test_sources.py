@@ -170,6 +170,34 @@ def test_paginated_scan_dead_letters_and_coalescing(spark, tmp_path):
     assert all("permanently broken" in e for e in dl[DL_ERROR_COL])
 
 
+def test_dead_letter_placeholder_uses_declared_dtypes(spark):
+    """The dead-letter placeholder row must carry the DECLARED nullable
+    dtypes (Int64/float64/boolean), not object arrays — a wide numeric
+    schema coalesced into the same Arrow batch as real pages must not
+    round-trip through object (r4 ADVICE polish)."""
+    import pandas as pd
+
+    from datasmith_spark.sources import DL_ERROR_COL, paginated_scan, split_dead_letters
+
+    def fetch_page(i: int) -> pd.DataFrame:
+        if i == 1:
+            raise ValueError("broken")
+        return pd.DataFrame(
+            {"a": pd.array([i], dtype="Int64"), "b": [float(i)], "c": [i % 2 == 0]}
+        )
+
+    df = paginated_scan(
+        spark, fetch_page, n_pages=4, schema="a bigint, b double, c boolean",
+        retries=1, base_delay=0.0, sleep=lambda _s: None,
+        dead_letter=True, coalesce_pages=4,
+    )
+    assert dict(df.dtypes)["a"] == "bigint"
+    ok, dead = split_dead_letters(df)
+    assert ok.count() == 3 and dead.count() == 1
+    row = df.filter(F.col(DL_ERROR_COL).isNotNull()).first()
+    assert row.a is None and row.b is None and row.c is None
+
+
 def test_paginated_scan_coalesces_small_pages(spark):
     """Many 1-row pages must arrive in few Arrow batches (bounded per-batch
     overhead), with content identical to the uncoalesced scan."""

@@ -375,6 +375,22 @@ def test_png_color_types_and_corruption():
     interlaced = bytearray(good)
     interlaced[8 + 8 + 12] = 1  # IHDR interlace flag
     assert decode_png(bytes(interlaced)) is None
+    # palette index beyond PLTE size -> None, never IndexError (r4 ADVICE:
+    # the unfilter/palette stage sat outside the try/except)
+    short_pal = np.arange(4 * 3, dtype=np.uint8).reshape(4, 3)  # indices 0-3
+    bad_pal_png = _raw_png(
+        w, h, 3, [gray[y].tobytes() for y in range(h)],  # indices reach 14
+        extra_chunks=chunk(b"PLTE", short_pal.tobytes()),
+    )
+    assert decode_png(bad_pal_png) is None
+    # malformed filter byte (200) -> None, never a crash mid-unfilter
+    bad_filter = b"".join(
+        (b"\xc8" if y == 1 else b"\x00") + gray[y].tobytes() for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw_bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bad_filter)) + chunk(b"IEND", b""))
+    assert decode_png(raw_bad) is None
 
 
 def test_png_rows_flow_through_image_features(spark):
