@@ -138,6 +138,7 @@ def run_pipeline(
     input_dir: str | None = None,
     fingerprint: bool = True,
     fingerprint_payload: bool = False,
+    catalog: str | None = None,
 ) -> dict:
     """Run with partition-level checkpoint/resume.
 
@@ -161,10 +162,14 @@ def run_pipeline(
     fingerprint_payload=True folds payload length + a head-of-blob crc32
     into the fingerprint (detects a bytes swap with unchanged metadata, at
     the cost of a non-column-pruned pre-scan).
+    catalog: SQL namespace for the output tables (e.g. an Iceberg
+    "local.db" or the builtin "spark_catalog.curation") — labels/lineage/
+    metrics/checkpoints become catalog tables with identical semantics
+    (see tables.TableLayer); out_dir is then only a log tag.
     """
     t0 = time.time()
     _set_arrow_batch(spark)
-    tl = TableLayer(out_dir)
+    tl = TableLayer(out_dir, catalog=catalog)
     run_id = uuid.uuid4().hex[:12]
     log = configure()
 

@@ -56,7 +56,15 @@ def make_batch_sink(tl: TableLayer):
     offsets) overwrites exactly the partitions it wrote before — no
     duplicate label or metrics rows. Factored out so tests can replay a
     batch directly (tests/test_streaming.py::test_batch_replay_idempotent).
+
+    Path-mode only: the replay-idempotence contract here is built on
+    path-level dynamic partition overwrite; catalog-mode streaming would
+    ride Iceberg's own exactly-once commit protocol instead (off-sandbox).
     """
+    if tl.catalog is not None:
+        raise NotImplementedError(
+            "streaming sink is path-mode only; use TableLayer(base_dir) without catalog"
+        )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()

@@ -36,6 +36,11 @@ def main() -> None:
         "--no-fingerprint", action="store_true",
         help="skip the per-part input-fingerprint pre-scan (trust checkpoints by part id)",
     )
+    ap.add_argument(
+        "--catalog", default=None,
+        help="SQL namespace for output tables (e.g. Iceberg 'local.db' or builtin "
+        "'spark_catalog.curation'); default writes parquet directories under --out",
+    )
     args = ap.parse_args()
 
     from datasmith_spark import datagen
@@ -55,7 +60,7 @@ def main() -> None:
 
     stats = run_pipeline(
         spark, clips, args.out, n_parts=args.parts, force=args.force, input_dir=input_dir,
-        fingerprint=not args.no_fingerprint,
+        fingerprint=not args.no_fingerprint, catalog=args.catalog,
     )
     print(json.dumps(stats))
     spark.stop()
