@@ -16,14 +16,19 @@ shifts every log energy by the same constant) and highly stable under
 re-encoding/requantization (only |ddE| below the quantization noise floor
 can flip), which is precisely the robustness audio dedup needs.
 
-Scope note: candidate generation joins on EXACT k-gram keys, so it catches
-gain changes and fine requantization (pcm16/float32 round-trips — measured
+Scope note: the q38 lane joins on EXACT k-gram keys, so it catches gain
+changes and fine requantization (pcm16/float32 round-trips — measured
 key-set Jaccard 0.8-1.0 on planted duplicates) but NOT coarse 8-bit
-companding (mu-law/A-law re-encodes flip too many near-zero sign bits for
-4 consecutive clean frames). Matching those requires Hamming-ball search
-over sub-fingerprints (the original paper's lookup-table expansion) —
-a deliberate non-goal here; the capped exact-key join is the shape that
-scales to 10^12 clips.
+companding (mu-law/A-law re-encodes flip ~4% of sign bits — too many for 4
+consecutive clean frames). Matching those is the ROBUST lane (q40): the
+original paper's lookup-table expansion, realized as a radius-1 Hamming
+ball over integer 2-gram keys (`fp_int_keys` + a 33-mask XOR explode in
+the operator) — measured on the pinned corpus's planted mu-law
+round-trips: 0.07-0.83 of a dup's 2-grams land within Hamming distance 1
+of the original's, vs <=0.011 for unrelated clips (a 6x class gap at the
+weakest plant). Expansion is pure integer XOR, so both
+Spark (bitwiseXOR, JVM-side) and the DuckDB oracle (xor()) derive the
+ball from the same committed exact keys — no key blowup in the fixture.
 
 Everything is built on the existing portable kernels: `resample` (Lanczos
 sinc) normalizes to FP_SR first so fingerprints are comparable across
@@ -51,6 +56,12 @@ True
 >>> keys = fp_keys(x, 16000)
 >>> len(keys) == len(set(keys)) and all(len(k) == 4 * FP_KGRAM for k in keys)
 True
+>>> iks = fp_int_keys(x, 16000)
+>>> all(0 <= k < (1 << 32) for k in iks) and iks == sorted(set(iks))
+True
+>>> y = aug_mulaw_variant(x)  # mu-law re-encode: survives the ball, not exact keys
+>>> len(set(fp_int_keys(y, 16000)) & set(iks)) < len(iks) // 2
+True
 """
 
 from __future__ import annotations
@@ -65,8 +76,10 @@ FP_NFFT = 512
 FP_HOP = 256
 FP_BANDS = 17  # 17 mel bands -> 16 sign bits per frame (one uint16)
 FP_KGRAM = 4  # consecutive sub-fingerprints per LSH key (64 bits of context)
+FP_IKGRAM = 2  # robust lane: 2 sub-fps -> one 32-bit integer key (ball-joinable)
 FP_MAX_S = 5.0  # fingerprint the clip head only: bounds cost per row
 AUG_GAIN = 0.8  # deterministic near-duplicate derivation (tests/oracle)
+AUG_MULAW_GAIN = 0.9  # robust-lane planted derivation: gain + mu-law round-trip
 
 
 def fingerprint_bits(pcm: np.ndarray, sr: int) -> np.ndarray:
@@ -108,6 +121,37 @@ def fp_keys(
         return []
     hexes = [format(int(v), "04x") for v in sub]
     return sorted({"".join(hexes[i : i + kgram]) for i in range(len(hexes) - kgram + 1)})
+
+
+def fp_int_keys(
+    pcm: np.ndarray, sr: int, kgram: int = FP_IKGRAM, max_s: float = FP_MAX_S
+) -> list[int]:
+    """Distinct integer k-gram keys (sorted) for a clip's fingerprint head.
+
+    Each key packs kgram consecutive uint16 sub-fingerprints big-endian into
+    one int (kgram=2 -> 32 bits). Integer keys make the robust lane's
+    radius-1 Hamming-ball expansion a pure XOR against 16*kgram+1 masks —
+    expressible natively in Spark (bitwiseXOR) AND DuckDB (xor), so the
+    oracle fixture only ever stores the exact keys."""
+    if sr <= 0:
+        return []
+    x = np.asarray(pcm, dtype=np.float64)[: int(round(max_s * sr))]
+    sub = fingerprint_bits(x, sr)
+    if sub.size < kgram:
+        return []
+    vals = {
+        int(sum(int(sub[i + j]) << (16 * (kgram - 1 - j)) for j in range(kgram)))
+        for i in range(len(sub) - kgram + 1)
+    }
+    return sorted(vals)
+
+
+def aug_mulaw_variant(pcm: np.ndarray) -> np.ndarray:
+    """Deterministic COARSE near-duplicate: gain AUG_MULAW_GAIN, then an
+    8-bit mu-law companding round-trip — the re-encode class the exact-key
+    lane documents as out of reach (~4% fingerprint-bit flips). Ground
+    truth for the Hamming-ball robust lane (q40)."""
+    return decode(encode(AUG_MULAW_GAIN * np.asarray(pcm, dtype=np.float64), "mulaw"), "mulaw")
 
 
 def aug_variant(pcm: np.ndarray) -> np.ndarray:

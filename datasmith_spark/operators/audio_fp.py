@@ -32,29 +32,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core.audio import decode
-from ..core.audio_fp import FP_KGRAM, FP_MAX_S, aug_variant, fp_keys
+from ..core.audio_fp import (
+    FP_IKGRAM,
+    FP_KGRAM,
+    FP_MAX_S,
+    aug_mulaw_variant,
+    aug_variant,
+    fp_int_keys,
+    fp_keys,
+)
 
 FP_KEYS_DDL = "clip_id string, fp_key string"
+FP_IKEYS_DDL = "clip_id string, fp_ikey long"
 
 # q38's pinned subset of the n=4000 clips table: fingerprint every 4th clip
 # (1000 rows) and plant an augmented near-duplicate for every 40th (100
 # aug_ rows). Shared by the Spark query, the fixture script, and the tests
-# so the committed oracle fixture describes exactly this input.
+# so the committed oracle fixture describes exactly this input. q40 (the
+# robust lane) pins the SAME subset with mu-law-companded plants (mul_ ids).
 FP_EVERY = 4
 FP_AUG_EVERY = 40
 
 
 def clip_index(clip_id: str) -> int:
-    """Row index from a `clip_<i>` / `aug_<i>` id (datagen naming)."""
+    """Row index from a `clip_<i>` / `aug_<i>` / `mul_<i>` id (datagen naming)."""
     return int(clip_id.rsplit("_", 1)[1])
 
 
-def _fp_rows(
-    pdf: pd.DataFrame, every: int, aug_every: int, kgram: int, max_s: float
+def _fp_rows_generic(
+    pdf: pd.DataFrame,
+    every: int,
+    aug_every: int,
+    key_fn,
+    aug_fn,
+    col: str,
+    dtype: str,
+    aug_prefix: str,
+    max_s: float,
 ) -> pd.DataFrame:
-    """One pandas batch of clips -> (clip_id, fp_key) rows (+ planted augs)."""
+    """One pandas batch of clips -> (clip_id, <col>) key rows (+ planted
+    `aug_fn` variants under `aug_prefix` ids every aug_every-th clip)."""
     ids: list[str] = []
-    keys: list[str] = []
+    keys: list = []
     # The datagen index is a test-harness concern (subsetting / planting
     # augmented duplicates); the composable default (every=1, aug_every=0)
     # must accept arbitrary clip ids, so only parse when sampling is on.
@@ -69,15 +88,38 @@ def _fp_rows(
         pcm = decode(buf, codec)
         if pcm is None or pcm.size == 0:
             continue
-        ks = fp_keys(pcm, sr, kgram, max_s)
+        ks = key_fn(pcm, sr)
         ids.extend([cid] * len(ks))
         keys.extend(ks)
         if aug_every and i % aug_every == 0:
-            ks2 = fp_keys(aug_variant(pcm[: int(round(max_s * sr))]), sr, kgram, max_s)
-            aid = f"aug_{i:012d}"
+            ks2 = key_fn(aug_fn(pcm[: int(round(max_s * sr))]), sr)
+            aid = f"{aug_prefix}{i:012d}"
             ids.extend([aid] * len(ks2))
             keys.extend(ks2)
-    return pd.DataFrame({"clip_id": ids, "fp_key": keys})
+    return pd.DataFrame({"clip_id": ids, col: pd.array(keys, dtype=dtype)})
+
+
+def _fp_rows(
+    pdf: pd.DataFrame, every: int, aug_every: int, kgram: int, max_s: float
+) -> pd.DataFrame:
+    """One pandas batch of clips -> (clip_id, fp_key) rows (+ planted augs)."""
+    return _fp_rows_generic(
+        pdf, every, aug_every,
+        lambda pcm, sr: fp_keys(pcm, sr, kgram, max_s),
+        aug_variant, "fp_key", "object", "aug_", max_s,
+    )
+
+
+def _fp_irows(
+    pdf: pd.DataFrame, every: int, aug_every: int, kgram: int, max_s: float
+) -> pd.DataFrame:
+    """Robust lane: (clip_id, fp_ikey) integer 2-gram rows, planting mu-law
+    companded variants (mul_ ids) instead of gain+requant ones."""
+    return _fp_rows_generic(
+        pdf, every, aug_every,
+        lambda pcm, sr: fp_int_keys(pcm, sr, kgram, max_s),
+        aug_mulaw_variant, "fp_ikey", "int64", "mul_", max_s,
+    )
 
 
 def fingerprint_clips(
@@ -124,6 +166,156 @@ def fingerprint_scan(
         lambda pdf: _fp_rows(pdf, every, aug_every, kgram, max_s),
         FP_KEYS_DDL,
         scan_parallelism=_kernel_parallelism(spark, input_dir),
+    )
+
+
+def fingerprint_ints_scan(
+    spark: SparkSession,
+    input_dir: str,
+    every: int = 1,
+    aug_every: int = 0,
+    kgram: int = FP_IKGRAM,
+    max_s: float = FP_MAX_S,
+) -> DataFrame:
+    """Robust-lane fingerprint scan: (clip_id, fp_ikey) integer 2-gram keys
+    over a parquet directory (fused manifest scan, kernel parallelism —
+    same shape as fingerprint_scan; q40's path)."""
+    from .audio_ops import _kernel_parallelism, _manifest_scan
+
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _fp_irows(pdf, every, aug_every, kgram, max_s),
+        FP_IKEYS_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+    )
+
+
+def fingerprint_ints_clips(
+    clips: DataFrame,
+    every: int = 1,
+    aug_every: int = 0,
+    kgram: int = FP_IKGRAM,
+    max_s: float = FP_MAX_S,
+) -> DataFrame:
+    """fingerprint_ints_scan's composable-DataFrame twin (robust lane)."""
+    from collections.abc import Iterator
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _fp_irows(pdf, every, aug_every, kgram, max_s)
+
+    return clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript").mapInPandas(
+        _run, schema=FP_IKEYS_DDL
+    )
+
+
+def hamming_ball_keys(ikeys: DataFrame, bits: int = 16 * FP_IKGRAM) -> DataFrame:
+    """(id, k) -> distinct (id, k') for every k' within Hamming distance 1.
+
+    The ISMIR-2002 lookup-table expansion as a relational explode: each key
+    XORed against {0, 1<<0, ..., 1<<(bits-1)} — (bits+1)x rows, all
+    JVM-side (array literal + explode + bitwiseXOR, no Python). Distinct
+    per id so downstream hit counts are set-semantics."""
+    masks = F.array(*[F.lit(0).cast("long")] + [F.lit(1 << b).cast("long") for b in range(bits)])
+    return (
+        ikeys.select("id", F.explode(masks).alias("_m"), "k")
+        .select("id", F.col("k").bitwiseXOR(F.col("_m")).alias("k"))
+        .distinct()
+    )
+
+
+def audio_neardup_pairs_hamming(
+    ikeys: DataFrame, num: int = 4, den: int = 100, cap: int | None = None
+) -> DataFrame:
+    """Coarse-re-encode-robust near-duplicate pairs from (clip_id, fp_ikey)
+    integer 2-gram rows — the Hamming-ball lane that catches mu-law/A-law
+    companding (q38's exact-key lane documents these as out of reach).
+
+    ONE asymmetric match join does both candidate generation and scoring:
+    Ball(src) equi-joined to Exact(dst) on the key yields, grouped by the
+    ordered pair, hits(src->dst) = |Ball(src) n E(dst)| — the number of
+    dst's exact keys within Hamming distance 1 of some key of src. (Naive
+    candidates-then-rejoin-the-ball re-explodes every candidate by its
+    ~8600-row ball — measured 1.7e9 intermediate rows on the 1073-clip
+    fixture; this shape never materializes more than the actual key
+    matches.) Verify, in exact integers, symmetrized over both directions:
+    den*(hits_ab + hits_ba) >= num*(sz_a + sz_b). Measured on the pinned
+    1073-clip corpus with 97 planted mu-law round-trips: plant scores span
+    0.071-0.828 while the strongest unrelated pair scores 0.011 (one or two
+    accidental key matches), so num/den=4/100 recovers every plant with a
+    >=1.7x margin on both sides — and a false positive would need ~18
+    DISTINCT accidental radius-1 key matches, vanishing at any scale.
+
+    Hot-key defense: keys whose exact OR ball frequency exceeds the shared
+    cap are EXCLUDED from matching (per-key join work is bounded by cap^2).
+    No star fallback here, deliberately: verify scores only key matches, so
+    a pair glued together solely by globally-hot keys (>cap clips sharing
+    one 32-bit acoustic pattern — degenerate, silence-like content) can
+    never reach the threshold anyway; q38's exact lane keeps star pairs
+    because its Jaccard verify is computed from the full key sets.
+
+    At 10^12 clips: the ball explode is a narrow 33x map of SMALL integer
+    rows (never audio), the match join shuffles uniform int keys with
+    per-key work capped, scoring is a groupBy on the match output. Nothing
+    all-pairs, nothing quadratic in candidates.
+    """
+    from .pairs import pair_key_cap
+
+    cap = pair_key_cap(cap)
+    kk = ikeys.select(F.col("clip_id").alias("id"), F.col("fp_ikey").alias("k"))
+    # ball feeds both the frequency stats and the match join; deliberately
+    # NOT cached/checkpointed — it is 33x the (small) key table and storing
+    # it OOMs a default-memory driver session, while recomputing is one
+    # cheap explode from the caller-persisted key table
+    ball = hamming_ball_keys(kk)
+    ec = kk.groupBy("k").agg(F.count("*").alias("_ec"))
+    bc = ball.groupBy("k").agg(F.count("*").alias("_bc"))
+    # merge hints on the ball-sized joins: the ball is 33x the key table,
+    # and letting AQE build a broadcast map from a post-shuffle estimate
+    # OOMs a default-memory driver (observed at 1g); sort-merge needs no
+    # build-side heap. The genuinely tiny sides (cold key set, sizes)
+    # still broadcast fine below.
+    cold = (
+        ec.hint("merge").join(bc, "k")
+        .filter((F.col("_ec") <= cap) & (F.col("_bc") <= cap))
+        .select("k")
+    )
+    src = ball.hint("merge").join(cold, "k").select(F.col("id").alias("src"), "k")
+    dst = kk.hint("merge").join(cold, "k").select(F.col("id").alias("dst"), "k")
+    hits = (
+        src.hint("merge").join(dst, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("h"))
+    )
+    # canonicalize: radius-1 matching is symmetric, but the cold-key filter
+    # is per-direction (a->b matches on b's keys), so a pair can appear in
+    # one direction only — full outer + zero-fill keeps it
+    ab = hits.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("h").alias("hits_ab")
+    )
+    ba = hits.filter(F.col("src") > F.col("dst")).select(
+        F.col("dst").alias("a"), F.col("src").alias("b"), F.col("h").alias("hits_ba")
+    )
+    sizes = kk.groupBy("id").agg(F.count("*").alias("sz"))
+    return (
+        ab.join(ba, ["a", "b"], "full")
+        .fillna(0, ["hits_ab", "hits_ba"])
+        .join(sizes.withColumnsRenamed({"id": "a", "sz": "sz_a"}), "a")
+        .join(sizes.withColumnsRenamed({"id": "b", "sz": "sz_b"}), "b")
+        .filter(
+            F.lit(den) * (F.col("hits_ab") + F.col("hits_ba"))
+            >= F.lit(num) * (F.col("sz_a") + F.col("sz_b"))
+        )
+        .select(
+            F.col("a").alias("clip_a"),
+            F.col("b").alias("clip_b"),
+            "hits_ab",
+            "hits_ba",
+            "sz_a",
+            "sz_b",
+        )
     )
 
 

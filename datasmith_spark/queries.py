@@ -1446,3 +1446,103 @@ def q38_audio_fp_neardup(spark, sf_dir):
     )
     keys.unpersist()
     return out
+
+
+_AUDIO_FP_BALL_FIXTURE = f"/root/repo/fixtures/oracle_audio_fp_ball_n{_CLIPS_N}.parquet"
+_FP_BALL_NUM, _FP_BALL_DEN = 4, 100  # symmetric radius-1 hit-ratio threshold
+
+
+@register(
+    "q40_audio_fp_mulaw_neardup",
+    rf"""
+    WITH keys AS (
+      SELECT clip_id AS id, fp_ikey AS k FROM read_parquet('{_AUDIO_FP_BALL_FIXTURE}')
+    ),
+    masks AS (
+      SELECT 0::BIGINT AS m
+      UNION ALL SELECT (1::BIGINT << CAST(r AS INTEGER)) AS m FROM range(32) t(r)
+    ),
+    ball AS (SELECT DISTINCT id, xor(k, m) AS k FROM keys CROSS JOIN masks),
+    ec AS (SELECT k, count(*) AS ec FROM keys GROUP BY k),
+    bc AS (SELECT k, count(*) AS bc FROM ball GROUP BY k),
+    cold AS (
+      SELECT ec.k FROM ec JOIN bc ON bc.k = ec.k
+      WHERE ec.ec <= {_default_pair_cap()} AND bc.bc <= {_default_pair_cap()}
+    ),
+    hits AS (
+      SELECT x.id AS src, y.id AS dst, count(*) AS h
+      FROM ball x JOIN cold c ON c.k = x.k JOIN keys y ON y.k = x.k AND y.id != x.id
+      GROUP BY x.id, y.id
+    ),
+    ab AS (SELECT src AS a, dst AS b, h AS hits_ab FROM hits WHERE src < dst),
+    ba AS (SELECT dst AS a, src AS b, h AS hits_ba FROM hits WHERE src > dst),
+    sizes AS (SELECT id, count(*) AS sz FROM keys GROUP BY id),
+    pairs AS (
+      SELECT COALESCE(ab.a, ba.a) AS a, COALESCE(ab.b, ba.b) AS b,
+             COALESCE(ab.hits_ab, 0) AS hits_ab, COALESCE(ba.hits_ba, 0) AS hits_ba
+      FROM ab FULL JOIN ba ON ba.a = ab.a AND ba.b = ab.b
+    )
+    SELECT p.a AS clip_a, p.b AS clip_b, p.hits_ab, p.hits_ba,
+           sa.sz AS sz_a, sb.sz AS sz_b
+    FROM pairs p
+    JOIN sizes sa ON sa.id = p.a
+    JOIN sizes sb ON sb.id = p.b
+    WHERE {_FP_BALL_DEN} * (p.hits_ab + p.hits_ba) >= {_FP_BALL_NUM} * (sa.sz + sb.sz)
+    """,
+)
+def q40_audio_fp_mulaw_neardup(spark, sf_dir):
+    """Coarse-re-encode-robust audio near-duplicates: the Hamming-ball lane
+    that recovers 8-bit mu-law/A-law companding round-trips, which flip too
+    many fingerprint bits for q38's exact-key join (documented there as the
+    ISMIR-2002 lookup-table non-goal — this query closes it).
+
+    decode -> 16 kHz sinc resample -> 17-band log-mel -> sign-of-ddE bits
+    -> integer 2-gram keys -> radius-1 Hamming-ball expansion (33-mask XOR
+    explode, JVM-native) -> ONE capped ball-to-exact match join that yields
+    candidates AND directional hit counts together -> symmetric
+    integer-exact hit-ratio verify (den*(hits_ab+hits_ba) >=
+    num*(sz_a+sz_b)).
+
+    Input is the SAME pinned clips subset as q38 (every 4th clip) with
+    mu-law-companded plants (gain 0.9 + mu-law round-trip, mul_ ids) — all
+    97 recovered, zero false pairs (plant scores 0.071-0.828 vs 0.011 max
+    unrelated). Split oracle like q38: the numeric kernel is pinned by the
+    committed integer-key fixture (scripts/make_audio_fp_ball_fixture.py);
+    the DuckDB SQL re-derives the ENTIRE distributed part — the XOR ball
+    expansion itself, frequency capping, the match join, and the verify —
+    from those keys, so the driver value-hashes the expansion semantics
+    too. At 10^12 clips: narrow 33x explode of small integer rows, one
+    capped equi-join on uniform int keys, groupBy scoring — nothing
+    all-pairs (operators/audio_fp.py:audio_neardup_pairs_hamming).
+    """
+    from pyspark import StorageLevel
+
+    from .operators.audio_fp import (
+        FP_AUG_EVERY,
+        FP_EVERY,
+        audio_neardup_pairs_hamming,
+        fingerprint_ints_scan,
+    )
+
+    ikeys = fingerprint_ints_scan(
+        spark,
+        _clips_cache_path(spark, sf_dir),
+        every=FP_EVERY,
+        aug_every=FP_AUG_EVERY,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # scoped for this query's execution: AQE coalescing packs the ball-table
+    # shuffles (33x the key rows) into few fat partitions, whose concurrent
+    # sorts OOM a default-memory (1g) driver session; with coalescing off
+    # each of the 200 default shuffle partitions sorts ~50k rows. Restored
+    # after the eager checkpoint — every other query keeps AQE coalescing.
+    coal = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(coal, "true")
+    spark.conf.set(coal, "false")
+    try:
+        out = audio_neardup_pairs_hamming(
+            ikeys, num=_FP_BALL_NUM, den=_FP_BALL_DEN
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(coal, old)
+        ikeys.unpersist()
+    return out

@@ -160,6 +160,91 @@ class TestArbitraryIds:
             clip_index("no-index-here")
 
 
+class TestBallLane:
+    """q40's robust lane: radius-1 Hamming-ball matching over integer
+    2-gram keys — must catch the mu-law companding class the exact-key
+    lane (q38) documents as out of reach, with no false pairs."""
+
+    def test_mulaw_dup_caught_by_ball_lane_missed_by_exact_lane(self, spark):
+        import pandas as pd
+
+        from datasmith_spark.core.audio_fp import aug_mulaw_variant
+        from datasmith_spark.operators.audio_fp import (
+            audio_neardup_pairs,
+            audio_neardup_pairs_hamming,
+            fingerprint_clips,
+            fingerprint_ints_clips,
+        )
+
+        x = _tone(16000, 3.0)
+        rows = [
+            ("s3://bucket/original.wav", encode(x, "pcm16")),  # arbitrary ids too
+            ("mulaw-reupload", encode(aug_mulaw_variant(x), "pcm16")),
+            ("unrelated", encode(_tone(16000, 3.0, f=700.0, seed=9), "pcm16")),
+        ]
+        pdf = pd.DataFrame(
+            {
+                "clip_id": [r[0] for r in rows],
+                "bytes": [r[1] for r in rows],
+                "sr_hz": 16000,
+                "dur_ms": 3000,
+                "codec": "pcm16",
+                "transcript": "",
+            }
+        )
+        clips = spark.createDataFrame(pdf)
+        got = audio_neardup_pairs_hamming(fingerprint_ints_clips(clips)).toPandas()
+        found = {tuple(sorted((a, b))) for a, b in zip(got.clip_a, got.clip_b)}
+        assert ("mulaw-reupload", "s3://bucket/original.wav") in found
+        assert all("unrelated" not in p for p in found)
+        # the exact-key lane misses the companded copy — that asymmetry IS
+        # the reason the ball lane exists; if this starts passing, the
+        # division of labor documented in core/audio_fp.py is stale
+        exact = audio_neardup_pairs(fingerprint_clips(clips)).toPandas()
+        pairs = {tuple(sorted((a, b))) for a, b in zip(exact.clip_a, exact.clip_b)}
+        assert ("mulaw-reupload", "s3://bucket/original.wav") not in pairs
+
+    def test_hamming_ball_keys_expansion(self, spark):
+        from datasmith_spark.operators.audio_fp import hamming_ball_keys
+
+        ik = spark.createDataFrame([("a", 5), ("a", 7)], "id string, k long")
+        got = hamming_ball_keys(ik).toPandas()
+        ks = set(got.k)
+        # contains the originals and only values within Hamming distance 1
+        assert {5, 7} <= ks
+        assert all(min(bin(v ^ 5).count("1"), bin(v ^ 7).count("1")) <= 1 for v in ks)
+        # distinct: 5^2=7 lands in both balls but appears once per id
+        assert len(got) == len(got.drop_duplicates())
+        # d(5,7)=1, so the balls overlap in exactly {5,7}: 33+33-2 distinct
+        assert len(ks) == 2 * 33 - 2
+
+    def test_ball_fixture_is_honest(self):
+        """The committed q40 integer-key fixture must equal a fresh
+        regeneration on a deterministic clip-index sample."""
+        import sys
+
+        import pandas as pd
+
+        sys.path.insert(0, "/root/repo/scripts")
+        import make_audio_fp_ball_fixture as mbf
+
+        fix = pd.read_parquet("/root/repo/fixtures/oracle_audio_fp_ball_n4000.parquet")
+        lo, hi = 480, 680  # covers 50 base clips incl. 5 mulaw derivations
+        fresh = mbf.oracle_rows(range(lo, hi))
+        ids = {f"clip_{i:012d}" for i in range(lo, hi)} | {
+            f"mul_{i:012d}" for i in range(lo, hi)
+        }
+        sample = fix[fix.clip_id.isin(ids)]
+        key = lambda df: sorted(map(tuple, df[["clip_id", "fp_ikey"]].to_numpy()))
+        assert key(sample) == key(fresh)
+
+    def test_registry_has_q40(self):
+        from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+        assert "q40_audio_fp_mulaw_neardup" in QUERIES
+        assert "q40_audio_fp_mulaw_neardup" in ORACLE_SQL
+
+
 class TestFixture:
     def test_fixture_is_honest(self):
         """The committed q38 key fixture must equal a fresh regeneration on

@@ -120,3 +120,28 @@ def test_audio_fp_pairs_plan_is_capped_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "HashAggregate" in plan  # key-frequency stats + size/inter counts
+
+
+def test_audio_fp_hamming_plan_is_capped_equi_join(spark):
+    """q40's ball lane: the 33x expansion must be a native explode (no
+    Python UDF node) and the ball-to-exact match must be equi-joins — no
+    nested-loop shapes. The only allowed cross-ish node would be the
+    33-element literal array explode, which is a Generate, not a join."""
+    from datasmith_spark.operators.audio_fp import audio_neardup_pairs_hamming
+
+    from datasmith_spark.operators.audio_fp import hamming_ball_keys
+
+    ikeys = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 1 << 20)], "clip_id string, fp_ikey long"
+    )
+    # expansion plan (audited pre-checkpoint: the pair op localCheckpoints
+    # the ball, which truncates lineage in the downstream plan)
+    ball_plan = _plan(
+        hamming_ball_keys(ikeys.select(F.col("clip_id").alias("id"), F.col("fp_ikey").alias("k")))
+    )
+    assert "Generate" in ball_plan and "explode" in ball_plan, ball_plan
+    assert "BatchEvalPython" not in ball_plan and "ArrowEvalPython" not in ball_plan
+    plan = _plan(audio_neardup_pairs_hamming(ikeys))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
