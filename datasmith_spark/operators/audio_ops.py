@@ -35,6 +35,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..core.audio import ITEMSIZE, decode, encode
 from ..core.resample import logmel, resample
+from ..core.vad import (
+    ACTIVE_DB,
+    FRAME_MS,
+    active_span_samples,
+    vad_keep,
+    vad_metrics,
+)
 
 RESAMPLED_DDL = (
     "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
@@ -48,6 +55,20 @@ RESAMPLED_DIGEST_DDL = (
 LOGMEL_DDL = "clip_id string, ok boolean, n_frames int, n_mels int, feats array<double>"
 
 LOGMEL_DIGEST_DDL = "clip_id string, ok boolean, n_frames int, n_mels int, feats_md5 string"
+
+VAD_DDL = (
+    "clip_id string, ok boolean, n_samples int, n_frames int, n_active int, "
+    "trim_start_ms int, trim_end_ms int, n_clipped int, keep boolean"
+)
+
+TRIMMED_DDL = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+    "transcript string, trimmed boolean"
+)
+
+TRIMMED_DIGEST_DDL = (
+    "clip_id string, trimmed boolean, dur_ms int, payload_md5 string"
+)
 
 
 def _resample_pdf(
@@ -131,6 +152,138 @@ def _logmel_pdf(
     else:
         out["feats"] = feats
     return pd.DataFrame(out)
+
+
+def _vad_pdf(
+    pdf: pd.DataFrame, frame_ms: int = FRAME_MS, active_db: float = ACTIVE_DB
+) -> pd.DataFrame:
+    """One pandas batch of clips -> VAD/trim/clipping metrics batch.
+
+    All emitted metrics are integers/booleans (core/vad.py contract), so the
+    oracle compare is exact with no digest indirection. Undecodable rows get
+    ok=false, zero counts, null trims — flag-not-crash, any clip_id accepted
+    (no datagen naming assumption; cf. the r4 audio_fp defect)."""
+    out = {
+        "clip_id": pdf["clip_id"], "ok": [], "n_samples": [], "n_frames": [],
+        "n_active": [], "trim_start_ms": [], "trim_end_ms": [], "n_clipped": [],
+        "keep": [],
+    }
+    for buf, sr, codec in zip(pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        ok = pcm is not None
+        ns, nf, na, t0, t1, nc = vad_metrics(
+            pcm, sr if ok else 0, frame_ms=frame_ms, active_db=active_db
+        )
+        out["ok"].append(ok)
+        out["n_samples"].append(ns)
+        out["n_frames"].append(nf)
+        out["n_active"].append(na)
+        out["trim_start_ms"].append(t0)
+        out["trim_end_ms"].append(t1)
+        out["n_clipped"].append(nc)
+        out["keep"].append(vad_keep(ok, ns, nf, na, nc))
+    for c in ("n_samples", "n_frames", "n_active", "trim_start_ms",
+              "trim_end_ms", "n_clipped"):
+        out[c] = pd.array(out[c], dtype="Int32")
+    return pd.DataFrame(out)
+
+
+def _trim_pdf(
+    pdf: pd.DataFrame, frame_ms: int, active_db: float, digest: bool
+) -> pd.DataFrame:
+    """One pandas batch of clips -> silence-trimmed batch (or digest batch).
+
+    The trim is a BYTE-level cut at the VAD boundaries (every codec has a
+    fixed itemsize), never a decode->re-encode round trip — the kept span is
+    bit-identical to the source, lossless for every codec including the
+    companded ones. Rows with no active frames (or undecodable) pass through
+    byte-identical with trimmed=false; the table stays complete for lineage.
+    """
+    out_bytes, out_dur, trimmed = [], [], []
+    for buf, sr, dur, codec in zip(
+        pdf["bytes"], pdf["sr_hz"], pdf["dur_ms"], pdf["codec"]
+    ):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        if pcm is None:
+            out_bytes.append(buf)
+            out_dur.append(None if pd.isna(dur) else int(dur))
+            trimmed.append(False)
+            continue
+        span = active_span_samples(pcm, sr, frame_ms, active_db)
+        if span is None:
+            out_bytes.append(buf)
+            out_dur.append(None if pd.isna(dur) else int(dur))
+            trimmed.append(False)
+            continue
+        lo, hi = span
+        isz = ITEMSIZE[codec]
+        out_bytes.append(bytes(buf[lo * isz : hi * isz]))
+        out_dur.append(int(round((hi - lo) / sr * 1000.0)))
+        trimmed.append(lo > 0 or hi < pcm.size)
+    dur_arr = pd.array(out_dur, dtype="Int32")
+    if digest:
+        return pd.DataFrame(
+            {
+                "clip_id": pdf["clip_id"],
+                "trimmed": trimmed,
+                "dur_ms": dur_arr,
+                "payload_md5": [
+                    None if b is None else hashlib.md5(b).hexdigest()
+                    for b in out_bytes
+                ],
+            }
+        )
+    return pd.DataFrame(
+        {
+            "clip_id": pdf["clip_id"],
+            "bytes": out_bytes,
+            "sr_hz": pdf["sr_hz"],
+            "dur_ms": dur_arr,
+            "codec": pdf["codec"],
+            "transcript": pdf["transcript"],
+            "trimmed": trimmed,
+        }
+    )
+
+
+def trim_clips(
+    clips: DataFrame,
+    frame_ms: int = FRAME_MS,
+    active_db: float = ACTIVE_DB,
+    digest: bool = False,
+) -> DataFrame:
+    """Silence-trim every decodable clip to its VAD-active span (lossless
+    byte cut in the original codec). Composable path; digest=True is the
+    verification mode (q44). Shuffle-free narrow map at any scale."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _trim_pdf(pdf, frame_ms, active_db, digest)
+
+    return clips.select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+    ).mapInPandas(_run, schema=TRIMMED_DIGEST_DDL if digest else TRIMMED_DDL)
+
+
+def vad_clips(
+    clips: DataFrame, frame_ms: int = FRAME_MS, active_db: float = ACTIVE_DB
+) -> DataFrame:
+    """Per-clip voice-activity / trim / clipping quality metrics.
+
+    Arrow-batched mapInPandas over any clips-shaped DataFrame (composable
+    path). One output row per input row; keep is the composite audio-quality
+    rule (core/vad.py vad_keep). At 100 TB this is a shuffle-free narrow map,
+    ~1.5 passes over the decoded PCM per clip."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _vad_pdf(pdf, frame_ms, active_db)
+
+    return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
+        _run, schema=VAD_DDL
+    )
 
 
 def resample_clips(
@@ -256,6 +409,39 @@ def resample_digest_scan(
         lambda pdf: _resample_pdf(pdf, target_sr, mode, codec_out, True),
         RESAMPLED_DIGEST_DDL,
         scan_parallelism=_kernel_parallelism(spark, input_dir),
+    )
+
+
+def trim_digest_scan(
+    spark: SparkSession, input_dir: str,
+    frame_ms: int = FRAME_MS, active_db: float = ACTIVE_DB,
+) -> DataFrame:
+    """trim_clips(digest=True) over a parquet directory via the fused
+    manifest scan — trimmed bytes never cross the JVM boundary (q44)."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _trim_pdf(pdf, frame_ms, active_db, True),
+        TRIMMED_DIGEST_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+    )
+
+
+def vad_trim_scan(
+    spark: SparkSession, input_dir: str,
+    frame_ms: int = FRAME_MS, active_db: float = ACTIVE_DB,
+) -> DataFrame:
+    """vad_clips over a parquet directory via the fused manifest scan —
+    audio bytes never enter the JVM (q41's verification path). Kernel-bound
+    (decode + one framed-energy pass), so it takes full session parallelism
+    like the resample/log-mel/fingerprint scans."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _vad_pdf(pdf, frame_ms, active_db),
+        VAD_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+        columns=["clip_id", "bytes", "sr_hz", "codec"],
     )
 
 

@@ -146,6 +146,91 @@ def fingerprint_pairs(
     )
 
 
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """Per-document Gopher-style quality rules (Rae et al. 2021 §A1.1.1 shape,
+    thresholds tuned to the synthetic corpus): word-count bounds, mean-word-
+    length bounds, minimum stopword hits, symbol-density cap, and a
+    duplicate-word (repetition) cap. The documents-table mirror of the clips
+    pipeline's rules stage, per-doc rather than per-lang (q18's aggregate).
+
+    Every emitted metric is an integer and the keep rule uses only integer
+    cross-multiplied compares (mean word length in [3, 10] is
+    3*n_words <= sum_word_len <= 10*n_words), so the DuckDB oracle re-derives
+    the ENTIRE computation — no float ratios, no rounding convention.
+
+    At scale: embarrassingly parallel narrow map over native Column
+    expressions (whole-stage codegen; split/aggregate/regexp_count are all
+    JVM-side), no shuffle, predicate-pushdown friendly.
+    """
+    w = tokens_col(F.col("text"))
+    n_words = F.size(w)
+    sum_wl = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    n_uniq = F.size(F.array_distinct(w))
+    n_stop = F.regexp_count(F.col("text"), F.lit(STOPWORD_PATTERN))
+    n_sym = F.regexp_count(F.col("text"), F.lit(SYMBOL_PATTERN))
+    keep = (
+        (n_words >= 30)
+        & (n_words <= 1000)
+        & (3 * n_words <= sum_wl)
+        & (sum_wl <= 10 * n_words)
+        & (n_stop >= 2)
+        & (20 * n_sym <= F.length("text"))
+        & (2 * n_uniq >= n_words)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_wl.cast("bigint").alias("sum_word_len"),
+        n_uniq.alias("n_uniq_words"),
+        n_stop.alias("n_stop"),
+        n_sym.alias("n_sym"),
+        keep.alias("keep"),
+    )
+
+
+def contamination_hits(docs: DataFrame, n: int = 3, bench_mod: int = 53) -> DataFrame:
+    """Benchmark-contamination check: count each document's distinct word
+    n-grams that also appear in any *other* document of the benchmark set
+    (here: doc_id % bench_mod == 0 — a deterministic stand-in for an
+    eval-suite shingle list). Returns only contaminated docs
+    (doc_id, n_hits).
+
+    Real pipelines use 13-grams against a fixed benchmark shingle table; the
+    synthetic corpus's tiny vocabulary needs n=3 for a non-degenerate hit
+    set — n is the knob, the plan shape is identical.
+
+    At scale: the benchmark shingle set is bounded (eval suites are small),
+    so the join is broadcast — each doc's grams are checked map-side with no
+    shuffle of the corpus; the only shuffle is the per-doc count aggregation.
+    """
+    toks = tokens_col(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_grams = docs.select("doc_id", F.explode(grams).alias("g")).distinct()
+    # bench is doc_grams re-derived — rename both columns so the self-join
+    # lineage is unambiguous to the analyzer
+    bench = (
+        doc_grams.filter(F.col("doc_id") % bench_mod == 0)
+        .select(F.col("doc_id").alias("bid"), F.col("g").alias("bg"))
+        .distinct()
+    )
+    return (
+        doc_grams.join(
+            F.broadcast(bench),
+            (F.col("g") == F.col("bg")) & (F.col("bid") != F.col("doc_id")),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_hits"))
+    )
+
+
 def bpe_token_hist(docs: DataFrame) -> DataFrame:
     """BPE-ish regex tokenization histogram: word / number / punctuation
     token counts per language (class-based pattern, Java+RE2 dialect-safe)."""

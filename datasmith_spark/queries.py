@@ -1546,3 +1546,181 @@ def q40_audio_fp_mulaw_neardup(spark, sf_dir):
         spark.conf.set(coal, old)
         ikeys.unpersist()
     return out
+
+
+# ------------------------------------------------- audio + text quality
+
+_AUDIO_VAD_FIXTURE = f"/root/repo/fixtures/oracle_audio_vad_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q41_audio_vad_trim",
+    f"""
+    SELECT clip_id, ok, n_samples, n_frames, n_active,
+           trim_start_ms, trim_end_ms, n_clipped, keep
+    FROM read_parquet('{_AUDIO_VAD_FIXTURE}')
+    """,
+)
+def q41_audio_vad_trim(spark, sf_dir):
+    """Audio-side quality filter: energy-based voice-activity detection
+    (20 ms frames vs a -35 dBFS floor), lead/tail trim points, hard-clipping
+    counts, and the composite keep rule — the decoded-PCM counterpart of the
+    transcript rules stage (quality_filter x audio).
+
+    Value check is exact (no digest needed): every metric is an integer or
+    boolean by the core/vad.py determinism contract (pinned-order framed
+    energy fold, integer cross-multiplied keep rule); the DuckDB oracle reads
+    the committed single-process pass (scripts/make_audio_vad_fixture.py —
+    shared kernel, independent driver loop). Runs as a fused manifest scan:
+    audio bytes never enter the JVM, kernel-bound so full session
+    parallelism. At 10^12 clips this is a shuffle-free narrow map
+    (operators/audio_ops.py vad_trim_scan)."""
+    from .core.vad import Q41_ACTIVE_DB
+    from .operators.audio_ops import vad_trim_scan
+
+    return vad_trim_scan(
+        spark, _clips_cache_path(spark, sf_dir), active_db=Q41_ACTIVE_DB
+    )
+
+
+@register(
+    "q42_gopher_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(w)                                                AS n_words,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+                                                                   AS sum_word_len,
+             len(list_distinct(w))                                 AS n_uniq_words,
+             len(regexp_extract_all(text, '\b(the|a|and|of|to|in)\b')) AS n_stop,
+             len(regexp_extract_all(text, '[^a-z0-9 ]'))           AS n_sym,
+             length(text)                                          AS n_chars
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS INT)      AS n_words,
+           sum_word_len,
+           CAST(n_uniq_words AS INT) AS n_uniq_words,
+           CAST(n_stop AS INT)       AS n_stop,
+           CAST(n_sym AS INT)        AS n_sym,
+           (n_words >= 30 AND n_words <= 1000
+            AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+            AND n_stop >= 2
+            AND 20 * n_sym <= n_chars
+            AND 2 * n_uniq_words >= n_words) AS keep
+    FROM m
+    """,
+)
+def q42_gopher_quality(spark, sf_dir):
+    """Per-document Gopher-style quality rules (word-count bounds, mean word
+    length via integer cross-multiplication, stopword minimum, symbol-density
+    cap, duplicate-word cap). All-integer metrics so the DuckDB oracle
+    re-derives the ENTIRE computation. Whole-stage-codegen narrow map —
+    no shuffle, no UDF (operators/text_analysis.py gopher_quality)."""
+    from .operators.text_analysis import gopher_quality
+
+    return gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q43_contamination_ngrams",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ),
+    doc_grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+      FROM toks, UNNEST(CASE WHEN len(w) >= 3 THEN range(1, len(w) - 1)
+                             ELSE [] END) AS t(i)
+    ),
+    bench AS (
+      SELECT DISTINCT doc_id AS bid, g FROM doc_grams WHERE doc_id % 53 = 0
+    )
+    SELECT d.doc_id, count(DISTINCT d.g) AS n_hits
+    FROM doc_grams d JOIN bench b ON b.g = d.g AND b.bid <> d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def q43_contamination_ngrams(spark, sf_dir):
+    """Benchmark-contamination check: distinct word n-grams shared with any
+    other document of the benchmark subset (doc_id % 53 == 0 stands in for an
+    eval-suite shingle list; real pipelines use 13-grams — n=3 here because
+    the synthetic vocabulary is tiny, the plan shape is identical).
+
+    At 100 TB the benchmark shingle set is bounded, so the probe join is
+    broadcast (map-side, no corpus shuffle); the only shuffle is the per-doc
+    count (operators/text_analysis.py contamination_hits)."""
+    from .operators.text_analysis import contamination_hits
+
+    return contamination_hits(_t(spark, sf_dir, "documents"), n=3, bench_mod=53)
+
+
+@register(
+    "q44_trim_silence",
+    f"""
+    SELECT clip_id, trimmed, dur_ms, payload_md5
+    FROM read_parquet('{_AUDIO_VAD_FIXTURE}')
+    """,
+)
+def q44_trim_silence(spark, sf_dir):
+    """Silence-trim to the VAD-active span as a LOSSLESS byte cut: every
+    codec has a fixed itemsize, so the kept span is sliced from the encoded
+    payload directly — bit-identical to the source, no decode->re-encode
+    loss even for the companded codecs. No-active-span and undecodable rows
+    pass through byte-identical with trimmed=false.
+
+    Digest-exact value check like q36: the fused manifest scan hashes the
+    trimmed payload per clip worker-side; the DuckDB oracle reads the
+    committed single-process pass (same fixture as q41 — one script, shared
+    span kernel core/vad.py active_span_samples, independent driver loop).
+    Shuffle-free narrow map at 10^12 clips."""
+    from .core.vad import Q41_ACTIVE_DB
+    from .operators.audio_ops import trim_digest_scan
+
+    return trim_digest_scan(
+        spark, _clips_cache_path(spark, sf_dir), active_db=Q41_ACTIVE_DB
+    )
+
+
+@register(
+    "q45_stratified_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 25
+    """,
+)
+def q45_stratified_sample(spark, sf_dir):
+    """Deterministic per-language stratified sample: rank docs within each
+    language by md5(doc_id) (a seedless, engine-portable shuffle) and keep
+    the top 25 — balanced training-data sampling that is exactly
+    reproducible across engines and runs, so resumes/backfills pick the
+    same rows.
+
+    At 100 TB the naive window (shuffle by lang, full sort per stratum) is
+    skew-hostile — `en` is the hot key. The scale plan is two-phase: a
+    map-side hash prefilter (md5(doc_id) < t where t oversamples k by ~4x
+    per stratum's estimated count) cuts each stratum to O(k) survivors
+    BEFORE the shuffle, then the exact window runs on the survivors. At
+    sf0.01's 500 rows the prefilter would undersample small strata, so this
+    registration runs the exact window directly; the prefilter is the
+    documented knob, not a semantic change."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 25)
+    )
