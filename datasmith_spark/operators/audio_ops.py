@@ -35,6 +35,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..core.audio import ITEMSIZE, decode, encode
 from ..core.resample import logmel, resample
+from ..core.spectral import (
+    bw_bin_to_hz,
+    speaking_rate_keep,
+    spectral_metrics,
+)
 from ..core.vad import (
     ACTIVE_DB,
     FRAME_MS,
@@ -68,6 +73,15 @@ TRIMMED_DDL = (
 
 TRIMMED_DIGEST_DDL = (
     "clip_id string, trimmed boolean, dur_ms int, payload_md5 string"
+)
+
+SPECTRAL_DDL = (
+    "clip_id string, ok boolean, n_bins int, n_harmonic int, snr_log2 int, "
+    "snr_ok boolean, bw_hz int, narrowband boolean, keep boolean"
+)
+
+RATE_DDL = (
+    "clip_id string, ok boolean, n_chars int, active_ms int, rate_keep boolean"
 )
 
 
@@ -189,6 +203,70 @@ def _vad_pdf(
     return pd.DataFrame(out)
 
 
+def _spectral_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One pandas batch of clips -> spectral SNR + bandwidth quality batch.
+
+    All emitted metrics are integers/booleans (core/spectral.py contract —
+    frexp-based log2 bands, cross-multiplied predicates, no libm
+    transcendentals), so the committed-fixture oracle compare is exact and
+    host-portable. keep = decodable AND snr_ok AND NOT narrowband: the
+    composite spectral-quality rule. Any clip_id accepted; undecodable rows
+    get ok=false, zero/null metrics — flag, never crash."""
+    out = {
+        "clip_id": pdf["clip_id"], "ok": [], "n_bins": [], "n_harmonic": [],
+        "snr_log2": [], "snr_ok": [], "bw_hz": [], "narrowband": [], "keep": [],
+    }
+    for buf, sr, codec in zip(pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        ok = pcm is not None
+        n_bins, n_harm, snr_log2, snr_ok, bw_bin, narrow = spectral_metrics(pcm)
+        out["ok"].append(ok)
+        out["n_bins"].append(n_bins)
+        out["n_harmonic"].append(n_harm)
+        out["snr_log2"].append(snr_log2)
+        out["snr_ok"].append(snr_ok)
+        out["bw_hz"].append(bw_bin_to_hz(bw_bin, sr) if ok else None)
+        out["narrowband"].append(narrow)
+        out["keep"].append(ok and snr_ok and not narrow)
+    for c in ("n_bins", "n_harmonic", "snr_log2", "bw_hz"):
+        out[c] = pd.array(out[c], dtype="Int32")
+    return pd.DataFrame(out)
+
+
+def _rate_pdf(
+    pdf: pd.DataFrame, frame_ms: int = FRAME_MS, active_db: float = ACTIVE_DB
+) -> pd.DataFrame:
+    """One pandas batch of clips -> speaking-rate sanity batch.
+
+    active_ms is the TOTAL voiced time (n_active VAD frames x frame_ms),
+    not the trim span — pauses inside the clip do not inflate the implied
+    characters-per-second. All-integer metrics; rate_keep is the integer
+    cross-multiplied CPS window (core/spectral.py speaking_rate_keep)."""
+    out = {
+        "clip_id": pdf["clip_id"], "ok": [], "n_chars": [], "active_ms": [],
+        "rate_keep": [],
+    }
+    for buf, sr, codec, tr in zip(
+        pdf["bytes"], pdf["sr_hz"], pdf["codec"], pdf["transcript"]
+    ):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        ok = pcm is not None
+        _, _, n_active, _, _, _ = vad_metrics(
+            pcm, sr if ok else 0, frame_ms=frame_ms, active_db=active_db
+        )
+        n_chars = 0 if tr is None or pd.isna(tr) else len(str(tr).strip())
+        active_ms = n_active * frame_ms if ok else None
+        out["ok"].append(ok)
+        out["n_chars"].append(n_chars)
+        out["active_ms"].append(active_ms)
+        out["rate_keep"].append(speaking_rate_keep(n_chars, active_ms))
+    for c in ("n_chars", "active_ms"):
+        out[c] = pd.array(out[c], dtype="Int32")
+    return pd.DataFrame(out)
+
+
 def _trim_pdf(
     pdf: pd.DataFrame, frame_ms: int, active_db: float, digest: bool
 ) -> pd.DataFrame:
@@ -283,6 +361,38 @@ def vad_clips(
 
     return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
         _run, schema=VAD_DDL
+    )
+
+
+def spectral_quality(clips: DataFrame) -> DataFrame:
+    """Per-clip spectral SNR estimate + effective-bandwidth quality filter
+    (composable path). One output row per input row; keep is the composite
+    spectral rule. Shuffle-free narrow map at any scale — the FFT kernel is
+    the cost, ~1 pass over the decoded PCM per clip."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _spectral_pdf(pdf)
+
+    return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
+        _run, schema=SPECTRAL_DDL
+    )
+
+
+def speaking_rate(
+    clips: DataFrame, frame_ms: int = FRAME_MS, active_db: float = ACTIVE_DB
+) -> DataFrame:
+    """Per-clip transcript-vs-audio speaking-rate sanity filter (composable
+    path): implied characters-per-second over the VAD-active time must land
+    in the plausible window. The audio x transcript cross-check the
+    metadata-only length-ratio rule cannot make."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _rate_pdf(pdf, frame_ms, active_db)
+
+    return clips.select("clip_id", "bytes", "sr_hz", "codec", "transcript").mapInPandas(
+        _run, schema=RATE_DDL
     )
 
 
@@ -442,6 +552,37 @@ def vad_trim_scan(
         VAD_DDL,
         scan_parallelism=_kernel_parallelism(spark, input_dir),
         columns=["clip_id", "bytes", "sr_hz", "codec"],
+    )
+
+
+def spectral_quality_scan(spark: SparkSession, input_dir: str) -> DataFrame:
+    """spectral_quality over a parquet directory via the fused manifest scan
+    — audio bytes never enter the JVM (q46's verification path). FFT-kernel
+    bound, so it takes full session parallelism like q36/q37/q38."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        _spectral_pdf,
+        SPECTRAL_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+        columns=["clip_id", "bytes", "sr_hz", "codec"],
+    )
+
+
+def speaking_rate_scan(
+    spark: SparkSession, input_dir: str,
+    frame_ms: int = FRAME_MS, active_db: float = ACTIVE_DB,
+) -> DataFrame:
+    """speaking_rate over a parquet directory via the fused manifest scan
+    (q47's verification path). Kernel-bound (decode + one framed-energy
+    pass), full session parallelism."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _rate_pdf(pdf, frame_ms, active_db),
+        RATE_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+        columns=["clip_id", "bytes", "sr_hz", "codec", "transcript"],
     )
 
 

@@ -1724,3 +1724,62 @@ def q45_stratified_sample(spark, sf_dir):
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 25)
     )
+
+
+_AUDIO_QUALITY_FIXTURE = (
+    f"/root/repo/fixtures/oracle_audio_quality_n{_CLIPS_N}.parquet"
+)
+
+
+@register(
+    "q46_spectral_quality",
+    f"""
+    SELECT clip_id, ok, n_bins, n_harmonic, snr_log2, snr_ok, bw_hz,
+           narrowband, keep
+    FROM read_parquet('{_AUDIO_QUALITY_FIXTURE}')
+    """,
+)
+def q46_spectral_quality(spark, sf_dir):
+    """Spectral audio-quality filter: per-clip SNR estimate (harmonic bins
+    vs the median-power noise floor) and effective-bandwidth / narrowband
+    detection (the 8 kHz-upsampled-to-16 kHz transcode flag) over the
+    averaged 512-point power spectrum — the frequency-domain counterpart of
+    the time-domain VAD rules (q41).
+
+    Value check is exact with no digest: every metric is an integer or
+    boolean by the core/spectral.py portability contract (pinned-order
+    spectrum folds, frexp-based floor-log2 SNR bands, cross-multiplied keep
+    predicates — no libm transcendentals anywhere). The DuckDB oracle reads
+    the committed single-process pass (scripts/make_audio_quality_fixture.py
+    — shared kernel, independent driver loop). Runs as a fused manifest
+    scan: audio bytes never enter the JVM; FFT-kernel bound so full session
+    parallelism. At 10^12 clips this is a shuffle-free narrow map
+    (operators/audio_ops.py spectral_quality_scan)."""
+    from .operators.audio_ops import spectral_quality_scan
+
+    return spectral_quality_scan(spark, _clips_cache_path(spark, sf_dir))
+
+
+@register(
+    "q47_speaking_rate",
+    f"""
+    SELECT clip_id, ok, n_chars, active_ms, rate_keep
+    FROM read_parquet('{_AUDIO_QUALITY_FIXTURE}')
+    """,
+)
+def q47_speaking_rate(spark, sf_dir):
+    """Transcript-vs-audio speaking-rate sanity filter: the implied
+    characters-per-second (stripped transcript length over VAD-active
+    voiced time) must land in the plausible [2, 40] cps window — the
+    cross-modal check that catches mismatched transcript/audio pairs that
+    every single-modality rule passes (empty audio with a long transcript,
+    a full clip carrying three words).
+
+    All-integer metrics; rate_keep is the integer cross-multiplied window
+    (core/spectral.py speaking_rate_keep), so the committed-fixture oracle
+    compare is exact (same fixture as q46 — one script, one pinned input).
+    Shuffle-free fused manifest scan at any scale
+    (operators/audio_ops.py speaking_rate_scan)."""
+    from .operators.audio_ops import speaking_rate_scan
+
+    return speaking_rate_scan(spark, _clips_cache_path(spark, sf_dir))

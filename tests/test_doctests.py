@@ -12,10 +12,20 @@ import doctest
 
 import pytest
 
-from datasmith_spark.core import audio, audio_fp, langid, lm, rules, scrub, text, vad
+from datasmith_spark.core import (
+    audio,
+    audio_fp,
+    langid,
+    lm,
+    rules,
+    scrub,
+    spectral,
+    text,
+    vad,
+)
 
-KERNEL_MODULES = (audio, audio_fp, langid, lm, rules, scrub, text, vad)
-MUST_HAVE_EXAMPLES = (audio, audio_fp, rules, scrub, text, vad)
+KERNEL_MODULES = (audio, audio_fp, langid, lm, rules, scrub, spectral, text, vad)
+MUST_HAVE_EXAMPLES = (audio, audio_fp, rules, scrub, spectral, text, vad)
 
 
 @pytest.mark.parametrize("mod", KERNEL_MODULES, ids=lambda m: m.__name__)
