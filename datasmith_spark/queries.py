@@ -1783,3 +1783,87 @@ def q47_speaking_rate(spark, sf_dir):
     from .operators.audio_ops import speaking_rate_scan
 
     return speaking_rate_scan(spark, _clips_cache_path(spark, sf_dir))
+
+
+@register(
+    "q48_curriculum_buckets",
+    """
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             ntile(8) OVER (ORDER BY n_chars ASC, doc_id ASC) AS bucket
+      FROM documents
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM ranked GROUP BY bucket
+    """,
+)
+def q48_curriculum_buckets(spark, sf_dir):
+    """Curriculum binning for training-data scheduling: split the corpus
+    into 8 equal-count difficulty buckets by document length (ntile over a
+    deterministic total order) and report per-bucket stats — the standard
+    "train on short/easy first" schedule assignment.
+
+    ntile needs a TOTAL order, which Spark executes as a single-partition
+    window — fine at fixture scale, skew-hostile at 100 TB. The scale plan
+    (documented, not a semantic change): compute the 8 exact boundary ranks
+    with a distributed sort + partition-offset prefix sums (or
+    percentile_approx boundaries when +-1-doc balance is acceptable),
+    broadcast the boundaries, and bucket map-side — the same two-phase shape
+    as q45's stratified-sample prefilter."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "n_chars", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "q49_sequence_packing",
+    """
+    WITH ordered AS (
+      SELECT doc_id, lang, n_chars,
+             sum(n_chars) OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_chars
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, cum_chars,
+           CAST((cum_chars - n_chars) // 4096 AS INT) AS pack_id
+    FROM ordered
+    """,
+)
+def q49_sequence_packing(spark, sf_dir):
+    """Deterministic sequence packing: assign each document to a fixed-size
+    training pack (4096-char budget) by running-prefix-sum of lengths over a
+    seedless md5 shuffle order within each language — the streaming
+    first-fit packer most training pipelines run, relationalized so resumes
+    and backfills produce identical packs (same property as q45).
+
+    pack_id = floor((cum - own) / budget): a document belongs to the pack
+    its first character lands in; packs can overflow the budget by at most
+    one document (standard greedy packing semantics). Pure window cumsum —
+    whole-stage codegen, no UDF; at 100 TB the shuffle is one hash partition
+    by lang with AQE skew splitting on the hot languages, and the in-
+    partition sort is the only O(n log n) term."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_chars").over(w).alias("cum_chars")
+    return docs.select("doc_id", "lang", "n_chars", cum).withColumn(
+        "pack_id",
+        F.expr("CAST((cum_chars - n_chars) DIV 4096 AS INT)"),
+    )
