@@ -1536,14 +1536,25 @@ def q40_audio_fp_mulaw_neardup(spark, sf_dir):
     # each of the 200 default shuffle partitions sorts ~50k rows. Restored
     # after the eager checkpoint — every other query keeps AQE coalescing.
     coal = "spark.sql.adaptive.coalescePartitions.enabled"
+    shuf = "spark.sql.shuffle.partitions"
     old = spark.conf.get(coal, "true")
+    old_shuf = spark.conf.get(shuf, "200")
+    # 32 shuffle partitions for the ball joins: the rows are tiny ints, so
+    # at 200-way each of the six shuffles pays fixed per-partition sort/
+    # fetch overhead on ~75k-row slivers — interleaved A/B at local[32]
+    # measures 200-way at ~40 s vs 32-way at ~18 s, and a vanilla 1g
+    # local[8] session completes fine at 32-way (~470k-row partitions
+    # spill-sort; the OOM mode being avoided is AQE coalescing packing
+    # the ball into 1-2 multi-million-row partitions, not this).
     spark.conf.set(coal, "false")
+    spark.conf.set(shuf, "32")
     try:
         out = audio_neardup_pairs_hamming(
             ikeys, num=_FP_BALL_NUM, den=_FP_BALL_DEN
         ).localCheckpoint(eager=True)
     finally:
         spark.conf.set(coal, old)
+        spark.conf.set(shuf, old_shuf)
         ikeys.unpersist()
     return out
 
