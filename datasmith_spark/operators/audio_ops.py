@@ -84,6 +84,13 @@ RATE_DDL = (
     "clip_id string, ok boolean, n_chars int, active_ms int, rate_keep boolean"
 )
 
+QUALITY_DDL = (
+    "clip_id string, ok boolean, "
+    "n_samples int, n_frames int, n_active int, n_clipped int, vad_keep boolean, "
+    "n_harmonic int, snr_log2 int, snr_ok boolean, bw_hz int, narrowband boolean, "
+    "n_chars int, active_ms int, rate_keep boolean, keep boolean"
+)
+
 
 def _resample_pdf(
     pdf: pd.DataFrame, target_sr: int, mode: str, codec_out: str, digest: bool
@@ -362,6 +369,78 @@ def vad_clips(
     return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
         _run, schema=VAD_DDL
     )
+
+
+def _quality_full_pdf(
+    pdf: pd.DataFrame, frame_ms: int = FRAME_MS, active_db: float = ACTIVE_DB
+) -> pd.DataFrame:
+    """One pandas batch of clips -> ALL audio-quality lanes in ONE decode:
+    time-domain VAD/clipping (q41 family), spectral SNR + bandwidth (q46),
+    speaking-rate cross-check (q47), and the composite keep (AND of the
+    three lane keeps). The fused form a continuous-ingest front door runs —
+    one decode + one framed-energy pass + one FFT pass per clip instead of
+    three scans. All emitted metrics integers/booleans (shared kernel
+    contracts), so results are bit-identical to the per-lane operators."""
+    out = {
+        "clip_id": pdf["clip_id"], "ok": [],
+        "n_samples": [], "n_frames": [], "n_active": [], "n_clipped": [],
+        "vad_keep": [], "n_harmonic": [], "snr_log2": [], "snr_ok": [],
+        "bw_hz": [], "narrowband": [], "n_chars": [], "active_ms": [],
+        "rate_keep": [], "keep": [],
+    }
+    for buf, sr, codec, tr in zip(
+        pdf["bytes"], pdf["sr_hz"], pdf["codec"], pdf["transcript"]
+    ):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        ok = pcm is not None
+        ns, nf, na, _, _, nc = vad_metrics(
+            pcm, sr if ok else 0, frame_ms=frame_ms, active_db=active_db
+        )
+        vk = vad_keep(ok, ns, nf, na, nc)
+        _, n_harm, snr_log2, snr_ok, bw_bin, narrow = spectral_metrics(pcm)
+        sk = ok and snr_ok and not narrow
+        n_chars = 0 if tr is None or pd.isna(tr) else len(str(tr).strip())
+        active_ms = na * frame_ms if ok else None
+        rk = speaking_rate_keep(n_chars, active_ms)
+        out["ok"].append(ok)
+        out["n_samples"].append(ns)
+        out["n_frames"].append(nf)
+        out["n_active"].append(na)
+        out["n_clipped"].append(nc)
+        out["vad_keep"].append(vk)
+        out["n_harmonic"].append(n_harm)
+        out["snr_log2"].append(snr_log2)
+        out["snr_ok"].append(snr_ok)
+        out["bw_hz"].append(bw_bin_to_hz(bw_bin, sr) if ok else None)
+        out["narrowband"].append(narrow)
+        out["n_chars"].append(n_chars)
+        out["active_ms"].append(active_ms)
+        out["rate_keep"].append(rk)
+        out["keep"].append(vk and sk and rk)
+    for c in ("n_samples", "n_frames", "n_active", "n_clipped", "n_harmonic",
+              "snr_log2", "bw_hz", "n_chars", "active_ms"):
+        out[c] = pd.array(out[c], dtype="Int32")
+    return pd.DataFrame(out)
+
+
+def audio_quality(
+    clips: DataFrame, frame_ms: int = FRAME_MS, active_db: float = ACTIVE_DB
+) -> DataFrame:
+    """All three audio-quality lanes (VAD, spectral, speaking-rate) fused
+    into one decode pass, plus the composite keep. Works UNCHANGED on a
+    streaming DataFrame (stateless Arrow-batched mapInPandas), so
+    `stream_clips(...) |> audio_quality` is the continuous-ingest quality
+    filter — see streaming.stream_audio_quality. Shuffle-free narrow map
+    at any scale."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _quality_full_pdf(pdf, frame_ms, active_db)
+
+    return clips.select(
+        "clip_id", "bytes", "sr_hz", "codec", "transcript"
+    ).mapInPandas(_run, schema=QUALITY_DDL)
 
 
 def spectral_quality(clips: DataFrame) -> DataFrame:

@@ -47,6 +47,24 @@ def stream_clips(
     return reader.parquet(input_dir)
 
 
+def stream_audio_quality(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Continuous-ingest audio quality filter: the fused three-lane quality
+    operator (time-domain VAD/clipping + spectral SNR/bandwidth +
+    speaking-rate cross-check, operators/audio_ops.py audio_quality) lifted
+    onto a file-source stream. Stateless Arrow-batched mapInPandas, so
+    micro-batch results are bit-identical to the batch operator over the
+    same files (tests/test_streaming.py::test_stream_audio_quality_matches_batch);
+    `maxFilesPerTrigger` bounds decode memory per micro-batch exactly like
+    the label pipeline stream."""
+    from .operators.audio_ops import audio_quality
+
+    return audio_quality(stream_clips(spark, input_dir, max_files_per_trigger))
+
+
 def make_batch_sink(tl: TableLayer):
     """foreachBatch sink with idempotent-per-batch semantics.
 

@@ -177,3 +177,40 @@ class TestSpectralSpark:
 
         for q in ("q46_spectral_quality", "q47_speaking_rate"):
             assert q in QUERIES and q in ORACLE_SQL
+
+
+class TestFusedQuality:
+    def test_fused_matches_per_lane_ops(self, spark):
+        """audio_quality (one decode) == vad_clips + spectral_quality +
+        speaking_rate run separately, column for column."""
+        import pandas as pd
+
+        from datasmith_spark.datagen import clips_df
+        from datasmith_spark.operators.audio_ops import (
+            audio_quality,
+            spectral_quality,
+            speaking_rate,
+            vad_clips,
+        )
+
+        clips = clips_df(spark, 100, n_partitions=4).cache()
+        fused = audio_quality(clips).toPandas().set_index("clip_id").sort_index()
+        vad = vad_clips(clips).toPandas().set_index("clip_id").sort_index()
+        spec = spectral_quality(clips).toPandas().set_index("clip_id").sort_index()
+        rate = speaking_rate(clips).toPandas().set_index("clip_id").sort_index()
+
+        def eq(a, b, name):
+            a = a.astype("object").where(a.notna(), "<null>").astype(str)
+            b = b.astype("object").where(b.notna(), "<null>").astype(str)
+            assert (a == b).all(), name
+
+        for c in ("n_samples", "n_frames", "n_active", "n_clipped"):
+            eq(fused[c], vad[c], c)
+        eq(fused["vad_keep"], vad["keep"], "vad_keep")
+        for c in ("n_harmonic", "snr_log2", "snr_ok", "bw_hz", "narrowband"):
+            eq(fused[c], spec[c], c)
+        for c in ("n_chars", "active_ms", "rate_keep"):
+            eq(fused[c], rate[c], c)
+        want_keep = vad["keep"] & spec["keep"] & rate["rate_keep"]
+        eq(fused["keep"], want_keep, "keep")
+        clips.unpersist()

@@ -517,3 +517,39 @@ def test_stream_crash_between_write_and_commit_recovers(spark, clips_path, tmp_p
         pd.testing.assert_frame_equal(
             a.sort_index(axis=1), b.sort_index(axis=1), check_like=True
         )
+
+
+def test_stream_audio_quality_matches_batch(spark, clips_path, stream_dirs, tmp_path):
+    """The fused audio-quality operator lifted onto a stream reproduces the
+    batch operator bit-for-bit over the same files (stateless lanes)."""
+    from datasmith_spark.operators.audio_ops import audio_quality
+    from datasmith_spark.streaming import stream_audio_quality
+
+    inp, _ = stream_dirs
+    q = (
+        stream_audio_quality(spark, inp, max_files_per_trigger=4)
+        .writeStream.format("memory")
+        .queryName("aq_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.table("aq_stream").toPandas().sort_values("clip_id").reset_index(drop=True)
+    )
+    want = (
+        audio_quality(spark.read.parquet(inp))
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in want.columns:
+        a = got[c].astype("object").where(got[c].notna(), "<null>").astype(str)
+        b = want[c].astype("object").where(want[c].notna(), "<null>").astype(str)
+        assert (a == b).all(), f"{c} mismatch"
+    # the composite keep is the AND of the three lane keeps
+    lanes = want.vad_keep & want.snr_ok & ~want.narrowband & want.rate_keep & want.ok
+    assert (want.keep == lanes).all()
+    # and every lane actually fires somewhere on the corpus
+    assert 0 < want.keep.sum() < len(want)
