@@ -84,6 +84,20 @@ RATE_DDL = (
     "clip_id string, ok boolean, n_chars int, active_ms int, rate_keep boolean"
 )
 
+# peak-normalization target: 57/64 exactly (an exact binary fraction, so the
+# gain division and per-sample multiply are IEEE-portable with no libm pow) —
+# within 0.01 dB of the conventional -1 dBFS headroom target
+NORM_TARGET_PEAK = 0.890625
+
+NORMALIZED_DDL = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+    "transcript string, normalized boolean"
+)
+
+NORMALIZED_DIGEST_DDL = (
+    "clip_id string, normalized boolean, payload_md5 string"
+)
+
 QUALITY_DDL = (
     "clip_id string, ok boolean, "
     "n_samples int, n_frames int, n_active int, n_clipped int, vad_keep boolean, "
@@ -369,6 +383,73 @@ def vad_clips(
     return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
         _run, schema=VAD_DDL
     )
+
+
+def _normalize_pdf(
+    pdf: pd.DataFrame, target_peak: float, digest: bool
+) -> pd.DataFrame:
+    """One pandas batch of clips -> peak-normalized batch (or digest batch).
+
+    gain = target_peak / max|x| applied in float64, re-encoded in the
+    SOURCE codec (the prep step before resample/feature extraction levels
+    loudness without changing the storage format). Exactly-representable
+    target + IEEE division/multiply = host-portable digests. Silent
+    (peak == 0) and undecodable rows pass through byte-identical with
+    normalized=false — flag, never crash; the table stays complete."""
+    out_bytes, normalized = [], []
+    for buf, sr, codec in zip(pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        if pcm is None:
+            out_bytes.append(buf)
+            normalized.append(False)
+            continue
+        peak = float(np.max(np.abs(pcm)))
+        if peak <= 0.0:
+            out_bytes.append(buf)
+            normalized.append(False)
+            continue
+        out_bytes.append(encode(pcm * (target_peak / peak), codec))
+        normalized.append(True)
+    if digest:
+        return pd.DataFrame(
+            {
+                "clip_id": pdf["clip_id"],
+                "normalized": normalized,
+                "payload_md5": [
+                    None if b is None else hashlib.md5(b).hexdigest()
+                    for b in out_bytes
+                ],
+            }
+        )
+    return pd.DataFrame(
+        {
+            "clip_id": pdf["clip_id"],
+            "bytes": out_bytes,
+            "sr_hz": pdf["sr_hz"],
+            "dur_ms": pdf["dur_ms"],
+            "codec": pdf["codec"],
+            "transcript": pdf["transcript"],
+            "normalized": normalized,
+        }
+    )
+
+
+def normalize_clips(
+    clips: DataFrame, target_peak: float = NORM_TARGET_PEAK, digest: bool = False
+) -> DataFrame:
+    """Peak-normalize every decodable clip to target_peak in its own codec
+    (composable path; digest=True is the verification mode, q50). Loudness
+    leveling is the standard prep step between ingest and featurization —
+    shuffle-free narrow map at any scale."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _normalize_pdf(pdf, target_peak, digest)
+
+    return clips.select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+    ).mapInPandas(_run, schema=NORMALIZED_DIGEST_DDL if digest else NORMALIZED_DDL)
 
 
 def _quality_full_pdf(
@@ -662,6 +743,20 @@ def speaking_rate_scan(
         RATE_DDL,
         scan_parallelism=_kernel_parallelism(spark, input_dir),
         columns=["clip_id", "bytes", "sr_hz", "codec", "transcript"],
+    )
+
+
+def normalize_digest_scan(
+    spark: SparkSession, input_dir: str, target_peak: float = NORM_TARGET_PEAK
+) -> DataFrame:
+    """normalize_clips(digest=True) over a parquet directory via the fused
+    manifest scan — normalized bytes never cross the JVM boundary (q50)."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _normalize_pdf(pdf, target_peak, True),
+        NORMALIZED_DIGEST_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
     )
 
 

@@ -1878,3 +1878,30 @@ def q49_sequence_packing(spark, sf_dir):
         "pack_id",
         F.expr("CAST((cum_chars - n_chars) DIV 4096 AS INT)"),
     )
+
+
+_AUDIO_NORM_FIXTURE = f"/root/repo/fixtures/oracle_audio_norm_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q50_normalize_loudness",
+    f"""
+    SELECT clip_id, normalized, payload_md5
+    FROM read_parquet('{_AUDIO_NORM_FIXTURE}')
+    """,
+)
+def q50_normalize_loudness(spark, sf_dir):
+    """Peak-normalize every decodable clip to 57/64 (~-1 dBFS) in its own
+    codec — the loudness-leveling prep step between ingest and
+    featurization. Digest-exact value check like q36/q44: the fused
+    manifest scan hashes the normalized payload worker-side; the DuckDB
+    oracle reads the committed single-process pass
+    (scripts/make_audio_norm_fixture.py — shared kernel, independent
+    driver loop). The exact-binary-fraction target keeps the gain path
+    libm-free, so the committed digests are host-portable. Silent and
+    undecodable rows pass through byte-identical with normalized=false.
+    Shuffle-free narrow map at 10^12 clips
+    (operators/audio_ops.py normalize_digest_scan)."""
+    from .operators.audio_ops import normalize_digest_scan
+
+    return normalize_digest_scan(spark, _clips_cache_path(spark, sf_dir))

@@ -214,3 +214,82 @@ class TestFusedQuality:
         want_keep = vad["keep"] & spec["keep"] & rate["rate_keep"]
         eq(fused["keep"], want_keep, "keep")
         clips.unpersist()
+
+
+class TestNormalize:
+    def test_peak_lands_on_target(self, spark):
+        from datasmith_spark.core.audio import decode
+        from datasmith_spark.operators.audio_ops import (
+            NORM_TARGET_PEAK,
+            normalize_clips,
+        )
+
+        sr = 8000
+        rows = [
+            ("quiet", encode(_tone(sr, 1.0, 440.0, amp=0.05), "pcm16"), sr, 1000, "pcm16", "t"),
+            ("loud", encode(_tone(sr, 1.0, 440.0, amp=0.95), "pcm16"), sr, 1000, "pcm16", "t"),
+            ("mulaw", encode(_tone(sr, 1.0, 440.0, amp=0.3), "mulaw"), sr, 1000, "mulaw", "t"),
+            ("silent", encode(np.zeros(sr), "pcm16"), sr, 1000, "pcm16", "s"),
+            ("broken", b"\x00", sr, 10, "pcm16", "b"),
+        ]
+        df = spark.createDataFrame(
+            rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string"
+        )
+        out = normalize_clips(df).toPandas().set_index("clip_id")
+        src = {r[0]: r[1] for r in rows}
+        for cid, codec in (("quiet", "pcm16"), ("loud", "pcm16"), ("mulaw", "mulaw")):
+            got = out.loc[cid]
+            assert bool(got.normalized), cid
+            peak = float(np.max(np.abs(decode(bytes(got.bytes), codec))))
+            # re-encode quantization bounds the landed peak (mulaw is coarse)
+            tol = 0.002 if codec == "pcm16" else 0.04
+            assert abs(peak - NORM_TARGET_PEAK) < tol, (cid, peak)
+        for cid in ("silent", "broken"):
+            assert not bool(out.loc[cid].normalized)
+            assert bytes(out.loc[cid].bytes) == src[cid]
+
+    def test_target_is_exact_binary_fraction(self):
+        from datasmith_spark.operators.audio_ops import NORM_TARGET_PEAK
+
+        # 57/64 is exactly representable: the portability contract
+        assert NORM_TARGET_PEAK == 57.0 / 64.0
+        assert NORM_TARGET_PEAK.hex() == "0x1.c800000000000p-1"
+
+    def test_digest_mode_matches_bytes_mode(self, spark):
+        import hashlib
+
+        from datasmith_spark.datagen import clips_df
+        from datasmith_spark.operators.audio_ops import normalize_clips
+
+        clips = clips_df(spark, 60, n_partitions=2)
+        full = normalize_clips(clips).toPandas().set_index("clip_id")
+        dig = normalize_clips(clips, digest=True).toPandas().set_index("clip_id")
+        assert len(full) == len(dig) == 60
+        for cid, row in full.iterrows():
+            assert dig.loc[cid].payload_md5 == hashlib.md5(bytes(row.bytes)).hexdigest()
+            assert bool(dig.loc[cid].normalized) == bool(row.normalized)
+
+    def test_norm_fixture_is_honest(self):
+        import sys
+
+        import pandas as pd
+
+        sys.path.insert(0, "/root/repo/scripts")
+        import make_audio_norm_fixture as mnf
+
+        fix = pd.read_parquet("/root/repo/fixtures/oracle_audio_norm_n4000.parquet")
+        assert len(fix) == 4000
+        assert 0 < fix.normalized.sum() < 4000
+        idx = list(range(0, 4000, 29))
+        fresh = mnf.oracle_rows(idx).reset_index(drop=True)
+        sample = fix.iloc[idx].reset_index(drop=True)
+        for c in fresh.columns:
+            a = sample[c].astype("object").where(sample[c].notna(), "<null>").astype(str)
+            b = fresh[c].astype("object").where(fresh[c].notna(), "<null>").astype(str)
+            assert (a == b).all(), c
+
+    def test_registry(self):
+        from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+        assert "q50_normalize_loudness" in QUERIES
+        assert "q50_normalize_loudness" in ORACLE_SQL
