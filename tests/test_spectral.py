@@ -293,3 +293,25 @@ class TestNormalize:
 
         assert "q50_normalize_loudness" in QUERIES
         assert "q50_normalize_loudness" in ORACLE_SQL
+
+
+def test_quality_gate_composes_with_label_pipeline(spark):
+    """The README composition: audio_quality gate -> left-semi -> the
+    reference label chain; survivors' labels equal the ungated run's labels
+    for the same clips (gating composes, it does not perturb)."""
+    from datasmith_spark.datagen import clips_df
+    from datasmith_spark.operators.audio_ops import audio_quality
+    from datasmith_spark.pipeline import label_clips
+
+    clips = clips_df(spark, 80, n_partitions=4).cache()
+    q = audio_quality(clips)
+    good = clips.join(q.filter("keep").select("clip_id"), "clip_id", "left_semi")
+    gated = label_clips(good, n_parts=8).toPandas().set_index("clip_id").sort_index()
+    full = label_clips(clips, n_parts=8).toPandas().set_index("clip_id").sort_index()
+    assert 0 < len(gated) < len(full)
+    sub = full.loc[gated.index]
+    for c in ("keep", "drop_stage", "lang", "scrubbed_transcript"):
+        a = gated[c].astype("object").where(gated[c].notna(), "<null>").astype(str)
+        b = sub[c].astype("object").where(sub[c].notna(), "<null>").astype(str)
+        assert (a == b).all(), c
+    clips.unpersist()
