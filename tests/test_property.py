@@ -77,3 +77,129 @@ def test_scrub_is_idempotent(text):
     s2, pii2, tox2 = scrub_text(s1)
     assert s2 == s1
     assert pii2 == 0
+
+
+# ---------------------------------------------- audio quality kernels (r5)
+
+_PCM = st.lists(
+    st.floats(min_value=-1.5, max_value=1.5, allow_nan=False),
+    min_size=1, max_size=3000,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_PCM, st.sampled_from([1000, 8000, 16000]))
+def test_vad_metrics_structural_invariants(samples, sr):
+    from datasmith_spark.core.vad import active_span_samples, vad_metrics
+
+    x = np.asarray(samples, dtype=np.float64)
+    ns, nf, na, t0, t1, nc = vad_metrics(x, sr)
+    frame = max(1, sr * 20 // 1000)
+    assert ns == x.size and nf == x.size // frame
+    assert 0 <= na <= nf and 0 <= nc <= ns
+    if na:
+        assert 0 <= t0 < t1 <= int(round(nf * frame / sr * 1000.0))
+        span = active_span_samples(x, sr)
+        assert span is not None and 0 <= span[0] < span[1] <= x.size
+    else:
+        assert t0 is None and t1 is None and active_span_samples(x, sr) is None
+
+
+@settings(max_examples=80, deadline=None)
+@given(_PCM)
+def test_spectral_metrics_structural_invariants(samples):
+    from datasmith_spark.core.spectral import N_FFT, spectral_metrics
+
+    x = np.asarray(samples, dtype=np.float64)
+    nb, nh, s, ok, bw, narrow = spectral_metrics(x)
+    if x.size < N_FFT:
+        assert (nb, nh, s, ok, bw, narrow) == (0, 0, None, False, None, False)
+    else:
+        assert nb == N_FFT // 2 + 1 and 0 <= nh <= nb
+        if bw is None:
+            assert not ok and not narrow and s is None  # zero-energy clip
+        else:
+            assert 0 <= bw <= nb - 1
+
+
+@settings(max_examples=80, deadline=None)
+@given(_PCM, st.integers(min_value=-3, max_value=3))
+def test_spectral_metrics_invariant_under_pow2_gain(samples, e):
+    """Exact power-of-two gain is lossless in IEEE-754, and every predicate
+    in the kernel is a ratio — all six outputs must be identical."""
+    from datasmith_spark.core.spectral import spectral_metrics
+
+    x = np.asarray(samples, dtype=np.float64)
+    assert spectral_metrics(x) == spectral_metrics(x * (2.0 ** e))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(min_value=1e-300, max_value=1e300, allow_nan=False),
+    st.floats(min_value=1e-300, max_value=1e300, allow_nan=False),
+)
+def test_floor_log2_ratio_matches_exact_fraction(num, den):
+    """frexp-based floor(log2(num/den)) == the EXACT answer computed with
+    arbitrary-precision Fractions (doubles are rationals, so this is a
+    full-precision cross-check with no float log anywhere)."""
+    from fractions import Fraction
+
+    from datasmith_spark.core.spectral import _floor_log2_ratio
+
+    k = _floor_log2_ratio(num, den)
+    r = Fraction(num) / Fraction(den)
+    assert Fraction(2) ** k <= r < Fraction(2) ** (k + 1)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**6),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=10**6)),
+)
+def test_speaking_rate_keep_matches_float_window(n_chars, active_ms):
+    """The integer cross-multiplied window == the float cps compare
+    (exactly, because 1000*n and cps*ms are exact integers)."""
+    from datasmith_spark.core.spectral import speaking_rate_keep
+
+    got = speaking_rate_keep(n_chars, active_ms)
+    if not active_ms or n_chars <= 0:
+        assert not got
+    else:
+        cps = 1000.0 * n_chars / active_ms
+        # compare in exact integers on the boundary like the kernel does
+        lo_ok = 1000 * n_chars >= 2 * active_ms
+        hi_ok = 1000 * n_chars <= 40 * active_ms
+        assert got == (lo_ok and hi_ok)
+        if 2.001 < cps < 39.999:
+            assert got
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.sampled_from(audio.CODECS),
+    st.lists(st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+             min_size=8, max_size=400),
+)
+def test_normalize_peak_lands_at_or_below_target(codec, samples):
+    """Normalized output never exceeds the target peak by more than the
+    codec quantization step, and silent input is passed through untouched."""
+    from datasmith_spark.operators.audio_ops import NORM_TARGET_PEAK, _normalize_pdf
+    import pandas as pd
+
+    sig = np.asarray(samples, dtype=np.float64)
+    buf = audio.encode(sig, codec)
+    pdf = pd.DataFrame(
+        {"clip_id": ["c"], "bytes": [buf], "sr_hz": pd.array([8000], dtype="Int32"),
+         "dur_ms": pd.array([50], dtype="Int32"), "codec": [codec],
+         "transcript": ["t"]}
+    )
+    out = _normalize_pdf(pdf, NORM_TARGET_PEAK, digest=False)
+    got = audio.decode(bytes(out["bytes"].iloc[0]), codec)
+    if float(np.max(np.abs(audio.decode(buf, codec)))) == 0.0:
+        assert not bool(out["normalized"].iloc[0])
+        assert bytes(out["bytes"].iloc[0]) == buf
+    else:
+        assert bool(out["normalized"].iloc[0])
+        step = {"pcm16": 2e-4, "float32": 1e-6, "pcm8": 2e-2,
+                "mulaw": 0.12, "alaw": 0.12}[codec]
+        assert float(np.max(np.abs(got))) <= NORM_TARGET_PEAK + step
