@@ -135,6 +135,31 @@ class TableLayer:
         reader = spark.read.schema(schema) if schema is not None else spark.read
         return reader.parquet(self.path(name))
 
+    def write_bucketed(
+        self, df: DataFrame, name: str, key: str, n_buckets: int = 32
+    ) -> None:
+        """Catalog-mode only: persist df as a hash-bucketed (and in-bucket
+        sorted) table on `key`. Two stores bucketed with the SAME key and
+        bucket count equi-join with NO shuffle exchange on either side
+        (plan-pinned in tests/test_catalog_tables.py) — the layout for
+        long-lived key stores that every incremental batch joins against:
+        a fingerprint/seen-key store at 10^12 rows re-shuffled on every
+        ingest join is the bottleneck; bucketed, only the (small) incoming
+        batch moves. The parquet-path analogue is Iceberg's bucket
+        partition transform off-sandbox."""
+        if self.catalog is None:
+            raise NotImplementedError(
+                "bucketed stores need a catalog (bucketBy requires saveAsTable)"
+            )
+        self._ensure_ns(self._active_spark())
+        (
+            df.write.format(self.fmt)
+            .mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(self.ident(name))
+        )
+
     def _v1_insert(self, df: DataFrame, name: str, overwrite: bool) -> None:
         """v1 fallback: positional insertInto in the table's column order,
         with dynamic partition overwrite scoped to this write."""

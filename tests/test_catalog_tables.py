@@ -112,3 +112,32 @@ def test_streaming_sink_guards_catalog_mode(spark, ns):
 
     with pytest.raises(NotImplementedError):
         make_batch_sink(TableLayer("/unused", catalog=ns))
+
+
+def test_bucketed_store_join_is_shuffle_free(spark, ns):
+    """Two stores bucketed on the same key/count equi-join with ZERO
+    exchange; the identical non-bucketed join shuffles BOTH sides (the
+    control proves the assertion isn't vacuous)."""
+    tl = TableLayer("unused", catalog=ns)
+    a = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    b = spark.range(0, 20000, 2).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    tl.write_bucketed(a, "store_a", "k", n_buckets=8)
+    tl.write_bucketed(b, "store_b", "k", n_buckets=8)
+    thr = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(thr)
+    spark.conf.set(thr, "-1")  # force SMJ so the exchange question is real
+    try:
+        ta, tb = spark.table(tl.ident("store_a")), spark.table(tl.ident("store_b"))
+        j = ta.join(tb, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 10000
+        control = a.join(b, "k")
+        cplan = control._jdf.queryExecution().executedPlan().toString()
+        assert cplan.count("Exchange") >= 2
+    finally:
+        spark.conf.set(thr, old)
