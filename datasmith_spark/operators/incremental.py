@@ -1,0 +1,145 @@
+"""Incremental near-dup dedup against a persisted seen-key store.
+
+The continuous-ingest companion of the batch self-join lanes (q38/q40): a
+long-lived store holds the fingerprint keys of every clip already accepted
+into the corpus; each incoming batch is checked against the store and only
+novel clips' keys are appended. This is how dedup actually runs at 10^12
+clips — the corpus is never re-self-joined; each ingest joins ONE bounded
+batch against the store.
+
+Scale design:
+  * The store is a hash-bucketed catalog table on the key
+    (tables.TableLayer.write_bucketed), so the store side of the probe
+    join never shuffles — only the (small) incoming batch moves. Appends
+    preserve the bucket spec.
+  * Hot keys are frequency-capped on BOTH sides before matching (shared
+    convention with operators/pairs.py): per-key join work is bounded by
+    cap^2, and a pair glued together only by degenerate globally-hot keys
+    cannot pass the Jaccard verify anyway.
+  * Verification is exact-integer set-Jaccard, the same rule as
+    audio_neardup_pairs: den*inter >= num*(sz_batch + sz_seen - inter).
+
+Reference ancestry: the reference's resume semantics skip work whose cache
+key already exists (/root/reference/src/datasmith/utils.py:85-119); this
+lifts the same idea from "skip identical inputs" to "skip acoustic
+near-duplicates of anything ever seen".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import TableLayer
+
+SEEN_KEYS_DDL = "clip_id string, fp_key string"
+
+
+def seen_store_neardup(
+    batch_keys: DataFrame,
+    store_keys: DataFrame,
+    num: int = 35,
+    den: int = 100,
+    cap: int | None = None,
+) -> DataFrame:
+    """(batch_id, seen_id, n_shared, sz_batch, sz_seen) pairs where an
+    incoming clip's key set has Jaccard >= num/den with an already-seen
+    clip. Set semantics (per-id distinct keys) on both sides; hot keys
+    (frequency > cap on either side) are excluded from matching."""
+    from .pairs import pair_key_cap
+
+    cap = pair_key_cap(cap)
+    bk = (
+        batch_keys.select(F.col("clip_id").alias("bid"), F.col("fp_key").alias("k"))
+        .distinct()
+    )
+    sk = (
+        store_keys.select(F.col("clip_id").alias("sid"), F.col("fp_key").alias("k"))
+        .distinct()
+    )
+    cold = (
+        bk.groupBy("k").agg(F.count("*").alias("_bc"))
+        .join(sk.groupBy("k").agg(F.count("*").alias("_sc")), "k")
+        .filter((F.col("_bc") <= cap) & (F.col("_sc") <= cap))
+        .select("k")
+    )
+    inter = (
+        bk.join(cold, "k")
+        .join(sk, "k")
+        .groupBy("bid", "sid")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    b_sz = bk.groupBy("bid").agg(F.count("*").alias("sz_batch"))
+    s_sz = sk.groupBy("sid").agg(F.count("*").alias("sz_seen"))
+    return (
+        inter.join(b_sz, "bid")
+        .join(s_sz, "sid")
+        .filter(
+            F.lit(den) * F.col("n_shared")
+            >= F.lit(num)
+            * (F.col("sz_batch") + F.col("sz_seen") - F.col("n_shared"))
+        )
+        .select(
+            F.col("bid").alias("batch_id"),
+            F.col("sid").alias("seen_id"),
+            "n_shared",
+            "sz_batch",
+            "sz_seen",
+        )
+    )
+
+
+def init_seen_store(
+    tl: TableLayer, name: str, keys: DataFrame, n_buckets: int = 32
+) -> None:
+    """Create the seen-key store as a bucketed catalog table on fp_key."""
+    tl.write_bucketed(keys, name, "fp_key", n_buckets=n_buckets)
+
+
+def ingest_batch(
+    spark: SparkSession,
+    tl: TableLayer,
+    store: str,
+    batch_keys: DataFrame,
+    num: int = 35,
+    den: int = 100,
+    cap: int | None = None,
+    n_buckets: int = 32,
+) -> tuple[DataFrame, int, int]:
+    """One ingest step: probe the store, append only novel clips' keys.
+
+    Returns (pairs, n_novel, n_dup). pairs is materialized (collected into
+    the return frame via cache+count) BEFORE the append so the probe never
+    sees its own batch. Novel keys are appended with the same bucket spec
+    (mode=append + bucketBy keeps the layout; Spark refuses silently
+    mismatched specs). Crash between probe and append = the batch is
+    re-ingested next run; the store append is idempotent per batch only if
+    the caller keys batches (same contract as the pipeline's checkpoint
+    adoption) — dup rows in the store only widen future matching, never
+    corrupt it."""
+    if not tl.exists(spark, store):
+        init_seen_store(tl, store, batch_keys, n_buckets=n_buckets)
+        n = batch_keys.select("clip_id").distinct().count()
+        empty = seen_store_neardup(batch_keys.limit(0), batch_keys.limit(0))
+        return empty, n, 0
+    store_df = tl.read(spark, store)
+    # eager localCheckpoint, NOT persist: the append below refreshes the
+    # catalog table, and Spark invalidates caches derived from a refreshed
+    # table — a merely-persisted probe result would silently recompute
+    # against the grown store (matching the batch to itself). Checkpointing
+    # severs the lineage so the returned pairs are pinned pre-append.
+    pairs = seen_store_neardup(
+        batch_keys, store_df, num=num, den=den, cap=cap
+    ).localCheckpoint(eager=True)
+    dup_ids = pairs.select(F.col("batch_id").alias("clip_id")).distinct()
+    novel = batch_keys.join(dup_ids, "clip_id", "left_anti")
+    n_dup = dup_ids.count()
+    n_novel = novel.select("clip_id").distinct().count()
+    (
+        novel.write.format(tl.fmt)
+        .mode("append")
+        .bucketBy(n_buckets, "fp_key")
+        .sortBy("fp_key")
+        .saveAsTable(tl.ident(store))
+    )
+    return pairs, n_novel, n_dup

@@ -1,0 +1,102 @@
+"""Incremental near-dup dedup against the bucketed seen-key store."""
+
+from __future__ import annotations
+
+import uuid
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datasmith_spark.core.audio import encode
+from datasmith_spark.tables import TableLayer
+
+
+@pytest.fixture()
+def ns(spark, tmp_path):
+    db = f"inc_test_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}/warehouse'")
+    yield db
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def _tone(sr: int, secs: float, f: float, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * secs)) / sr
+    return 0.5 * np.sin(2 * np.pi * f * t) + 0.04 * rng.standard_normal(t.size)
+
+
+def _clips(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    )
+
+
+class TestIncrementalDedup:
+    def test_ingest_flags_seen_dups_and_appends_novel(self, spark, ns):
+        from datasmith_spark.operators.audio_fp import fingerprint_clips
+        from datasmith_spark.operators.incremental import ingest_batch
+
+        sr = 16000
+        base = {f"corpus_{i}": _tone(sr, 2.0, 300.0 + 40 * i, seed=i) for i in range(8)}
+        batch1 = _clips(
+            spark,
+            [(cid, encode(x, "pcm16"), sr, 2000, "pcm16", "t") for cid, x in base.items()],
+        )
+        tl = TableLayer("unused", catalog=ns)
+
+        k1 = fingerprint_clips(batch1)
+        pairs1, novel1, dup1 = ingest_batch(spark, tl, "seen", k1)
+        assert (novel1, dup1) == (8, 0) and pairs1.count() == 0
+
+        # batch 2: 3 new clips + a gain-ridden pcm16 re-encode of corpus_3
+        # (the q38-recoverable transform) under a real-world id
+        dup_sig = encode(0.9 * base["corpus_3"], "pcm16")
+        batch2 = _clips(
+            spark,
+            [(f"new_{i}", encode(_tone(sr, 2.0, 900.0 + 35 * i, seed=100 + i), "pcm16"),
+              sr, 2000, "pcm16", "t") for i in range(3)]
+            + [("s3://ingest/dup of corpus 3.wav", dup_sig, sr, 2000, "pcm16", "t")],
+        )
+        k2 = fingerprint_clips(batch2)
+        pairs2, novel2, dup2 = ingest_batch(spark, tl, "seen", k2)
+        got = {(r.batch_id, r.seen_id) for r in pairs2.collect()}
+        assert got == {("s3://ingest/dup of corpus 3.wav", "corpus_3")}
+        assert (novel2, dup2) == (3, 1)
+
+        # the store grew by exactly the novel clips' ids
+        ids = {r.clip_id for r in tl.read(spark, "seen").select("clip_id").distinct().collect()}
+        assert ids == set(base) | {f"new_{i}" for i in range(3)}
+
+        # re-ingesting batch 2 now flags the previously-novel clips as
+        # self-dups of their stored keys (novel set is empty)
+        pairs3, novel3, dup3 = ingest_batch(spark, tl, "seen", k2)
+        assert novel3 == 0 and dup3 == 4
+
+    def test_store_side_never_shuffles(self, spark, ns):
+        """The probe join's store side is bucketed on the join key: its scan
+        feeds the join with NO exchange (only the incoming batch moves)."""
+        from datasmith_spark.operators.incremental import init_seen_store
+
+        tl = TableLayer("unused", catalog=ns)
+        keys = spark.range(0, 5000).select(
+            F.concat(F.lit("c"), F.col("id")).alias("clip_id"),
+            F.conv(F.col("id") % 800, 10, 16).alias("fp_key"),
+        )
+        init_seen_store(tl, "seen_plan", keys, n_buckets=8)
+        store = spark.table(tl.ident("seen_plan"))
+        batch = spark.range(0, 100).select(
+            F.concat(F.lit("b"), F.col("id")).alias("clip_id"),
+            F.conv(F.col("id") % 800, 10, 16).alias("fp_key"),
+        )
+        thr = "spark.sql.autoBroadcastJoinThreshold"
+        old = spark.conf.get(thr)
+        spark.conf.set(thr, "-1")
+        try:
+            j = batch.join(store.withColumnRenamed("clip_id", "seen_id"), "fp_key")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set(thr, old)
+        # exactly one exchange: the batch side; the bucketed store side none
+        assert plan.count("Exchange") == 1, plan
