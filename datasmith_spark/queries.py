@@ -1905,3 +1905,82 @@ def q50_normalize_loudness(spark, sf_dir):
     from .operators.audio_ops import normalize_digest_scan
 
     return normalize_digest_scan(spark, _clips_cache_path(spark, sf_dir))
+
+
+@register(
+    "q51_temperature_resample",
+    """
+    WITH c AS (
+      SELECT lang, count(*) AS n_l FROM documents GROUP BY lang
+    ),
+    t AS (
+      SELECT lang, n_l,
+             CAST(ceil(sqrt(CAST(n_l AS DOUBLE) * (SELECT max(n_l) FROM c)))
+                  AS INT) AS k_l
+      FROM c
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS rk
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, CAST(r.rk AS INT) AS rk, t.k_l,
+           CAST(t.n_l AS INT) AS n_l,
+           CAST(t.k_l // t.n_l
+                + CASE WHEN r.rk <= t.k_l % t.n_l THEN 1 ELSE 0 END
+                AS INT) AS n_copies
+    FROM ranked r JOIN t USING (lang) WHERE r.rk <= t.k_l
+    """,
+)
+def q51_temperature_resample(spark, sf_dir):
+    """Temperature-based language rebalancing (T=0.5): per-language target
+    k_l = ceil(sqrt(n_l * n_max)) — the geometric mean of the stratum size
+    and the largest stratum, which upweights low-resource languages exactly
+    like temperature sampling of the language distribution at T=0.5
+    (p_l^(1/2) renormalized), relationalized so the selection is
+    deterministic (md5-rank per stratum, same seedless shuffle as q45/q49).
+    Because sqrt(n_l * n_max) >= n_l whenever n_max >= n_l, T=0.5 never
+    DROPS a doc — it replicates: the emitted n_copies = k_l DIV n_l plus
+    one extra for the first (k_l mod n_l) docs in md5-rank order is each
+    doc's exact multiplicity in the rebalanced epoch, so
+    sum(n_copies) == k_l per language and low-resource strata surface
+    proportionally more often. A training sampler materializes the epoch
+    with an explode(sequence(1, n_copies)) — kept out of the registered
+    result so the oracle checks the assignment, not a row blowup.
+
+    Engine-portable by construction: sqrt is IEEE-754 correctly rounded
+    (unlike pow/log), ceil of it is exact, everything else is integers —
+    so Spark and DuckDB agree bit-for-bit on every k_l. Scale shape: the
+    per-lang count table is tiny (broadcast), the window is the q45
+    stratified-sample shape with the same documented prefilter knob."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    n_max = c.agg(F.max("n_l").alias("m"))
+    t = (
+        c.crossJoin(F.broadcast(n_max))
+        .select(
+            "lang",
+            F.col("n_l").cast("int").alias("n_l"),
+            F.ceil(F.sqrt(F.col("n_l").cast("double") * F.col("m")))
+            .cast("int")
+            .alias("k_l"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    ranked = docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.join(F.broadcast(t), "lang")
+        .filter(F.col("rk") <= F.col("k_l"))
+        .select(
+            "doc_id", "lang", "rk", "k_l", "n_l",
+            (
+                F.expr("k_l DIV n_l")
+                + F.when(F.col("rk") <= F.col("k_l") % F.col("n_l"), 1).otherwise(0)
+            ).cast("int").alias("n_copies"),
+        )
+    )

@@ -85,3 +85,33 @@ class TestCurriculumBuckets:
 
         for q in ("q48_curriculum_buckets", "q49_sequence_packing"):
             assert q in QUERIES and q in ORACLE_SQL
+
+
+class TestTemperatureResample:
+    def test_multiplicities_sum_to_target(self, spark):
+        from datasmith_spark.queries import QUERIES
+
+        out = QUERIES["q51_temperature_resample"](spark, SF_DIR).toPandas()
+        g = out.groupby("lang").agg(
+            n=("doc_id", "count"), k=("k_l", "first"),
+            n_l=("n_l", "first"), copies=("n_copies", "sum"),
+        )
+        # T=0.5 never drops: every doc of every stratum is present once
+        assert (g.n == g.n_l).all()
+        # per-lang multiplicities sum exactly to the temperature target
+        assert (g.copies == g.k).all()
+        # the largest stratum is unchanged; smaller strata are upweighted
+        top = g.k.idxmax()
+        assert g.loc[top, "k"] == g.loc[top, "n_l"]
+        rest = g.drop(index=top)
+        assert (rest.k > rest.n_l).all()
+        # k_l is the exact IEEE sqrt target
+        import math
+        for _, r in g.iterrows():
+            assert r.k == math.ceil(math.sqrt(r.n_l * g.n_l.max()))
+
+    def test_registry(self):
+        from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+        assert "q51_temperature_resample" in QUERIES
+        assert "q51_temperature_resample" in ORACLE_SQL
