@@ -142,4 +142,10 @@ def ingest_batch(
         .sortBy("fp_key")
         .saveAsTable(tl.ident(store))
     )
+    # saveAsTable refreshes only the WRITING session's relation cache. Under
+    # foreachBatch, `novel` is bound to the micro-batch's cloned session, so
+    # the caller's session would keep serving the stale pre-append file list
+    # — and the NEXT batch's probe would silently miss these keys. Refresh
+    # the caller's view explicitly (no-op when the sessions coincide).
+    spark.catalog.refreshTable(tl.ident(store))
     return pairs, n_novel, n_dup

@@ -323,6 +323,79 @@ def stateful_sessionize(
     )
 
 
+# dup_pairs side-table schema (pinned: a run whose batches found no dups
+# writes no parquet files, so readers must not depend on inference)
+DUP_PAIRS_DDL = (
+    "batch_id string, seen_id string, n_shared bigint, sz_batch bigint, "
+    "sz_seen bigint, stream_batch int"
+)
+
+
+def read_dup_pairs(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Schema-pinned reader for run_streaming_dedup's side table (well-
+    defined even when no batch has found a duplicate yet)."""
+    return spark.read.schema(DUP_PAIRS_DDL).parquet(
+        os.path.join(out_dir, "dup_pairs")
+    )
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    store_catalog: str,
+    store_name: str = "seen_keys",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    timeout_sec: float | None = 600.0,
+):
+    """Continuous-ingest near-dup dedup: every micro-batch of clips is
+    fingerprinted, probed against the persisted bucketed seen-key store
+    (operators/incremental.py — only the batch shuffles), and only novel
+    clips' keys are appended; detected (batch_id-clip, seen-clip) pairs
+    land in out_dir/dup_pairs partitioned by batch_id with dynamic
+    partition overwrite (idempotent under batch replay, like the label
+    sink). The streaming checkpoint makes restarts resume from the last
+    committed batch, so the store-append-then-crash window re-appends at
+    most one batch's keys — duplicate store rows widen future matching,
+    never corrupt it (set-semantics probe).
+
+    The store lives in a SQL catalog (bucketBy needs saveAsTable);
+    dup_pairs is a path-mode side table like the label pipeline's metrics.
+    """
+    from .operators.audio_fp import fingerprint_clips
+    from .operators.incremental import ingest_batch
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
+    tl_store = TableLayer("unused", catalog=store_catalog)
+    pairs_dir = os.path.join(out_dir, "dup_pairs")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        keys = fingerprint_clips(batch_df)
+        pairs, n_novel, n_dup = ingest_batch(spark, tl_store, store_name, keys)
+        # batch_id in `pairs` is the incoming CLIP's id; the streaming
+        # micro-batch partition key is stream_batch
+        (
+            pairs.withColumn("stream_batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("stream_batch")
+            .parquet(pairs_dir)
+        )
+
+    clips = stream_clips(spark, input_dir, max_files_per_trigger)
+    writer = (
+        clips.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(out_dir, "_stream_checkpoint"))
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(timeout_sec)
+        return q
+    return writer.start()
+
+
 def run_streaming_pipeline(
     spark: SparkSession,
     input_dir: str,

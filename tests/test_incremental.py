@@ -100,3 +100,48 @@ class TestIncrementalDedup:
             spark.conf.set(thr, old)
         # exactly one exchange: the batch side; the bucketed store side none
         assert plan.count("Exchange") == 1, plan
+
+
+class TestStreamingDedup:
+    def test_two_drops_second_flags_dup_of_first(self, spark, ns, tmp_path):
+        """drop1 seeds the store; drop2 (arriving later) carries a gain-
+        ridden re-encode of a drop1 clip — the streaming job flags exactly
+        that pair and appends only the novel keys."""
+        from datasmith_spark.streaming import run_streaming_dedup
+
+        sr = 16000
+        base = {f"seed_{i}": _tone(sr, 2.0, 320.0 + 45 * i, seed=40 + i) for i in range(5)}
+        inp = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        _clips(
+            spark,
+            [(cid, encode(x, "pcm16"), sr, 2000, "pcm16", "t") for cid, x in base.items()],
+        ).coalesce(1).write.parquet(inp)
+
+        from datasmith_spark.streaming import read_dup_pairs
+
+        run_streaming_dedup(spark, inp, out, store_catalog=ns, store_name="seen_s")
+        tl = TableLayer("unused", catalog=ns)
+        assert tl.read(spark, "seen_s").select("clip_id").distinct().count() == 5
+        assert read_dup_pairs(spark, out).count() == 0
+
+        # second drop lands later: one novel clip + one dup of seed_2
+        rows = [
+            ("novel_a", encode(_tone(sr, 2.0, 950.0, seed=99), "pcm16"), sr, 2000, "pcm16", "t"),
+            ("http://cdn/seed2 again.wav", encode(0.9 * base["seed_2"], "pcm16"),
+             sr, 2000, "pcm16", "t"),
+        ]
+        _clips(spark, rows).coalesce(1).write.mode("append").parquet(inp)
+        run_streaming_dedup(spark, inp, out, store_catalog=ns, store_name="seen_s")
+
+        dup_rows = read_dup_pairs(spark, out).collect()
+        assert len(dup_rows) == 1
+        assert dup_rows[0].batch_id == "http://cdn/seed2 again.wav"
+        assert dup_rows[0].seen_id == "seed_2"
+        ids = {r.clip_id for r in tl.read(spark, "seen_s").select("clip_id").distinct().collect()}
+        assert ids == set(base) | {"novel_a"}
+
+        # restart over the unchanged dir: checkpoint makes it a no-op
+        run_streaming_dedup(spark, inp, out, store_catalog=ns, store_name="seen_s")
+        assert read_dup_pairs(spark, out).count() == 1
+        assert tl.read(spark, "seen_s").select("clip_id").distinct().count() == 6
