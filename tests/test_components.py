@@ -1,0 +1,94 @@
+"""Connected components / dedup keep-set (operators/components.py)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from datasmith_spark.operators.components import connected_components, dedup_keep_set
+
+
+def _union_find(nodes, edges):
+    """Independent reference: classic path-compressed union-find, then
+    relabel every component by its min member."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    roots = {}
+    for n in nodes:
+        roots.setdefault(find(n), []).append(n)
+    out = {}
+    for members in roots.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+def _cc_spark(spark, edges):
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = connected_components(df).collect()
+    return {r.id: r.component for r in got}
+
+
+class TestConnectedComponents:
+    def test_random_graph_matches_union_find(self, spark):
+        rng = random.Random(7)
+        nodes = list(range(60))
+        edges = [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(45)
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        expect = _union_find({u for e in edges for u in e}, edges)
+        assert _cc_spark(spark, edges) == expect
+
+    def test_chain_needs_multi_hop(self, spark):
+        # a 9-node path: min label must travel 8 hops — proves the
+        # iteration really propagates transitively, not just one round
+        edges = [(i, i + 1) for i in range(8)]
+        got = _cc_spark(spark, edges)
+        assert got == {i: 0 for i in range(9)}
+
+    def test_two_components_and_self_loops_ignored(self, spark):
+        edges = [(1, 2), (2, 3), (10, 11), (5, 5)]
+        got = _cc_spark(spark, edges)
+        # the self-loop-only node never appears (no real edge touches it)
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_string_ids(self, spark):
+        df = spark.createDataFrame(
+            [("b", "c"), ("c", "a"), ("x", "y")], "src string, dst string"
+        )
+        got = {r.id: r.component for r in connected_components(df).collect()}
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    def test_max_iter_guard_raises(self, spark):
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)], "src bigint, dst bigint"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(df, max_iter=2)
+
+
+class TestDedupKeepSet:
+    def test_keep_is_min_id_and_sizes(self, spark):
+        pairs = spark.createDataFrame(
+            [(3, 7), (7, 9), (20, 21)], "doc_a bigint, doc_b bigint"
+        )
+        rows = {r.doc_id: r for r in dedup_keep_set(pairs).collect()}
+        assert set(rows) == {3, 7, 9, 20, 21}
+        assert all(rows[d].cluster_id == 3 and rows[d].n_members == 3 for d in (3, 7, 9))
+        assert all(rows[d].cluster_id == 20 and rows[d].n_members == 2 for d in (20, 21))
+        assert {d for d, r in rows.items() if r.keep} == {3, 20}
+        # exactly one survivor per cluster
+        assert sum(r.keep for r in rows.values()) == 2
