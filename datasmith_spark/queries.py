@@ -2060,3 +2060,95 @@ def q52_dedup_clusters(spark, sf_dir):
     pairs = jaccard_verify(sh, cand, threshold=0.6).localCheckpoint(eager=True)
     sh.unpersist()
     return dedup_keep_set(pairs)
+
+
+@register(
+    "q53_leakage_safe_split",
+    rf"""
+    WITH RECURSIVE {_CORPUS_SQL},
+    {_MINHASH_SQL_BODY},
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.a AS doc_a, c.b AS doc_b, count(*) AS inter
+      FROM cand c
+      JOIN sh sa ON sa.id = c.a
+      JOIN sh sb ON sb.id = c.b AND sb.s = sa.s
+      GROUP BY c.a, c.b
+    ),
+    verified AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes za ON za.id = i.doc_a
+      JOIN sizes zb ON zb.id = i.doc_b
+      WHERE i.inter::DOUBLE / (za.sz + zb.sz - i.inter)::DOUBLE >= 0.6
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM verified WHERE doc_a != doc_b
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM verified WHERE doc_a != doc_b
+    ),
+    reach(id, lbl) AS (
+      SELECT u AS id, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+    ),
+    cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    assigned AS (
+      SELECT c0.doc_id,
+             coalesce(cc.cluster_id, c0.doc_id) AS group_key,
+             md5(CAST(coalesce(cc.cluster_id, c0.doc_id) AS VARCHAR)) AS h
+      FROM corpus c0 LEFT JOIN cc ON cc.doc_id = c0.doc_id
+    )
+    SELECT doc_id, group_key,
+           CASE WHEN h < 'e6' THEN 'train'
+                WHEN h < 'f3' THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """,
+)
+def q53_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: assignment is keyed by the
+    duplicate-CLUSTER representative (q52's connected components), not the
+    doc id, so a document and all its near-duplicates land in the same
+    split by construction — the eval-contamination failure mode of naive
+    per-doc random splits (a test doc's near-dup in train) is structurally
+    impossible. Unclustered docs group by themselves (left join +
+    coalesce; they never enter the CC iteration). The 90/5/5 assignment is
+    the seedless engine-portable convention used across this repo: md5 of
+    the group key compared against fixed hex thresholds ('e6' = 230/256 ~
+    0.898, 'f3' = 243/256 ~ 0.949) — deterministic, reproducible, and
+    identical in Spark and DuckDB (both emit lowercase-hex md5, q45/q49/
+    q51 precedent). Scale shape: the CC working set is O(dup pairs); the
+    final assignment is a broadcast-sized left join per partition ONLY if
+    the cluster table is small — it is O(clustered docs), so it is a plain
+    hash join keyed by doc_id, and every downstream consumer partitions by
+    split/group_key."""
+    from pyspark import StorageLevel
+
+    from .operators.components import connected_components
+    from .operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    sh = shingles(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    pairs = jaccard_verify(sh, cand, threshold=0.6).localCheckpoint(eager=True)
+    sh.unpersist()
+    cc = connected_components(pairs, "doc_a", "doc_b").withColumnsRenamed(
+        {"id": "doc_id", "component": "cluster_id"}
+    )
+    gk = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    h = F.md5(gk.cast("string"))
+    return (
+        corpus.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            gk.alias("group_key"),
+            F.when(h < "e6", "train").when(h < "f3", "val").otherwise("test").alias("split"),
+        )
+    )

@@ -92,3 +92,28 @@ class TestDedupKeepSet:
         assert {d for d, r in rows.items() if r.keep} == {3, 20}
         # exactly one survivor per cluster
         assert sum(r.keep for r in rows.values()) == 2
+
+
+class TestLeakageSafeSplit:
+    def test_no_cluster_straddles_splits(self, spark):
+        from datasmith_spark.queries import QUERIES
+
+        import pyspark.sql.functions as F
+
+        df = QUERIES["q53_leakage_safe_split"](spark, "/root/testdata/sf0.001")
+        # every group maps to exactly one split — leakage-safe by construction
+        assert (
+            df.groupBy("group_key")
+            .agg(F.countDistinct("split").alias("n"))
+            .filter("n > 1")
+            .count()
+            == 0
+        )
+        # planted dup pairs (doc_id + 100000 / + 200000) co-travel with the source
+        joined = df.alias("a").join(
+            df.alias("b"), F.col("a.doc_id") + 100000 == F.col("b.doc_id")
+        )
+        mismatched = joined.filter(F.col("a.split") != F.col("b.split")).count()
+        assert mismatched == 0
+        splits = {r.split for r in df.select("split").distinct().collect()}
+        assert splits <= {"train", "val", "test"} and "train" in splits
