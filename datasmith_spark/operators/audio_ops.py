@@ -452,6 +452,107 @@ def normalize_clips(
     ).mapInPandas(_run, schema=NORMALIZED_DIGEST_DDL if digest else NORMALIZED_DDL)
 
 
+# Kaldi's standard 3-way speed-perturbation schedule: 0.9x / 1.0x / 1.1x,
+# expressed as exact integer rationals so the resample ratio (and therefore
+# the digests) carries no float rounding of the factor itself
+SPEED_FACTORS = ((9, 10), (10, 10), (11, 10))
+
+SPEED_DDL = (
+    "clip_id string, f_num int, f_den int, sp_ok boolean, sr_hz int, "
+    "dur_ms int, bytes binary, codec string, transcript string"
+)
+
+SPEED_DIGEST_DDL = (
+    "clip_id string, f_num int, f_den int, sp_ok boolean, sr_hz int, "
+    "dur_ms int, payload_md5 string"
+)
+
+
+def _speed_pdf(
+    pdf: pd.DataFrame,
+    factors: tuple[tuple[int, int], ...],
+    codec_out: str,
+    digest: bool,
+) -> pd.DataFrame:
+    """One pandas batch of clips -> len(factors) rows per clip: the clip
+    played back at num/den of its original speed (the Kaldi sp-augmentation
+    construction: y[j] = x(f*j), i.e. resample with rate ratio num:den and
+    keep the ORIGINAL sample-rate label, shifting both tempo and pitch by
+    f). factor (1,1) short-circuits inside the resample kernel to a plain
+    decode -> re-encode, so the identity lane doubles as the re-encode
+    baseline. Undecodable rows emit one passthrough row per factor with
+    sp_ok=false — the augmented table keeps the full lineage."""
+    cols = {
+        "clip_id": [], "f_num": [], "f_den": [], "sp_ok": [], "sr_hz": [],
+        "dur_ms": [], "bytes": [], "codec": [], "transcript": [],
+    }
+    for cid, buf, sr, dur, codec, tr in zip(
+        pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["dur_ms"],
+        pdf["codec"], pdf["transcript"],
+    ):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        for num, den in factors:
+            cols["clip_id"].append(cid)
+            cols["f_num"].append(num)
+            cols["f_den"].append(den)
+            cols["sr_hz"].append(sr)
+            cols["transcript"].append(tr)
+            if pcm is None:
+                cols["sp_ok"].append(False)
+                cols["dur_ms"].append(None if pd.isna(dur) else int(dur))
+                cols["bytes"].append(buf)
+                cols["codec"].append(codec)
+                continue
+            # ratio num:den IS the speed factor — the absolute rates cancel
+            y = resample(pcm, num, den)
+            cols["sp_ok"].append(True)
+            cols["dur_ms"].append(int(y.size * 1000) // int(sr))
+            cols["bytes"].append(encode(y, codec_out))
+            cols["codec"].append(codec_out)
+    for k in ("f_num", "f_den", "sr_hz", "dur_ms"):
+        cols[k] = pd.array(cols[k], dtype="Int32")
+    if digest:
+        return pd.DataFrame(
+            {
+                "clip_id": cols["clip_id"],
+                "f_num": cols["f_num"],
+                "f_den": cols["f_den"],
+                "sp_ok": cols["sp_ok"],
+                "sr_hz": cols["sr_hz"],
+                "dur_ms": cols["dur_ms"],
+                "payload_md5": [
+                    None if b is None else hashlib.md5(b).hexdigest()
+                    for b in cols["bytes"]
+                ],
+            }
+        )
+    return pd.DataFrame(cols)
+
+
+def speed_perturb_clips(
+    clips: DataFrame,
+    factors: tuple[tuple[int, int], ...] = SPEED_FACTORS,
+    codec_out: str = "pcm16",
+    digest: bool = False,
+) -> DataFrame:
+    """Speed-perturbation augmentation (composable path; digest=True is the
+    q54 verification mode). One input clip -> len(factors) output rows —
+    the mapInPandas row fan-out happens inside the Arrow batch, so the 3x
+    volume blowup never round-trips the driver and stays a shuffle-free
+    narrow map at any scale."""
+    if codec_out not in ITEMSIZE:
+        raise ValueError(f"unknown codec_out: {codec_out}")
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _speed_pdf(pdf, factors, codec_out, digest)
+
+    return clips.select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+    ).mapInPandas(_run, schema=SPEED_DIGEST_DDL if digest else SPEED_DDL)
+
+
 def _quality_full_pdf(
     pdf: pd.DataFrame, frame_ms: int = FRAME_MS, active_db: float = ACTIVE_DB
 ) -> pd.DataFrame:
@@ -756,6 +857,24 @@ def normalize_digest_scan(
         input_dir,
         lambda pdf: _normalize_pdf(pdf, target_peak, True),
         NORMALIZED_DIGEST_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+    )
+
+
+def speed_digest_scan(
+    spark: SparkSession,
+    input_dir: str,
+    factors: tuple[tuple[int, int], ...] = SPEED_FACTORS,
+    codec_out: str = "pcm16",
+) -> DataFrame:
+    """speed_perturb_clips(digest=True) over a parquet directory via the
+    fused manifest scan — augmented bytes never cross the JVM boundary
+    (q54); kernel-bound, so it takes session parallelism like q36/q38."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _speed_pdf(pdf, factors, codec_out, True),
+        SPEED_DIGEST_DDL,
         scan_parallelism=_kernel_parallelism(spark, input_dir),
     )
 

@@ -2152,3 +2152,37 @@ def q53_leakage_safe_split(spark, sf_dir):
             F.when(h < "e6", "train").when(h < "f3", "val").otherwise("test").alias("split"),
         )
     )
+
+
+_AUDIO_SPEED_FIXTURE = f"/root/repo/fixtures/oracle_audio_speed_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q54_speed_perturb",
+    f"""
+    SELECT clip_id, f_num, f_den, sp_ok, sr_hz, dur_ms, payload_md5
+    FROM read_parquet('{_AUDIO_SPEED_FIXTURE}')
+    """,
+)
+def q54_speed_perturb(spark, sf_dir):
+    """Speed-perturbation augmentation (Kaldi's 0.9x/1.0x/1.1x schedule):
+    every decodable clip is re-synthesized at num/den of its original
+    playback speed via the Lanczos resample kernel applied with rate ratio
+    num:den (y[j] = x(f*j) — tempo AND pitch shift by f, the standard ASR
+    training augmentation), keeping the original sample-rate label. One
+    input row fans out to three inside the Arrow batch, so the 3x volume
+    blowup never crosses the driver and the whole op stays a shuffle-free
+    narrow map — the shape that holds at 10^12 clips (the augmented corpus
+    is written partition-parallel, never collected).
+
+    Digest-exact value check like q36/q50: the fused manifest scan hashes
+    each augmented payload worker-side (bytes never reach the JVM); the
+    DuckDB oracle reads the committed single-process pass
+    (scripts/make_audio_speed_fixture.py — shared kernel, independent
+    driver loop). Factors are exact integer rationals so the resample
+    ratio itself carries no float rounding; the identity lane (10,10)
+    doubles as a decode->re-encode baseline. Undecodable rows emit one
+    passthrough row per factor with sp_ok=false."""
+    from .operators.audio_ops import speed_digest_scan
+
+    return speed_digest_scan(spark, _clips_cache_path(spark, sf_dir))

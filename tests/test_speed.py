@@ -1,0 +1,141 @@
+"""Speed-perturbation augmentation (operators/audio_ops.py q54 lane)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datasmith_spark.core.audio import decode, encode
+from datasmith_spark.operators.audio_ops import SPEED_FACTORS, _speed_pdf
+
+
+def _tone_pdf(sr: int = 16000, f: float = 440.0, secs: float = 2.0) -> pd.DataFrame:
+    t = np.arange(int(sr * secs)) / sr
+    x = 0.5 * np.sin(2 * np.pi * f * t)
+    return pd.DataFrame(
+        {
+            "clip_id": ["tone"],
+            "bytes": [encode(x, "pcm16")],
+            "sr_hz": [sr],
+            "dur_ms": [int(secs * 1000)],
+            "codec": ["pcm16"],
+            "transcript": ["t"],
+        }
+    )
+
+
+class TestSpeedKernel:
+    def test_duration_and_pitch_scale_by_factor(self):
+        sr, f0 = 16000, 440.0
+        out = _speed_pdf(_tone_pdf(sr, f0), SPEED_FACTORS, "pcm16", False)
+        assert list(zip(out.f_num, out.f_den)) == list(SPEED_FACTORS)
+        n_in = 2 * sr
+        for _, r in out.iterrows():
+            y = decode(r["bytes"], "pcm16")
+            assert y.size == round(n_in * r.f_den / r.f_num)
+            spec = np.abs(np.fft.rfft(y))
+            peak_hz = np.argmax(spec) * sr / y.size
+            assert abs(peak_hz - f0 * r.f_num / r.f_den) < 2.0
+            assert r.dur_ms == int(y.size * 1000) // sr
+
+    def test_identity_factor_is_plain_reencode(self):
+        pdf = _tone_pdf()
+        out = _speed_pdf(pdf, ((10, 10),), "pcm16", False)
+        x = decode(pdf["bytes"].iloc[0], "pcm16")
+        assert out["bytes"].iloc[0] == encode(x, "pcm16")
+
+    def test_undecodable_passthrough_per_factor(self):
+        pdf = pd.DataFrame(
+            {
+                "clip_id": ["bad"],
+                "bytes": [b"\x01\x02\x03"],
+                "sr_hz": [16000],
+                "dur_ms": [100],
+                "codec": ["float32"],
+                "transcript": ["t"],
+            }
+        )
+        out = _speed_pdf(pdf, SPEED_FACTORS, "pcm16", False)
+        assert len(out) == 3
+        assert (~out.sp_ok).all()
+        assert all(b == b"\x01\x02\x03" for b in out["bytes"])
+        assert (out.dur_ms == 100).all()
+
+    def test_digest_mode_matches_bytes_mode(self):
+        pdf = _tone_pdf()
+        by = _speed_pdf(pdf, SPEED_FACTORS, "pcm16", False)
+        dg = _speed_pdf(pdf, SPEED_FACTORS, "pcm16", True)
+        assert list(dg.payload_md5) == [
+            hashlib.md5(b).hexdigest() for b in by["bytes"]
+        ]
+
+    def test_batch_invariance(self):
+        pdfs = [_tone_pdf(f=300.0 + 37 * i) for i in range(4)]
+        for i, p in enumerate(pdfs):
+            p["clip_id"] = [f"c{i}"]
+        whole = _speed_pdf(pd.concat(pdfs, ignore_index=True), SPEED_FACTORS, "pcm16", True)
+        parts = pd.concat(
+            [_speed_pdf(p, SPEED_FACTORS, "pcm16", True) for p in pdfs],
+            ignore_index=True,
+        )
+        assert list(whole.payload_md5) == list(parts.payload_md5)
+
+
+class TestSpeedSpark:
+    @pytest.fixture(scope="class")
+    def clips(self, spark):
+        from datasmith_spark.datagen import clips_df
+
+        return clips_df(spark, 120, n_partitions=4).cache()
+
+    def test_spark_matches_kernel(self, spark, clips):
+        from datasmith_spark.operators.audio_ops import speed_perturb_clips
+
+        src = clips.toPandas()
+        got = (
+            speed_perturb_clips(clips, digest=True)
+            .toPandas()
+            .sort_values(["clip_id", "f_num"])
+            .reset_index(drop=True)
+        )
+        want = (
+            _speed_pdf(src, SPEED_FACTORS, "pcm16", True)
+            .sort_values(["clip_id", "f_num"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == 3 * len(src)
+        assert list(got.payload_md5) == list(want.payload_md5)
+        assert list(got.dur_ms.fillna(-1)) == list(want.dur_ms.fillna(-1))
+
+    def test_arbitrary_clip_ids(self, spark):
+        from datasmith_spark.operators.audio_ops import speed_perturb_clips
+
+        sr = 16000
+        x = 0.4 * np.sin(2 * np.pi * 500 * np.arange(sr) / sr)
+        rows = [("s3://bucket/real file (1).wav", encode(x, "pcm16"), sr, 1000, "pcm16", "t")]
+        df = spark.createDataFrame(
+            rows,
+            "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+        )
+        out = speed_perturb_clips(df).toPandas()
+        assert len(out) == 3 and out.sp_ok.all()
+
+    def test_speed_fixture_is_honest(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo/scripts")
+        import make_audio_speed_fixture as msf
+
+        fix = pd.read_parquet("/root/repo/fixtures/oracle_audio_speed_n4000.parquet")
+        assert len(fix) == 12000
+        idx = list(range(0, 4000, 31))
+        fresh = msf.oracle_rows(idx).reset_index(drop=True)
+        rows = sorted(i * 3 + j for i in idx for j in range(3))
+        sample = fix.iloc[rows].reset_index(drop=True)
+        for c in fresh.columns:
+            a = sample[c].astype("object").where(sample[c].notna(), "<null>").astype(str)
+            b = fresh[c].astype("object").where(fresh[c].notna(), "<null>").astype(str)
+            assert (a == b).all(), c
