@@ -452,6 +452,119 @@ def normalize_clips(
     ).mapInPandas(_run, schema=NORMALIZED_DIGEST_DDL if digest else NORMALIZED_DDL)
 
 
+SEGMENT_DDL = (
+    "clip_id string, seg_idx int, start_ms int, dur_ms int, ok boolean, "
+    "sr_hz int, codec string, bytes binary"
+)
+
+SEGMENT_DIGEST_DDL = (
+    "clip_id string, seg_idx int, start_ms int, dur_ms int, ok boolean, "
+    "payload_md5 string"
+)
+
+
+def _segment_pdf(
+    pdf: pd.DataFrame,
+    seg_ms: int,
+    hop_ms: int,
+    frame_ms: int,
+    active_db: float,
+    digest: bool,
+) -> pd.DataFrame:
+    """One pandas batch of clips -> fixed-length training windows.
+
+    Within each clip's VAD-active span, windows of seg_ms are cut every
+    hop_ms (overlap when hop < seg) as BYTE slices of the encoded payload
+    (fixed itemsize per codec — bit-identical to the source, lossless even
+    for companded codecs, the q44 trim construction). The trailing
+    remainder shorter than seg_ms is dropped — unless NO full window fits,
+    in which case the whole active span is emitted as the single segment 0
+    (short utterances are kept, not discarded). Undecodable / no-active-
+    span rows emit one passthrough row (ok=false, seg_idx null) so the
+    table stays complete for lineage."""
+    cols = {
+        "clip_id": [], "seg_idx": [], "start_ms": [], "dur_ms": [],
+        "ok": [], "sr_hz": [], "codec": [], "bytes": [],
+    }
+
+    def _push(cid, idx, start_ms, dur, ok, sr, codec, buf):
+        cols["clip_id"].append(cid)
+        cols["seg_idx"].append(idx)
+        cols["start_ms"].append(start_ms)
+        cols["dur_ms"].append(dur)
+        cols["ok"].append(ok)
+        cols["sr_hz"].append(sr)
+        cols["codec"].append(codec)
+        cols["bytes"].append(buf)
+
+    for cid, buf, sr, dur, codec in zip(
+        pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["dur_ms"], pdf["codec"]
+    ):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        span = (
+            active_span_samples(pcm, sr, frame_ms, active_db)
+            if pcm is not None
+            else None
+        )
+        if span is None:
+            _push(cid, None, None, None if pd.isna(dur) else int(dur),
+                  False, sr, codec, buf)
+            continue
+        lo, hi = span
+        seg = max(1, sr * seg_ms // 1000)
+        hop = max(1, sr * hop_ms // 1000)
+        isz = ITEMSIZE[codec]
+        starts = list(range(lo, hi - seg + 1, hop))
+        if not starts:
+            # active span shorter than one window: keep it whole
+            _push(cid, 0, lo * 1000 // sr, (hi - lo) * 1000 // sr, True,
+                  sr, codec, bytes(buf[lo * isz : hi * isz]))
+            continue
+        for i, s in enumerate(starts):
+            _push(cid, i, s * 1000 // sr, seg * 1000 // sr, True,
+                  sr, codec, bytes(buf[s * isz : (s + seg) * isz]))
+    for k in ("seg_idx", "start_ms", "dur_ms", "sr_hz"):
+        cols[k] = pd.array(cols[k], dtype="Int32")
+    if digest:
+        return pd.DataFrame(
+            {
+                "clip_id": cols["clip_id"],
+                "seg_idx": cols["seg_idx"],
+                "start_ms": cols["start_ms"],
+                "dur_ms": cols["dur_ms"],
+                "ok": cols["ok"],
+                "payload_md5": [
+                    None if b is None else hashlib.md5(b).hexdigest()
+                    for b in cols["bytes"]
+                ],
+            }
+        )
+    return pd.DataFrame(cols)
+
+
+def segment_clips(
+    clips: DataFrame,
+    seg_ms: int = 1000,
+    hop_ms: int = 500,
+    frame_ms: int = FRAME_MS,
+    active_db: float = ACTIVE_DB,
+    digest: bool = False,
+) -> DataFrame:
+    """Fixed-length training-window segmentation (composable path;
+    digest=True is the q55 verification mode). Row fan-out happens inside
+    the Arrow batch — shuffle-free narrow map regardless of the per-clip
+    segment count."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _segment_pdf(pdf, seg_ms, hop_ms, frame_ms, active_db, digest)
+
+    return clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec").mapInPandas(
+        _run, schema=SEGMENT_DIGEST_DDL if digest else SEGMENT_DDL
+    )
+
+
 # Kaldi's standard 3-way speed-perturbation schedule: 0.9x / 1.0x / 1.1x,
 # expressed as exact integer rationals so the resample ratio (and therefore
 # the digests) carries no float rounding of the factor itself
@@ -857,6 +970,25 @@ def normalize_digest_scan(
         input_dir,
         lambda pdf: _normalize_pdf(pdf, target_peak, True),
         NORMALIZED_DIGEST_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+    )
+
+
+def segment_digest_scan(
+    spark: SparkSession,
+    input_dir: str,
+    seg_ms: int = 1000,
+    hop_ms: int = 500,
+    frame_ms: int = FRAME_MS,
+    active_db: float = ACTIVE_DB,
+) -> DataFrame:
+    """segment_clips(digest=True) over a parquet directory via the fused
+    manifest scan — segment bytes never cross the JVM boundary (q55)."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _segment_pdf(pdf, seg_ms, hop_ms, frame_ms, active_db, True),
+        SEGMENT_DIGEST_DDL,
         scan_parallelism=_kernel_parallelism(spark, input_dir),
     )
 

@@ -2186,3 +2186,37 @@ def q54_speed_perturb(spark, sf_dir):
     from .operators.audio_ops import speed_digest_scan
 
     return speed_digest_scan(spark, _clips_cache_path(spark, sf_dir))
+
+
+_AUDIO_SEGMENT_FIXTURE = f"/root/repo/fixtures/oracle_audio_segment_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q55_segment_clips",
+    f"""
+    SELECT clip_id, seg_idx, start_ms, dur_ms, ok, payload_md5
+    FROM read_parquet('{_AUDIO_SEGMENT_FIXTURE}')
+    """,
+)
+def q55_segment_clips(spark, sf_dir):
+    """Fixed-length training-window segmentation: 1000 ms windows cut every
+    500 ms (50% overlap) inside each clip's VAD-active span, as BYTE slices
+    of the encoded payload (fixed itemsize per codec — bit-identical to the
+    source, lossless even for companded codecs; the q44 trim construction
+    generalized to a sliding window). The trailing remainder is dropped
+    unless no full window fits, in which case the whole active span is the
+    single segment — short utterances are kept, not discarded. Undecodable
+    / silent rows emit one passthrough row (ok=false) so the table stays
+    complete for lineage. One clip fans out to ~13 segments on this corpus
+    entirely inside the Arrow batch — shuffle-free narrow map at 10^12
+    clips regardless of fan-out.
+
+    Digest-exact value check like q44/q54: the fused manifest scan hashes
+    each segment slice worker-side; the DuckDB oracle reads the committed
+    single-process pass (scripts/make_audio_segment_fixture.py — shared
+    VAD span kernel, independent driver loop). All boundary arithmetic is
+    integer, so the only float in the lane is the fixture-proven VAD
+    energy test."""
+    from .operators.audio_ops import segment_digest_scan
+
+    return segment_digest_scan(spark, _clips_cache_path(spark, sf_dir))

@@ -139,3 +139,130 @@ class TestSpeedSpark:
             a = sample[c].astype("object").where(sample[c].notna(), "<null>").astype(str)
             b = fresh[c].astype("object").where(fresh[c].notna(), "<null>").astype(str)
             assert (a == b).all(), c
+
+
+class TestSegmentKernel:
+    def _pdf(self, sr=16000, secs=3.0, pad=0.5):
+        rng = np.random.default_rng(5)
+        n = int(sr * secs)
+        x = 0.4 * np.sin(2 * np.pi * 350 * np.arange(n) / sr)
+        x = np.concatenate([np.zeros(int(sr * pad)), x, np.zeros(int(sr * pad))])
+        return pd.DataFrame(
+            {
+                "clip_id": ["c"],
+                "bytes": [encode(x, "pcm16")],
+                "sr_hz": [sr],
+                "dur_ms": [int((secs + 2 * pad) * 1000)],
+                "codec": ["pcm16"],
+            }
+        ), x
+
+    def test_windows_tile_active_span(self):
+        from datasmith_spark.operators.audio_ops import _segment_pdf
+
+        pdf, x = self._pdf()
+        out = _segment_pdf(pdf, 1000, 500, 20, -40.0, False)
+        # 3 s active audio with 0.5 s silence padding: 1 s windows every
+        # 0.5 s -> 5 full windows
+        assert list(out.seg_idx) == list(range(5))
+        assert (out.dur_ms == 1000).all() and out.ok.all()
+        # starts advance by hop, begin at the VAD trim point (~500 ms)
+        starts = list(out.start_ms)
+        assert all(b - a == 500 for a, b in zip(starts, starts[1:]))
+        assert abs(starts[0] - 500) <= 40  # frame-quantized trim point
+        # byte slices decode to exactly 1 s of samples
+        sr = 16000
+        for _, r in out.iterrows():
+            assert len(r["bytes"]) == 2 * sr  # pcm16 itemsize * 1 s
+
+    def test_short_clip_kept_whole(self):
+        from datasmith_spark.operators.audio_ops import _segment_pdf
+
+        sr = 16000
+        x = 0.4 * np.sin(2 * np.pi * 350 * np.arange(int(0.4 * sr)) / sr)
+        pdf = pd.DataFrame(
+            {
+                "clip_id": ["s"], "bytes": [encode(x, "pcm16")], "sr_hz": [sr],
+                "dur_ms": [400], "codec": ["pcm16"],
+            }
+        )
+        out = _segment_pdf(pdf, 1000, 500, 20, -40.0, False)
+        assert len(out) == 1 and out.ok.iloc[0] and out.seg_idx.iloc[0] == 0
+        assert out.dur_ms.iloc[0] <= 400
+
+    def test_silent_and_undecodable_passthrough(self):
+        from datasmith_spark.operators.audio_ops import _segment_pdf
+
+        sr = 16000
+        pdf = pd.DataFrame(
+            {
+                "clip_id": ["silent", "bad"],
+                "bytes": [encode(np.zeros(sr), "pcm16"), b"\x00\x01"],
+                "sr_hz": [sr, sr],
+                "dur_ms": [1000, 50],
+                "codec": ["pcm16", "float32"],
+            }
+        )
+        out = _segment_pdf(pdf, 1000, 500, 20, -40.0, False)
+        assert len(out) == 2 and (~out.ok).all()
+        assert out.seg_idx.isna().all()
+
+    def test_mulaw_slices_are_lossless_bytes(self):
+        from datasmith_spark.operators.audio_ops import _segment_pdf
+
+        sr = 8000
+        x = 0.4 * np.sin(2 * np.pi * 300 * np.arange(3 * sr) / sr)
+        buf = encode(x, "mulaw")
+        pdf = pd.DataFrame(
+            {
+                "clip_id": ["m"], "bytes": [buf], "sr_hz": [sr],
+                "dur_ms": [3000], "codec": ["mulaw"],
+            }
+        )
+        out = _segment_pdf(pdf, 1000, 500, 20, -40.0, False)
+        for _, r in out.iterrows():
+            s = r.start_ms * sr // 1000
+            assert r["bytes"] == buf[s : s + sr]  # mulaw itemsize 1
+
+    def test_segment_fixture_is_honest(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo/scripts")
+        import make_audio_segment_fixture as msg
+
+        fix = pd.read_parquet("/root/repo/fixtures/oracle_audio_segment_n4000.parquet")
+        idx = list(range(0, 4000, 41))
+        fresh = msg.oracle_rows(idx).reset_index(drop=True)
+        sample = (
+            fix[fix.clip_id.isin(set(fresh.clip_id))]
+            .sort_values(["clip_id", "seg_idx"], na_position="first")
+            .reset_index(drop=True)
+        )
+        fresh = fresh.sort_values(
+            ["clip_id", "seg_idx"], na_position="first"
+        ).reset_index(drop=True)
+        assert len(sample) == len(fresh)
+        for c in fresh.columns:
+            a = sample[c].astype("object").where(sample[c].notna(), "<null>").astype(str)
+            b = fresh[c].astype("object").where(fresh[c].notna(), "<null>").astype(str)
+            assert (a == b).all(), c
+
+    def test_spark_matches_kernel(self, spark):
+        from datasmith_spark.datagen import clips_df
+        from datasmith_spark.operators.audio_ops import _segment_pdf, segment_clips
+
+        clips = clips_df(spark, 80, n_partitions=4)
+        got = (
+            segment_clips(clips, digest=True)
+            .toPandas()
+            .sort_values(["clip_id", "seg_idx"], na_position="first")
+            .reset_index(drop=True)
+        )
+        want = (
+            _segment_pdf(
+                clips.toPandas(), 1000, 500, 20, -40.0, True
+            )
+            .sort_values(["clip_id", "seg_idx"], na_position="first")
+            .reset_index(drop=True)
+        )
+        assert list(got.payload_md5) == list(want.payload_md5)
