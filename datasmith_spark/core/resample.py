@@ -164,3 +164,34 @@ def logmel(
             continue
         mel[:, m] = (power[:, lo:hi] * fb[m, lo:hi][None, :]).sum(axis=1)
     return np.log10(mel + 1e-10)
+
+
+def cmvn(feats: np.ndarray, var_floor: float = 1e-10) -> np.ndarray:
+    """Per-utterance cepstral mean-variance normalization (Kaldi's
+    per-utterance cmvn): each feature band is shifted to zero mean and
+    scaled to unit variance ACROSS THE CLIP'S OWN FRAMES — the standard
+    featurization step between log-mel and the acoustic model, and a pure
+    per-row transform at the corpus level (no global pass).
+
+    Portability: mean and the squared-deviation sum use numpy's pairwise
+    summation over a fixed axis (deterministic for a given shape, the same
+    convention as the mel projection above); variance gets the engine-wide
+    1e-10 floor so constant bands normalize to exactly zero instead of
+    dividing by zero.
+
+    >>> f = np.array([[1.0, 5.0], [3.0, 5.0]])
+    >>> out = cmvn(f)
+    >>> np.allclose(out[:, 0], [-1.0, 1.0])  # zero mean, unit variance
+    True
+    >>> np.all(out[:, 1] == 0.0)  # constant band -> exactly zero
+    True
+    >>> cmvn(np.zeros((0, 3))).shape
+    (0, 3)
+    """
+    x = np.asarray(feats, dtype=np.float64)
+    if x.shape[0] == 0:
+        return x.copy()
+    mean = x.sum(axis=0) / x.shape[0]
+    dev = x - mean[None, :]
+    var = (dev * dev).sum(axis=0) / x.shape[0]
+    return dev / np.sqrt(var + var_floor)[None, :]

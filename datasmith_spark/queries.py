@@ -2220,3 +2220,35 @@ def q55_segment_clips(spark, sf_dir):
     from .operators.audio_ops import segment_digest_scan
 
     return segment_digest_scan(spark, _clips_cache_path(spark, sf_dir))
+
+
+_AUDIO_CMVN_FIXTURE = f"/root/repo/fixtures/oracle_audio_cmvn_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q56_cmvn_features",
+    f"""
+    SELECT clip_id, ok, n_frames, n_mels, feats_md5
+    FROM read_parquet('{_AUDIO_CMVN_FIXTURE}')
+    """,
+)
+def q56_cmvn_features(spark, sf_dir):
+    """Per-utterance CMVN (Kaldi's cepstral mean-variance normalization):
+    each clip's log-mel bands shifted to zero mean and scaled to unit
+    variance across the clip's OWN frames — the standard featurization step
+    between the spectrogram and the acoustic model. Per-utterance
+    normalization needs no corpus statistics, so the fused
+    decode -> logmel -> cmvn chain is one Arrow pass and stays a
+    shuffle-free narrow map at 10^12 clips (per-SPEAKER cmvn would add one
+    broadcast-joined stats table; documented, not needed for this corpus's
+    per-clip speakers).
+
+    Digest-exact value check like q37: the fused manifest scan hashes each
+    normalized float64 array bit-for-bit; the DuckDB oracle reads the
+    committed single-process pass (scripts/make_audio_cmvn_fixture.py).
+    Portability: pairwise summation over pinned axes (no BLAS), engine-wide
+    1e-10 variance floor (constant bands normalize to exact zero), IEEE
+    sqrt/divide."""
+    from .operators.audio_ops import cmvn_digest_scan
+
+    return cmvn_digest_scan(spark, _clips_cache_path(spark, sf_dir))

@@ -266,3 +266,64 @@ class TestSegmentKernel:
             .reset_index(drop=True)
         )
         assert list(got.payload_md5) == list(want.payload_md5)
+
+
+class TestCmvn:
+    def test_zero_mean_unit_var_per_band(self):
+        from datasmith_spark.core.resample import cmvn, logmel
+
+        sr = 16000
+        rng = np.random.default_rng(3)
+        x = 0.3 * rng.standard_normal(3 * sr)
+        m = cmvn(logmel(x, sr))
+        assert m.shape[0] > 1
+        assert np.allclose(m.mean(axis=0), 0.0, atol=1e-12)
+        assert np.allclose(m.var(axis=0), 1.0, atol=1e-4)
+
+    def test_constant_band_is_exact_zero(self):
+        from datasmith_spark.core.resample import cmvn
+
+        f = np.tile(np.array([[2.5, -1.0]]), (7, 1))
+        f[:, 1] = np.arange(7)
+        out = cmvn(f)
+        assert np.all(out[:, 0] == 0.0)
+        assert abs(out[:, 1].mean()) < 1e-12
+
+    def test_gain_invariance_of_shape(self):
+        # cmvn of (a*x + b) per band == cmvn of x (affine invariance)
+        from datasmith_spark.core.resample import cmvn
+
+        rng = np.random.default_rng(9)
+        f = rng.standard_normal((50, 4))
+        g = 3.0 * f + 7.0
+        a, b = cmvn(f), cmvn(g)
+        assert np.allclose(a, b, atol=1e-9)
+
+    def test_spark_matches_kernel_and_fixture_honest(self, spark):
+        import sys
+
+        from datasmith_spark.datagen import clips_df
+        from datasmith_spark.operators.audio_ops import _cmvn_pdf, cmvn_features
+
+        clips = clips_df(spark, 80, n_partitions=4)
+        got = (
+            cmvn_features(clips, digest=True)
+            .toPandas()
+            .sort_values("clip_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            _cmvn_pdf(clips.toPandas(), 512, 256, 40, True)
+            .sort_values("clip_id")
+            .reset_index(drop=True)
+        )
+        assert list(got.feats_md5) == list(want.feats_md5)
+
+        sys.path.insert(0, "/root/repo/scripts")
+        import make_audio_cmvn_fixture as mcf
+
+        fix = pd.read_parquet("/root/repo/fixtures/oracle_audio_cmvn_n4000.parquet")
+        idx = list(range(0, 4000, 43))
+        fresh = mcf.oracle_rows(idx).reset_index(drop=True)
+        sample = fix.iloc[idx].reset_index(drop=True)
+        assert list(sample.feats_md5) == list(fresh.feats_md5)
