@@ -195,3 +195,58 @@ def cmvn(feats: np.ndarray, var_floor: float = 1e-10) -> np.ndarray:
     dev = x - mean[None, :]
     var = (dev * dev).sum(axis=0) / x.shape[0]
     return dev / np.sqrt(var + var_floor)[None, :]
+
+
+def spec_augment(
+    feats: np.ndarray,
+    key: str,
+    n_freq_masks: int = 2,
+    max_f: int = 8,
+    n_time_masks: int = 2,
+    time_frac_tenths: int = 1,
+) -> np.ndarray:
+    """SpecAugment masking (Park et al. 2019) with DETERMINISTIC mask
+    placement: the mask geometry is derived from md5(key || lane index), so
+    the augmentation is seedless and reproducible — the same clip always
+    gets the same masks (re-runs and retries are idempotent, and a
+    committed fixture can pin the output bit-for-bit), while across clips
+    the placements are uniform. Masked cells are set to exactly 0.0 — the
+    per-band mean after cmvn, so masking never shifts the feature
+    statistics the acoustic model normalizes against.
+
+    Each frequency mask zeroes a band range [f0, f0+w), w uniform in
+    [0, max_f]; each time mask zeroes a frame range with width up to
+    time_frac_tenths/10 of the clip's frames (the paper's p=1.0 bound
+    scaled down for short clips). All arithmetic is integer on md5 bytes —
+    no RNG object, no float.
+
+    >>> f = np.ones((100, 40))
+    >>> out = spec_augment(f, "clip_7")
+    >>> out.shape == f.shape and (out == 0.0).any() and (out == 1.0).any()
+    True
+    >>> bool((spec_augment(f, "clip_7") == out).all())  # deterministic
+    True
+    >>> spec_augment(np.zeros((0, 40)), "x").shape
+    (0, 40)
+    """
+    import hashlib
+
+    x = np.asarray(feats, dtype=np.float64).copy()
+    n_t, n_f = x.shape if x.ndim == 2 else (0, 0)
+    if n_t == 0:
+        return x
+
+    def _draws(lane: str, lo_mod: int, hi_mod: int) -> tuple[int, int]:
+        h = hashlib.md5(f"{key}|{lane}".encode()).digest()
+        a = int.from_bytes(h[:8], "big")
+        b = int.from_bytes(h[8:], "big")
+        return a % lo_mod, b % hi_mod
+
+    for i in range(n_freq_masks):
+        w, f0 = _draws(f"f{i}", max_f + 1, n_f)
+        x[:, f0 : min(f0 + w, n_f)] = 0.0
+    max_t = max(1, n_t * time_frac_tenths // 10)
+    for i in range(n_time_masks):
+        w, t0 = _draws(f"t{i}", max_t + 1, n_t)
+        x[t0 : min(t0 + w, n_t), :] = 0.0
+    return x

@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..core.audio import ITEMSIZE, decode, encode
-from ..core.resample import cmvn, logmel, resample
+from ..core.resample import cmvn, logmel, resample, spec_augment
 from ..core.spectral import (
     bw_bin_to_hz,
     speaking_rate_keep,
@@ -207,6 +207,49 @@ def _cmvn_pdf(
             feats.append(np.zeros(0))
             continue
         m = cmvn(logmel(pcm, int(sr), n_fft=n_fft, hop=hop, n_mels=n_mels))
+        oks.append(True)
+        nfs.append(m.shape[0])
+        feats.append(m.reshape(-1))
+    out = {
+        "clip_id": pdf["clip_id"],
+        "ok": oks,
+        "n_frames": pd.array(nfs, dtype="Int32"),
+        "n_mels": pd.array([n_mels] * len(pdf), dtype="Int32"),
+    }
+    if digest:
+        out["feats_md5"] = [
+            hashlib.md5(np.ascontiguousarray(a, dtype="<f8").tobytes()).hexdigest()
+            for a in feats
+        ]
+    else:
+        out["feats"] = feats
+    return pd.DataFrame(out)
+
+
+def _specaug_pdf(
+    pdf: pd.DataFrame, n_fft: int, hop: int, n_mels: int, digest: bool
+) -> pd.DataFrame:
+    """One pandas batch of clips -> SpecAugment-masked CMVN log-mel batch.
+
+    decode -> logmel -> cmvn -> spec_augment fused in ONE Arrow pass; the
+    mask geometry is a pure function of clip_id (core/resample.py
+    spec_augment), so the augmentation is reproducible per clip and the
+    whole chain stays a shuffle-free narrow map."""
+    oks, nfs, feats = [], [], []
+    for cid, buf, sr, codec in zip(
+        pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"]
+    ):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        if pcm is None:
+            oks.append(False)
+            nfs.append(0)
+            feats.append(np.zeros(0))
+            continue
+        m = spec_augment(
+            cmvn(logmel(pcm, int(sr), n_fft=n_fft, hop=hop, n_mels=n_mels)),
+            str(cid),
+        )
         oks.append(True)
         nfs.append(m.shape[0])
         feats.append(m.reshape(-1))
@@ -1078,6 +1121,37 @@ def cmvn_features(
 
     return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
         _run, schema=LOGMEL_DIGEST_DDL if digest else LOGMEL_DDL
+    )
+
+
+def specaug_features(
+    clips: DataFrame, n_fft: int = 512, hop: int = 256, n_mels: int = 40,
+    digest: bool = False,
+) -> DataFrame:
+    """SpecAugment-masked CMVN log-mel features (composable path;
+    digest=True is the q57 verification mode)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _specaug_pdf(pdf, n_fft, hop, n_mels, digest)
+
+    return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
+        _run, schema=LOGMEL_DIGEST_DDL if digest else LOGMEL_DDL
+    )
+
+
+def specaug_digest_scan(
+    spark: SparkSession, input_dir: str,
+    n_fft: int = 512, hop: int = 256, n_mels: int = 40,
+) -> DataFrame:
+    """specaug_features(digest=True) over a parquet directory via the fused
+    manifest scan (q57)."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _specaug_pdf(pdf, n_fft, hop, n_mels, True),
+        LOGMEL_DIGEST_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
     )
 
 

@@ -2252,3 +2252,32 @@ def q56_cmvn_features(spark, sf_dir):
     from .operators.audio_ops import cmvn_digest_scan
 
     return cmvn_digest_scan(spark, _clips_cache_path(spark, sf_dir))
+
+
+_AUDIO_SPECAUG_FIXTURE = f"/root/repo/fixtures/oracle_audio_specaug_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q57_specaugment",
+    f"""
+    SELECT clip_id, ok, n_frames, n_mels, feats_md5
+    FROM read_parquet('{_AUDIO_SPECAUG_FIXTURE}')
+    """,
+)
+def q57_specaugment(spark, sf_dir):
+    """SpecAugment (Park et al. 2019) over the CMVN log-mel features: two
+    frequency masks (width <= 8 bands) and two time masks (width <= 10% of
+    frames) zeroed per clip — zero IS the post-CMVN per-band mean, so
+    masking never shifts the statistics the acoustic model normalizes
+    against. Mask geometry is a pure integer function of md5(clip_id || 
+    lane): seedless, reproducible per clip (idempotent under retries —
+    the property a distributed augmentation pipeline actually needs), and
+    uniform across clips. decode -> logmel -> cmvn -> mask fused in ONE
+    Arrow pass; shuffle-free narrow map at 10^12 clips.
+
+    Digest-exact value check like q56: the fused manifest scan hashes each
+    masked float64 array bit-for-bit; the DuckDB oracle reads the
+    committed single-process pass (scripts/make_audio_specaug_fixture.py)."""
+    from .operators.audio_ops import specaug_digest_scan
+
+    return specaug_digest_scan(spark, _clips_cache_path(spark, sf_dir))

@@ -327,3 +327,68 @@ class TestCmvn:
         fresh = mcf.oracle_rows(idx).reset_index(drop=True)
         sample = fix.iloc[idx].reset_index(drop=True)
         assert list(sample.feats_md5) == list(fresh.feats_md5)
+
+
+class TestSpecAugment:
+    def test_masks_are_deterministic_and_bounded(self):
+        from datasmith_spark.core.resample import spec_augment
+
+        f = np.ones((200, 40))
+        a = spec_augment(f, "clip_1")
+        b = spec_augment(f, "clip_1")
+        assert (a == b).all()
+        # different key -> different mask placement (overwhelmingly likely)
+        c = spec_augment(f, "clip_2")
+        assert not (a == c).all()
+        # masked fraction bounded: 2 freq masks <= 8/40 each, 2 time <= 10% each
+        masked = (a == 0.0).mean()
+        assert 0.0 <= masked <= 2 * 8 / 40 + 2 * 0.1 + 0.05
+
+    def test_mask_shape_is_rows_and_columns(self):
+        from datasmith_spark.core.resample import spec_augment
+
+        f = np.ones((100, 40))
+        out = spec_augment(f, "clip_11")
+        zero_cols = np.where((out == 0.0).all(axis=0))[0]
+        zero_rows = np.where((out == 0.0).all(axis=1))[0]
+        # any fully-zero column range and row range must be contiguous runs
+        if zero_cols.size:
+            runs = np.split(zero_cols, np.where(np.diff(zero_cols) != 1)[0] + 1)
+            assert len(runs) <= 2
+        if zero_rows.size:
+            runs = np.split(zero_rows, np.where(np.diff(zero_rows) != 1)[0] + 1)
+            assert len(runs) <= 2
+
+    def test_empty_input(self):
+        from datasmith_spark.core.resample import spec_augment
+
+        assert spec_augment(np.zeros((0, 40)), "x").shape == (0, 40)
+
+    def test_spark_matches_kernel_and_fixture_honest(self, spark):
+        import sys
+
+        from datasmith_spark.datagen import clips_df
+        from datasmith_spark.operators.audio_ops import _specaug_pdf, specaug_features
+
+        clips = clips_df(spark, 80, n_partitions=4)
+        got = (
+            specaug_features(clips, digest=True)
+            .toPandas()
+            .sort_values("clip_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            _specaug_pdf(clips.toPandas(), 512, 256, 40, True)
+            .sort_values("clip_id")
+            .reset_index(drop=True)
+        )
+        assert list(got.feats_md5) == list(want.feats_md5)
+
+        sys.path.insert(0, "/root/repo/scripts")
+        import make_audio_specaug_fixture as msa
+
+        fix = pd.read_parquet("/root/repo/fixtures/oracle_audio_specaug_n4000.parquet")
+        idx = list(range(0, 4000, 47))
+        fresh = msa.oracle_rows(idx).reset_index(drop=True)
+        sample = fix.iloc[idx].reset_index(drop=True)
+        assert list(sample.feats_md5) == list(fresh.feats_md5)
