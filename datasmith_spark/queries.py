@@ -2281,3 +2281,46 @@ def q57_specaugment(spark, sf_dir):
     from .operators.audio_ops import specaug_digest_scan
 
     return specaug_digest_scan(spark, _clips_cache_path(spark, sf_dir))
+
+
+@register(
+    "q58_rollup_manifest",
+    """
+    SELECT lang, source,
+           count(*) AS n_docs,
+           sum(n_chars) AS sum_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           CAST(grouping(lang) AS INT) AS g_lang,
+           CAST(grouping(source) AS INT) AS g_source
+    FROM documents
+    GROUP BY ROLLUP(lang, source)
+    """,
+)
+def q58_rollup_manifest(spark, sf_dir):
+    """Hierarchical corpus manifest via ROLLUP: per-(lang, source) stats
+    plus per-lang subtotals plus the grand total in ONE aggregation pass —
+    the dataset-card rollup a curation pipeline publishes alongside the
+    data. GROUPING() flags disambiguate real NULL keys from rollup
+    subtotal rows (the standard trap with rollup results). All measures
+    are integer (count / sum / min / max of bigint), so both engines agree
+    exactly.
+
+    Scale shape: Spark executes ROLLUP as ONE shuffle with partial
+    (map-side) aggregation replicating each row into its grouping sets —
+    no per-level re-scan of the corpus; at 10^12 docs the alternative
+    (three separate groupBys + union) would triple the scan and shuffle
+    volume. Catalyst's Expand node feeds the same hash-aggregate as any
+    plain groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.grouping("lang").cast("int").alias("g_lang"),
+            F.grouping("source").cast("int").alias("g_source"),
+        )
+    )

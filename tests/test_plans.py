@@ -145,3 +145,19 @@ def test_audio_fp_hamming_plan_is_capped_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q58_rollup_is_one_expand_one_scan(spark):
+    """ROLLUP must run as ONE scan + Expand + hash aggregate — not one
+    groupBy per level unioned (which would triple the scan volume)."""
+    from datasmith_spark.queries import QUERIES
+
+    df = QUERIES["q58_rollup_manifest"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Expand") >= 1, plan
+    # formatted mode prints each node once in the tree and once in the
+    # details section — one real scan node == exactly 2 mentions
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Union" not in plan, plan
+    # partial (map-side) aggregation before the single exchange
+    assert plan.count("HashAggregate") >= 2 and plan.count("Exchange") == 2, plan
