@@ -2324,3 +2324,62 @@ def q58_rollup_manifest(spark, sf_dir):
             F.grouping("source").cast("int").alias("g_source"),
         )
     )
+
+
+@register(
+    "q59_skew_profile",
+    """
+    WITH per_key AS (
+      SELECT 'events.user_id' AS key_col, CAST(user_id AS VARCHAR) AS k
+      FROM events
+      UNION ALL
+      SELECT 'documents.lang' AS key_col, lang AS k FROM documents
+    ),
+    counted AS (
+      SELECT key_col, k, count(*) AS cnt FROM per_key GROUP BY key_col, k
+    )
+    SELECT key_col,
+           CAST(length(bin(cnt)) - 1 AS INT) AS log2_bucket,
+           count(*) AS n_keys,
+           min(cnt) AS min_cnt,
+           max(cnt) AS max_cnt,
+           sum(cnt) AS sum_rows
+    FROM counted
+    GROUP BY key_col, 2
+    """,
+)
+def q59_skew_profile(spark, sf_dir):
+    """Join-key skew profile: the diagnostic run BEFORE choosing a shuffle
+    strategy. Per-key row counts bucketed by floor(log2(count)) — the
+    histogram that tells you whether a key column needs salting, an AQE
+    skew-join split, or nothing (this repo's hot-key cap in
+    operators/pairs.py is the downstream consumer of exactly this
+    information). floor(log2) is computed as length(bin(cnt))-1 — pure
+    integer bit-length, no libm log, so Spark and DuckDB agree on every
+    boundary count (a float log2 disagrees at exact powers of two).
+
+    Scale shape: one partial-aggregated count per key, then a second tiny
+    aggregation over ~64 buckets — the same two-phase shape as any
+    distinct-count rollup; never collects the key list."""
+    events = _t(spark, sf_dir, "events").select(
+        F.lit("events.user_id").alias("key_col"),
+        F.col("user_id").cast("string").alias("k"),
+    )
+    langs = _t(spark, sf_dir, "documents").select(
+        F.lit("documents.lang").alias("key_col"), F.col("lang").alias("k")
+    )
+    counted = events.unionByName(langs).groupBy("key_col", "k").agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        counted.groupBy(
+            "key_col",
+            (F.length(F.bin(F.col("cnt"))) - 1).cast("int").alias("log2_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.min("cnt").alias("min_cnt"),
+            F.max("cnt").alias("max_cnt"),
+            F.sum("cnt").alias("sum_rows"),
+        )
+    )
