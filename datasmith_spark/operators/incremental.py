@@ -149,3 +149,50 @@ def ingest_batch(
     # the caller's view explicitly (no-op when the sessions coincide).
     spark.catalog.refreshTable(tl.ident(store))
     return pairs, n_novel, n_dup
+
+
+def compact_store(
+    spark: SparkSession,
+    tl: TableLayer,
+    store: str,
+    n_buckets: int = 32,
+) -> tuple[int, int]:
+    """Compact the seen-key store to distinct rows; returns (rows_before,
+    rows_after).
+
+    Why it exists: run_streaming_dedup's crash window (store append
+    committed, streaming checkpoint not) re-appends at most one batch's
+    keys on restart. Duplicate rows never corrupt matching (the probe is
+    set-semantic), but they inflate probe-join work linearly — compaction
+    is the maintenance op that restores minimality, the parquet-mode
+    analogue of Iceberg's rewrite_data_files.
+
+    Crash-safe staging: the distinct rows are written to a staging table
+    with the SAME bucket spec (so the zero-exchange probe-join property
+    survives compaction), then swapped in with DROP + RENAME. A crash
+    between drop and rename loses only the compaction (the staging table
+    still holds every key); callers recover by re-running compact_store,
+    which adopts a complete staging table left by a crashed predecessor.
+    """
+    staging = f"{store}__compact"
+    if tl.exists(spark, store):
+        before = tl.read(spark, store).count()
+        (
+            tl.read(spark, store)
+            .distinct()
+            .write.format(tl.fmt)
+            .mode("overwrite")
+            .bucketBy(n_buckets, "fp_key")
+            .sortBy("fp_key")
+            .saveAsTable(tl.ident(staging))
+        )
+        spark.sql(f"DROP TABLE {tl.ident(store)}")
+    elif tl.exists(spark, staging):
+        # crashed predecessor: staging is complete (it was written before
+        # the drop), adopt it
+        before = -1
+    else:
+        raise ValueError(f"no store or staging table named {store!r}")
+    spark.sql(f"ALTER TABLE {tl.ident(staging)} RENAME TO {tl.ident(store)}")
+    after = tl.read(spark, store).count()
+    return before, after

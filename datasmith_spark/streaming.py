@@ -65,6 +65,25 @@ def stream_audio_quality(
     return audio_quality(stream_clips(spark, input_dir, max_files_per_trigger))
 
 
+def stream_features(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+    augment: bool = False,
+) -> DataFrame:
+    """Continuous-ingest featurization: the fused decode -> logmel -> cmvn
+    (-> spec_augment when augment=True) chain lifted onto a file-source
+    stream. Stateless Arrow-batched mapInPandas (and SpecAugment's masks
+    are a pure function of clip_id, not of batch composition), so
+    micro-batch results are bit-identical to the batch operator over the
+    same files — the property that lets one codepath serve backfill and
+    live ingest."""
+    from .operators.audio_ops import cmvn_features, specaug_features
+
+    op = specaug_features if augment else cmvn_features
+    return op(stream_clips(spark, input_dir, max_files_per_trigger))
+
+
 def make_batch_sink(tl: TableLayer):
     """foreachBatch sink with idempotent-per-batch semantics.
 

@@ -145,3 +145,85 @@ class TestStreamingDedup:
         run_streaming_dedup(spark, inp, out, store_catalog=ns, store_name="seen_s")
         assert read_dup_pairs(spark, out).count() == 1
         assert tl.read(spark, "seen_s").select("clip_id").distinct().count() == 6
+
+
+class TestCompactStore:
+    def test_compact_dedups_and_preserves_probe(self, spark, ns):
+        from datasmith_spark.operators.audio_fp import fingerprint_clips
+        from datasmith_spark.operators.incremental import (
+            compact_store,
+            ingest_batch,
+            seen_store_neardup,
+        )
+
+        sr = 16000
+        base = {f"k_{i}": _tone(sr, 2.0, 300.0 + 40 * i, seed=60 + i) for i in range(4)}
+        keys = fingerprint_clips(
+            _clips(
+                spark,
+                [(c, encode(x, "pcm16"), sr, 2000, "pcm16", "t") for c, x in base.items()],
+            )
+        ).localCheckpoint(eager=True)
+        tl = TableLayer("unused", catalog=ns)
+        ingest_batch(spark, tl, "cst", keys)
+        # simulate the crash window: the same batch's keys re-appended
+        keys.write.format(tl.fmt).mode("append").bucketBy(32, "fp_key").sortBy(
+            "fp_key"
+        ).saveAsTable(tl.ident("cst"))
+        spark.catalog.refreshTable(tl.ident("cst"))
+        n_dup_rows = tl.read(spark, "cst").count()
+
+        probe = _clips(
+            spark,
+            [("probe", encode(0.9 * base["k_1"], "pcm16"), sr, 2000, "pcm16", "t")],
+        )
+        pk = fingerprint_clips(probe).localCheckpoint(eager=True)
+        before_pairs = sorted(
+            (r.batch_id, r.seen_id)
+            for r in seen_store_neardup(pk, tl.read(spark, "cst")).collect()
+        )
+
+        before, after = compact_store(spark, tl, "cst")
+        assert before == n_dup_rows and after == n_dup_rows // 2
+
+        after_pairs = sorted(
+            (r.batch_id, r.seen_id)
+            for r in seen_store_neardup(pk, tl.read(spark, "cst")).collect()
+        )
+        assert after_pairs == before_pairs and len(after_pairs) == 1
+
+        # the compacted store still equi-joins with zero exchange on its
+        # side: only the probe side (plus its aggregate) shuffles
+        st = tl.read(spark, "cst")
+        probe_keys = spark.createDataFrame(
+            [(r.fp_key,) for r in pk.select("fp_key").distinct().collect()],
+            "fp_key string",
+        )
+        thr = "spark.sql.autoBroadcastJoinThreshold"
+        old = spark.conf.get(thr)
+        spark.conf.set(thr, "-1")
+        try:
+            joined = st.join(probe_keys, "fp_key")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set(thr, old)
+        # exactly one exchange: the probe side; the compacted store none
+        assert plan.count("Exchange") == 1, plan
+        # compaction preserves semantics end to end: re-ingest flags the dup
+        _, n_novel, n_dup = ingest_batch(spark, tl, "cst", pk)
+        assert (n_novel, n_dup) == (0, 1)
+
+    def test_compact_adopts_orphan_staging(self, spark, ns):
+        from datasmith_spark.operators.incremental import compact_store
+
+        tl = TableLayer("unused", catalog=ns)
+        rows = spark.createDataFrame(
+            [("a", "k1"), ("a", "k2")], "clip_id string, fp_key string"
+        )
+        # crashed predecessor: staging exists, store dropped
+        rows.write.format(tl.fmt).mode("overwrite").bucketBy(32, "fp_key").sortBy(
+            "fp_key"
+        ).saveAsTable(tl.ident("orph__compact"))
+        before, after = compact_store(spark, tl, "orph")
+        assert before == -1 and after == 2
+        assert tl.exists(spark, "orph") and not tl.exists(spark, "orph__compact")

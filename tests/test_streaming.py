@@ -553,3 +553,39 @@ def test_stream_audio_quality_matches_batch(spark, clips_path, stream_dirs, tmp_
     assert (want.keep == lanes).all()
     # and every lane actually fires somewhere on the corpus
     assert 0 < want.keep.sum() < len(want)
+
+
+def test_stream_features_matches_batch(spark, clips_path, stream_dirs, tmp_path):
+    """The fused decode->logmel->cmvn->specaugment featurization lifted onto
+    a stream reproduces the batch operator bit-for-bit (stateless chain;
+    SpecAugment masks depend only on clip_id, never on batch composition)."""
+    from datasmith_spark.operators.audio_ops import specaug_features
+    from datasmith_spark.streaming import stream_features
+
+    inp, _ = stream_dirs
+    q = (
+        stream_features(spark, inp, max_files_per_trigger=4, augment=True)
+        .writeStream.format("memory")
+        .queryName("feat_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.table("feat_stream")
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        specaug_features(spark.read.parquet(inp))
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert list(got.n_frames) == list(want.n_frames)
+    import numpy as np
+
+    for a, b in zip(got.feats, want.feats):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
