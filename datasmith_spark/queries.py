@@ -2383,3 +2383,65 @@ def q59_skew_profile(spark, sf_dir):
             F.sum("cnt").alias("sum_rows"),
         )
     )
+
+
+DUP_SPAN_K = 10  # tokens per span (Lee et al. use 50; this corpus's docs are short)
+
+
+@register(
+    "q60_dup_spans",
+    rf"""
+    WITH {_CORPUS_SQL},
+    tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM corpus
+    ),
+    sp AS (
+      SELECT doc_id,
+             unnest([{{'p': i, 's': w[i+0] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' || w[i+8] || ' ' || w[i+9]}} for i in range(1, len(w) - 8)]) AS z
+      FROM tok WHERE len(w) >= 10
+    ),
+    spans AS (SELECT doc_id, CAST(z.p AS INT) AS pos, md5(z.s) AS h FROM sp),
+    shared AS (SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+    SELECT s.doc_id, s.pos, s.h AS span_md5 FROM spans s JOIN shared USING (h)
+    """,
+)
+def q60_dup_spans(spark, sf_dir):
+    """Positional exact-substring dedup (the Lee et al. 2022 'Deduplicating
+    Training Data' construction at k=10 tokens): every k-token span whose
+    exact text occurs in at least one OTHER document is emitted as
+    (doc_id, pos, span_md5) — the removal input for cut-the-span dedup,
+    strictly finer than the doc-level flags of q20-q22 (a doc quoting one
+    boilerplate paragraph keeps the rest). Within-doc repeats do NOT count
+    (count(DISTINCT doc_id) >= 2): the target is cross-document
+    contamination, same philosophy as q43.
+
+    Scale shape: spans are never joined doc-to-doc — the shared-span test
+    is a groupBy(span-hash) distinct-doc count plus a semi-join back, so a
+    boilerplate span in millions of docs costs its row count, never a pair
+    blowup (the q34 lesson applied by construction). Tokenization is the
+    engine-pinned split(lower(trim(text)), '\\s+') shared with the whole
+    MinHash family."""
+    docs = _corpus(spark, sf_dir)
+    k = DUP_SPAN_K
+    w = F.col("_w")
+    cnt = F.size(w) - (k - 1)
+    zipped = F.arrays_zip(*[F.slice(w, 1 + j, cnt) for j in range(k)])
+    spans = (
+        docs.withColumn("_w", F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .filter(F.size(w) >= k)
+        .select("doc_id", F.posexplode(zipped).alias("_p", "_z"))
+        .select(
+            "doc_id",
+            (F.col("_p") + 1).cast("int").alias("pos"),
+            F.md5(
+                F.concat_ws(" ", *[F.col("_z").getField(str(j)) for j in range(k)])
+            ).alias("span_md5"),
+        )
+    )
+    shared = (
+        spans.groupBy("span_md5")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("span_md5")
+    )
+    return spans.join(shared, "span_md5").select("doc_id", "pos", "span_md5")

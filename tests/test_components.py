@@ -117,3 +117,33 @@ class TestLeakageSafeSplit:
         assert mismatched == 0
         splits = {r.split for r in df.select("split").distinct().collect()}
         assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+class TestDupSpans:
+    def test_known_positions_and_no_self_match(self, spark):
+        from datasmith_spark.queries import QUERIES
+
+        shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+        rows = [
+            # doc 0: shared run at token pos 3
+            (0, "alpha beta gamma " + shared + " tail0"),
+            # doc 1: same run at pos 1
+            (1, shared + " other words here"),
+            # doc 2: unrelated
+            (2, "completely different text with no overlap at all " * 3),
+            # doc 3: repeats ITS OWN 10-token run twice -> must NOT be flagged
+            (3, ("unique3 " * 10) + ("unique3 " * 10)),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        import datasmith_spark.queries as Q
+
+        orig = Q._corpus
+        Q._corpus = lambda s, sf: df
+        try:
+            got = QUERIES["q60_dup_spans"](spark, "unused").toPandas()
+        finally:
+            Q._corpus = orig
+        by_doc = {d: sorted(g.pos) for d, g in got.groupby("doc_id")}
+        assert by_doc == {0: [4], 1: [1]}
+        # the shared span has the same hash in both docs
+        assert got.span_md5.nunique() == 1
