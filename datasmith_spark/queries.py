@@ -2445,3 +2445,128 @@ def q60_dup_spans(spark, sf_dir):
         .select("span_md5")
     )
     return spans.join(shared, "span_md5").select("doc_id", "pos", "span_md5")
+
+
+@register(
+    "q61_cut_dup_spans",
+    rf"""
+    WITH {_CORPUS_SQL},
+    tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM corpus
+    ),
+    sp AS (
+      SELECT doc_id,
+             unnest([{{'p': i, 's': w[i+0] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' || w[i+8] || ' ' || w[i+9]}} for i in range(1, len(w) - 8)]) AS z
+      FROM tok WHERE len(w) >= 10
+    ),
+    spans AS (SELECT doc_id, CAST(z.p AS INT) AS pos, md5(z.s) AS h FROM sp),
+    keeper AS (
+      SELECT h, min(doc_id) AS keep_doc FROM spans GROUP BY h
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    removal AS (
+      SELECT s.doc_id, s.pos FROM spans s JOIN keeper k USING (h)
+      WHERE s.doc_id != k.keep_doc
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + j AS tokpos
+      FROM removal, range(0, 10) t(j)
+    ),
+    toks AS (
+      SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS tokpos FROM tok
+    ),
+    kept AS (
+      SELECT t.doc_id, t.tokpos, t.tok
+      FROM toks t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.tokpos = t.tokpos
+      WHERE c.doc_id IS NULL
+    ),
+    agg AS (
+      SELECT doc_id,
+             coalesce(string_agg(tok, ' ' ORDER BY tokpos), '') AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
+           CAST(len(t.w) - coalesce(a.n_kept, 0) AS INT) AS n_removed
+    FROM tok t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q61_cut_dup_spans(spark, sf_dir):
+    """Substring-removal dedup, the transform q60's flags feed (Lee et al.
+    2022 policy): for every cross-document duplicated k-token span, the
+    minimum doc_id holds the canonical copy and every OTHER occurrence is
+    cut — a token goes if ANY removal span covers it. Planted exact copies
+    scrub to empty (their canonical twin keeps everything); a doc quoting
+    one boilerplate paragraph loses only that paragraph. Output text is
+    whitespace-normalized (the engine-pinned tokenization is lossy by
+    design; both engines emit identical normalized text, and n_kept /
+    n_removed are integer-exact).
+
+    Scale shape: the only joins are span-hash -> keeper (groupBy + 
+    semi-shaped join, never doc-to-doc) and token-position anti-join
+    against the covered set, both hash-partitioned by doc_id/hash; the
+    ordered re-aggregation is sort_array(collect_list(struct)) per doc —
+    one doc's tokens, never a global sort."""
+    docs = _corpus(spark, sf_dir)
+    k = DUP_SPAN_K
+    w = F.col("_w")
+    tok = docs.withColumn(
+        "_w", F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    ).select("doc_id", "_w")
+    cnt = F.size(w) - (k - 1)
+    zipped = F.arrays_zip(*[F.slice(w, 1 + j, cnt) for j in range(k)])
+    spans = (
+        tok.filter(F.size(w) >= k)
+        .select("doc_id", F.posexplode(zipped).alias("_p", "_z"))
+        .select(
+            "doc_id",
+            (F.col("_p") + 1).cast("int").alias("pos"),
+            F.md5(
+                F.concat_ws(" ", *[F.col("_z").getField(str(j)) for j in range(k)])
+            ).alias("h"),
+        )
+    )
+    keeper = (
+        spans.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keep_doc"),
+            F.countDistinct("doc_id").alias("_nd"),
+        )
+        .filter(F.col("_nd") >= 2)
+        .select("h", "keep_doc")
+    )
+    removal = spans.join(keeper, "h").filter(
+        F.col("doc_id") != F.col("keep_doc")
+    ).select("doc_id", "pos")
+    covered = removal.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("tokpos"),
+    ).distinct()
+    toks = tok.select(
+        "doc_id", F.posexplode(F.col("_w")).alias("_p", "tok")
+    ).select("doc_id", (F.col("_p") + 1).alias("tokpos"), "tok")
+    kept = toks.join(covered, ["doc_id", "tokpos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tokpos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+        ).alias("clean_text"),
+        F.count("*").cast("int").alias("n_kept"),
+    )
+    return (
+        tok.select("doc_id", F.size("_w").alias("_n"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+            (F.col("_n") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )

@@ -147,3 +147,35 @@ class TestDupSpans:
         assert by_doc == {0: [4], 1: [1]}
         # the shared span has the same hash in both docs
         assert got.span_md5.nunique() == 1
+
+
+class TestCutDupSpans:
+    def test_canonical_keeps_other_loses_span(self, spark):
+        from datasmith_spark.queries import QUERIES
+
+        shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+        rows = [
+            (0, "alpha beta gamma " + shared + " tail0"),
+            (5, shared + " other words here"),
+            (7, "nothing in common with anybody at all whatsoever today friends"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        import datasmith_spark.queries as Q
+
+        orig = Q._corpus
+        Q._corpus = lambda s, sf: df
+        try:
+            got = {
+                r.doc_id: r
+                for r in QUERIES["q61_cut_dup_spans"](spark, "unused").collect()
+            }
+        finally:
+            Q._corpus = orig
+        # doc 0 is canonical (min doc_id): untouched
+        assert got[0].clean_text == "alpha beta gamma " + shared + " tail0"
+        assert got[0].n_removed == 0
+        # doc 5 loses exactly the shared 10-token run
+        assert got[5].clean_text == "other words here"
+        assert (got[5].n_kept, got[5].n_removed) == (3, 10)
+        # doc 7 untouched
+        assert got[7].n_removed == 0 and got[7].n_kept == 10
