@@ -203,3 +203,86 @@ def test_normalize_peak_lands_at_or_below_target(codec, samples):
         step = {"pcm16": 2e-4, "float32": 1e-6, "pcm8": 2e-2,
                 "mulaw": 0.12, "alaw": 0.12}[codec]
         assert float(np.max(np.abs(got))) <= NORM_TARGET_PEAK + step
+
+
+# ---------------------------------------------------------- r5s3 kernels
+
+_PCM = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+    min_size=0,
+    max_size=4000,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_PCM, st.sampled_from([(9, 10), (10, 10), (11, 10), (1, 2), (2, 1)]))
+def test_speed_output_length_is_exact_ratio(pcm, factor):
+    from datasmith_spark.core.resample import resample
+
+    num, den = factor
+    x = np.asarray(pcm, dtype=np.float64)
+    y = resample(x, num, den)
+    if num == den:
+        assert np.array_equal(y, x)
+    else:
+        assert y.size == int(round(x.size * den / num))
+    assert np.all(np.isfinite(y))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=400),
+    st.integers(min_value=1, max_value=60),
+    st.integers(min_value=1, max_value=60),
+)
+def test_segment_starts_tile_any_span(n_frames, seg, hop):
+    """The window-start arithmetic used by _segment_pdf: full windows every
+    hop, else the whole span once — coverage never exceeds the span and
+    starts are strictly increasing."""
+    lo, hi = 7, 7 + n_frames
+    starts = list(range(lo, hi - seg + 1, hop))
+    if not starts:
+        assert hi - lo < seg  # only short spans fall back to keep-whole
+    else:
+        assert starts[0] == lo
+        assert all(s + seg <= hi for s in starts)
+        assert all(b - a == hop for a, b in zip(starts, starts[1:]))
+        # the dropped tail is shorter than one window
+        assert hi - (starts[-1] + seg) < hop or starts[-1] + seg + hop > hi - seg + 1
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-60.0, max_value=10.0, allow_nan=False),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cmvn_output_stats_bounded(rows):
+    from datasmith_spark.core.resample import cmvn
+
+    f = np.asarray(rows, dtype=np.float64)
+    out = cmvn(f)
+    assert out.shape == f.shape
+    assert np.all(np.isfinite(out))
+    # per-band mean is ~0 and variance never exceeds 1 (floor only shrinks)
+    assert np.allclose(out.mean(axis=0), 0.0, atol=1e-9)
+    assert np.all(out.var(axis=0) <= 1.0 + 1e-9)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(min_size=0, max_size=60), st.integers(min_value=1, max_value=300))
+def test_spec_augment_only_zeroes_and_preserves_rest(key, n_t):
+    from datasmith_spark.core.resample import spec_augment
+
+    f = np.full((n_t, 40), 3.25)
+    out = spec_augment(f, key)
+    # every cell is either untouched or exactly zero
+    assert np.all((out == 3.25) | (out == 0.0))
+    # deterministic in the key
+    assert np.array_equal(out, spec_augment(f, key))
