@@ -2570,3 +2570,128 @@ def q61_cut_dup_spans(spark, sf_dir):
             .alias("n_removed"),
         )
     )
+
+
+_CORPUS_ALL_SQL = _CORPUS_SQL.replace("corpus AS (", "corpus_all AS (", 1)
+
+
+@register(
+    "q62_text_curation_report",
+    rf"""
+    WITH RECURSIVE {_CORPUS_ALL_SQL},
+    gm AS (
+      SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM corpus_all
+    ),
+    g AS (
+      SELECT doc_id,
+             (len(w) >= 30 AND len(w) <= 1000
+              AND 3 * len(w) <= CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+              AND CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) <= 10 * len(w)
+              AND len(regexp_extract_all(text, '\b(the|a|and|of|to|in)\b')) >= 2
+              AND 20 * len(regexp_extract_all(text, '[^a-z0-9 ]')) <= length(text)
+              AND 2 * len(list_distinct(w)) >= len(w)) AS keep
+      FROM gm
+    ),
+    corpus AS (
+      SELECT c.doc_id, c.text FROM corpus_all c JOIN g USING (doc_id) WHERE g.keep
+    ),
+    {_MINHASH_SQL_BODY},
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.a AS doc_a, c.b AS doc_b, count(*) AS inter
+      FROM cand c
+      JOIN sh sa ON sa.id = c.a
+      JOIN sh sb ON sb.id = c.b AND sb.s = sa.s
+      GROUP BY c.a, c.b
+    ),
+    verified AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes za ON za.id = i.doc_a
+      JOIN sizes zb ON zb.id = i.doc_b
+      WHERE i.inter::DOUBLE / (za.sz + zb.sz - i.inter)::DOUBLE >= 0.6
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM verified WHERE doc_a != doc_b
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM verified WHERE doc_a != doc_b
+    ),
+    reach(id, lbl) AS (
+      SELECT u AS id, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+    ),
+    cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    final AS (
+      SELECT c.doc_id,
+             coalesce(cc.cluster_id, c.doc_id) AS group_key,
+             (cc.doc_id IS NULL OR cc.cluster_id = c.doc_id) AS survivor
+      FROM corpus c LEFT JOIN cc USING (doc_id)
+    ),
+    assigned AS (
+      SELECT doc_id, group_key,
+             CASE WHEN md5(CAST(group_key AS VARCHAR)) < 'e6' THEN 'train'
+                  WHEN md5(CAST(group_key AS VARCHAR)) < 'f3' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM final WHERE survivor
+    )
+    SELECT split, count(*) AS n_docs, CAST(grouping(split) AS INT) AS g_split
+    FROM assigned GROUP BY ROLLUP(split)
+    """,
+)
+def q62_text_curation_report(spark, sf_dir):
+    """The text-curation flagship: the whole chain composed end-to-end —
+    Gopher quality gates (q42) -> MinHash near-dup pairs verified by exact
+    Jaccard, computed over KEPT docs only (q21/q22; filtering before the
+    widest shuffle is the order a real pipeline runs) -> connected-component
+    cluster closure keeping the min-id canonical doc (q52) -> leakage-safe
+    split by cluster representative (q53) -> per-split ROLLUP counts (q58).
+    Returns the dataset card's headline table: documents per split plus the
+    grand total. Each stage is individually oracle-checked elsewhere; this
+    query pins that the COMPOSITION agrees too — the DuckDB oracle
+    re-derives the entire chain (gates, shingles, bands, verify, recursive
+    transitive closure, split, rollup) independently.
+
+    Scale notes: the gates are a codegen narrow map BEFORE the shingle
+    explode (cuts the widest shuffle by the drop rate); dedup state is
+    O(dup pairs); the final rollup is 4 rows. This is the q27 of the text
+    side."""
+    from pyspark import StorageLevel
+
+    from .operators.components import connected_components
+    from .operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+    from .operators.text_analysis import gopher_quality
+
+    corpus_all = _corpus(spark, sf_dir)
+    kept = (
+        corpus_all.join(
+            gopher_quality(corpus_all).select("doc_id", "keep"), "doc_id"
+        )
+        .filter(F.col("keep"))
+        .select("doc_id", "text")
+    )
+    sh = shingles(kept).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    pairs = jaccard_verify(sh, cand, threshold=0.6).localCheckpoint(eager=True)
+    sh.unpersist()
+    cc = connected_components(pairs, "doc_a", "doc_b").withColumnsRenamed(
+        {"id": "doc_id", "component": "cluster_id"}
+    )
+    final = kept.select("doc_id").join(cc, "doc_id", "left")
+    survivor = final.filter(
+        F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    )
+    gk = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    h = F.md5(gk.cast("string"))
+    assigned = survivor.select(
+        F.when(h < "e6", "train").when(h < "f3", "val").otherwise("test").alias("split")
+    )
+    return assigned.rollup("split").agg(
+        F.count("*").alias("n_docs"),
+        F.grouping("split").cast("int").alias("g_split"),
+    )
