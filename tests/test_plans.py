@@ -161,3 +161,22 @@ def test_q58_rollup_is_one_expand_one_scan(spark):
     assert "Union" not in plan, plan
     # partial (map-side) aggregation before the single exchange
     assert plan.count("HashAggregate") >= 2 and plan.count("Exchange") == 2, plan
+
+
+def test_span_and_cluster_queries_have_no_nested_loops(spark):
+    """The round's new span/cluster/composition queries must also plan as
+    pure equi-joins: the shared-span test is groupBy + semi-join (never
+    doc-to-doc), CC iterations are id-keyed joins, and the composed q62
+    inherits both."""
+    from datasmith_spark.queries import QUERIES
+
+    for q in (
+        "q52_dedup_clusters",
+        "q53_leakage_safe_split",
+        "q60_dup_spans",
+        "q61_cut_dup_spans",
+        "q62_text_curation_report",
+    ):
+        plan = _plan(QUERIES[q](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, (q, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (q, plan)
