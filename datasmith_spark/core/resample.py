@@ -250,3 +250,58 @@ def spec_augment(
         w, t0 = _draws(f"t{i}", max_t + 1, n_t)
         x[t0 : min(t0 + w, n_t), :] = 0.0
     return x
+
+
+def add_noise(
+    pcm: np.ndarray, key: str, snr_db: int = 10
+) -> np.ndarray | None:
+    """Additive white-noise augmentation at an exact target SNR, with a
+    DETERMINISTIC noise stream: the generator is counter-based Philox keyed
+    by md5(key), so the same clip always gets the same noise (idempotent
+    under task retries, fixture-pinnable) while streams are independent
+    across clips. Returns None for empty/silent input (nothing to scale
+    against) — callers pass those rows through.
+
+    Portability: snr_db must be a multiple of 10 so the amplitude factor
+    10^(snr/20) = sqrt(10)^(snr/10) is computed by IEEE sqrt and repeated
+    multiplication — no libm pow/exp (the engine's digest-fixture rule).
+    Noise is uniform on [-1, 1) (53-bit division, exact); both RMS terms
+    use the fixed-order _sumsq_tree reduction.
+
+    >>> x = np.sin(np.arange(8000) / 10.0) * 0.5
+    >>> y = add_noise(x, "clip_1")
+    >>> y.shape == x.shape and not np.array_equal(y, x)
+    True
+    >>> bool(np.array_equal(add_noise(x, "clip_1"), y))  # deterministic
+    True
+    >>> add_noise(np.zeros(100), "clip_1") is None  # silent -> passthrough
+    True
+    """
+    import hashlib
+
+    from .audio import _sumsq_tree
+
+    if snr_db % 10 != 0:
+        raise ValueError("snr_db must be a multiple of 10 (libm-free factor)")
+    x = np.asarray(pcm, dtype=np.float64)
+    n = x.size
+    if n == 0:
+        return None
+    sig_ss = _sumsq_tree(x)
+    if sig_ss <= 0.0:
+        return None
+    seed = int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "big")
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    noise = 2.0 * rng.random(n) - 1.0
+    noise_ss = _sumsq_tree(noise)
+    if noise_ss <= 0.0:
+        return None
+    f = 1.0
+    root10 = np.sqrt(10.0)
+    for _ in range(abs(snr_db) // 10):
+        f *= root10
+    if snr_db < 0:
+        f = 1.0 / f
+    # sig_rms / (scale * noise_rms) == f  ->  scale
+    scale = np.sqrt(sig_ss / noise_ss) / f
+    return x + scale * noise

@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..core.audio import ITEMSIZE, decode, encode
-from ..core.resample import cmvn, logmel, resample, spec_augment
+from ..core.resample import add_noise, cmvn, logmel, resample, spec_augment
 from ..core.spectral import (
     bw_bin_to_hz,
     speaking_rate_keep,
@@ -746,6 +746,74 @@ def speed_perturb_clips(
     ).mapInPandas(_run, schema=SPEED_DIGEST_DDL if digest else SPEED_DDL)
 
 
+NOISED_DDL = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+    "transcript string, augmented boolean"
+)
+
+NOISED_DIGEST_DDL = "clip_id string, augmented boolean, payload_md5 string"
+
+
+def _noise_pdf(pdf: pd.DataFrame, snr_db: int, digest: bool) -> pd.DataFrame:
+    """One pandas batch of clips -> noise-augmented batch (or digest batch).
+
+    Additive white noise at an exact target SNR (core/resample.py
+    add_noise: Philox stream keyed by md5(clip_id) — deterministic per
+    clip, independent across clips), re-encoded in the clip's OWN codec
+    like the q50 normalize lane. Silent and undecodable rows pass through
+    byte-identical with augmented=false."""
+    out_bytes, augmented = [], []
+    for cid, buf, sr, codec in zip(
+        pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"]
+    ):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        y = add_noise(pcm, str(cid), snr_db) if pcm is not None else None
+        if y is None:
+            out_bytes.append(buf)
+            augmented.append(False)
+            continue
+        out_bytes.append(encode(y, codec))
+        augmented.append(True)
+    if digest:
+        return pd.DataFrame(
+            {
+                "clip_id": pdf["clip_id"],
+                "augmented": augmented,
+                "payload_md5": [
+                    None if b is None else hashlib.md5(b).hexdigest()
+                    for b in out_bytes
+                ],
+            }
+        )
+    return pd.DataFrame(
+        {
+            "clip_id": pdf["clip_id"],
+            "bytes": out_bytes,
+            "sr_hz": pdf["sr_hz"],
+            "dur_ms": pdf["dur_ms"],
+            "codec": pdf["codec"],
+            "transcript": pdf["transcript"],
+            "augmented": augmented,
+        }
+    )
+
+
+def noise_aug_clips(
+    clips: DataFrame, snr_db: int = 10, digest: bool = False
+) -> DataFrame:
+    """Noise augmentation (composable path; digest=True is the q63
+    verification mode). Shuffle-free narrow map."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _noise_pdf(pdf, snr_db, digest)
+
+    return clips.select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+    ).mapInPandas(_run, schema=NOISED_DIGEST_DDL if digest else NOISED_DDL)
+
+
 def _quality_full_pdf(
     pdf: pd.DataFrame, frame_ms: int = FRAME_MS, active_db: float = ACTIVE_DB
 ) -> pd.DataFrame:
@@ -1151,6 +1219,20 @@ def specaug_digest_scan(
         input_dir,
         lambda pdf: _specaug_pdf(pdf, n_fft, hop, n_mels, True),
         LOGMEL_DIGEST_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+    )
+
+
+def noise_digest_scan(
+    spark: SparkSession, input_dir: str, snr_db: int = 10
+) -> DataFrame:
+    """noise_aug_clips(digest=True) over a parquet directory via the fused
+    manifest scan (q63)."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _noise_pdf(pdf, snr_db, True),
+        NOISED_DIGEST_DDL,
         scan_parallelism=_kernel_parallelism(spark, input_dir),
     )
 

@@ -2695,3 +2695,32 @@ def q62_text_curation_report(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.grouping("split").cast("int").alias("g_split"),
     )
+
+
+_AUDIO_NOISE_FIXTURE = f"/root/repo/fixtures/oracle_audio_noise_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q63_noise_augment",
+    f"""
+    SELECT clip_id, augmented, payload_md5
+    FROM read_parquet('{_AUDIO_NOISE_FIXTURE}')
+    """,
+)
+def q63_noise_augment(spark, sf_dir):
+    """Additive-noise augmentation at an exact 10 dB target SNR: uniform
+    white noise from a counter-based Philox stream keyed by md5(clip_id) —
+    deterministic per clip (idempotent under task retries, the same
+    property as q57's masks), independent across clips — scaled so
+    sig_rms/noise_rms is exactly 10^(1/2), computed libm-free (IEEE sqrt,
+    fixed-order _sumsq_tree RMS terms, uniform noise by exact 53-bit
+    division). Re-encoded in the clip's OWN codec like q50; silent and
+    undecodable rows pass through byte-identical with augmented=false.
+    Shuffle-free narrow map at 10^12 clips.
+
+    Digest-exact value check like q50: the fused manifest scan hashes each
+    augmented payload worker-side; the DuckDB oracle reads the committed
+    single-process pass (scripts/make_audio_noise_fixture.py)."""
+    from .operators.audio_ops import noise_digest_scan
+
+    return noise_digest_scan(spark, _clips_cache_path(spark, sf_dir))

@@ -392,3 +392,61 @@ class TestSpecAugment:
         fresh = msa.oracle_rows(idx).reset_index(drop=True)
         sample = fix.iloc[idx].reset_index(drop=True)
         assert list(sample.feats_md5) == list(fresh.feats_md5)
+
+
+class TestNoiseAugment:
+    def test_snr_is_exact_and_deterministic(self):
+        from datasmith_spark.core.audio import _sumsq_tree
+        from datasmith_spark.core.resample import add_noise
+
+        sr = 16000
+        x = 0.5 * np.sin(2 * np.pi * 440 * np.arange(2 * sr) / sr)
+        y = add_noise(x, "clip_a", snr_db=10)
+        noise = y - x
+        snr = 10 * np.log10(_sumsq_tree(x) / _sumsq_tree(noise))
+        assert abs(snr - 10.0) < 1e-9
+        assert np.array_equal(add_noise(x, "clip_a", snr_db=10), y)
+        # a different key gives a different stream
+        assert not np.array_equal(add_noise(x, "clip_b", snr_db=10), y)
+
+    def test_silent_and_empty_return_none(self):
+        from datasmith_spark.core.resample import add_noise
+
+        assert add_noise(np.zeros(100), "k") is None
+        assert add_noise(np.zeros(0), "k") is None
+
+    def test_snr_multiples_of_ten_only(self):
+        from datasmith_spark.core.resample import add_noise
+
+        with pytest.raises(ValueError):
+            add_noise(np.ones(10), "k", snr_db=15)
+
+    def test_spark_matches_kernel_and_fixture_honest(self, spark):
+        import sys
+
+        from datasmith_spark.datagen import clips_df
+        from datasmith_spark.operators.audio_ops import _noise_pdf, noise_aug_clips
+
+        clips = clips_df(spark, 80, n_partitions=4)
+        got = (
+            noise_aug_clips(clips, digest=True)
+            .toPandas()
+            .sort_values("clip_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            _noise_pdf(clips.toPandas(), 10, True)
+            .sort_values("clip_id")
+            .reset_index(drop=True)
+        )
+        assert list(got.payload_md5) == list(want.payload_md5)
+        assert list(got.augmented) == list(want.augmented)
+
+        sys.path.insert(0, "/root/repo/scripts")
+        import make_audio_noise_fixture as mnf
+
+        fix = pd.read_parquet("/root/repo/fixtures/oracle_audio_noise_n4000.parquet")
+        idx = list(range(0, 4000, 53))
+        fresh = mnf.oracle_rows(idx).reset_index(drop=True)
+        sample = fix.iloc[idx].reset_index(drop=True)
+        assert list(sample.payload_md5) == list(fresh.payload_md5)
