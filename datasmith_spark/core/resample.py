@@ -305,3 +305,80 @@ def add_noise(
     # sig_rms / (scale * noise_rms) == f  ->  scale
     scale = np.sqrt(sig_ss / noise_ss) / f
     return x + scale * noise
+
+
+def wsola(
+    pcm: np.ndarray,
+    rate_num: int,
+    rate_den: int,
+    frame: int = 512,
+    delta: int = 64,
+) -> np.ndarray | None:
+    """Time-stretch WITHOUT pitch change (WSOLA — waveform-similarity
+    overlap-add, Verhelst & Roelands ICASSP 1995): the tempo-perturbation
+    complement of the resampling speed change (which shifts pitch too).
+    rate = num/den; >1 plays faster (shorter output), <1 slower.
+
+    Output frames sit on a fixed Hann 50%-overlap grid; each takes the
+    input segment near k*hop*rate whose alignment (within +/-delta) best
+    continues the previously chosen segment. The alignment score is an
+    EXACT int64 cross-correlation over pcm16-quantized frames, so the
+    argmax — the one decision where a 1-ulp float difference would flip
+    the whole output — is host-portable by construction; the synthesis
+    overlap-add is elementwise IEEE float64.
+
+    Returns None when the clip is too short to stretch (< 2 frames) —
+    callers pass those rows through, the engine's flag-don't-crash rule.
+
+    >>> sr = 16000
+    >>> t = np.arange(2 * sr) / sr
+    >>> x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    >>> y = wsola(x, 11, 10)  # 1.1x faster
+    >>> abs(y.size - round(x.size * 10 / 11)) <= 512
+    True
+    >>> spec = np.abs(np.fft.rfft(y * np.hanning(y.size)))
+    >>> peak_hz = spec.argmax() * sr / y.size
+    >>> abs(peak_hz - 440.0) < 5.0  # pitch preserved (resample would give 484)
+    True
+    >>> wsola(x[:300], 11, 10) is None
+    True
+    """
+    x = np.asarray(pcm, dtype=np.float64)
+    n = x.size
+    hop = frame // 2
+    if n < 2 * frame or rate_num <= 0 or rate_den <= 0:
+        return None
+    n_out = int(round(n * rate_den / rate_num))
+    n_frames = max(1, (n_out - frame) // hop + 1)
+    win = np.hanning(frame)
+    q = np.rint(np.clip(x, -1.0, 1.0) * 32767.0).astype(np.int64)
+    out = np.zeros(n_frames * hop + frame, dtype=np.float64)
+    norm = np.zeros_like(out)
+    prev_start = 0
+    for k in range(n_frames):
+        nominal = (k * hop * rate_num) // rate_den
+        if k == 0:
+            start = min(nominal, n - frame)
+        else:
+            ref_start = prev_start + hop
+            lo = max(0, nominal - delta)
+            hi = min(n - frame, nominal + delta)
+            if hi <= lo or ref_start + frame > n:
+                start = min(max(nominal, 0), n - frame)
+            else:
+                ref = q[ref_start : ref_start + frame]
+                # exact integer sliding dot products over the search window
+                cand = np.lib.stride_tricks.sliding_window_view(
+                    q[lo : hi + frame], frame
+                )[: hi - lo + 1]
+                scores = cand @ ref
+                start = lo + int(np.argmax(scores))
+        seg = x[start : start + frame]
+        o = k * hop
+        out[o : o + frame] += seg * win
+        norm[o : o + frame] += win
+        prev_start = start
+    body = out[: n_out]
+    nz = norm[: n_out] > 1e-12
+    body[nz] /= norm[: n_out][nz]
+    return body

@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..core.audio import ITEMSIZE, decode, encode
-from ..core.resample import add_noise, cmvn, logmel, resample, spec_augment
+from ..core.resample import add_noise, cmvn, logmel, resample, spec_augment, wsola
 from ..core.spectral import (
     bw_bin_to_hz,
     speaking_rate_keep,
@@ -814,6 +814,99 @@ def noise_aug_clips(
     ).mapInPandas(_run, schema=NOISED_DIGEST_DDL if digest else NOISED_DDL)
 
 
+# tempo-perturbation schedule: 0.9x / 1.1x (no identity lane — WSOLA's
+# overlap-add is not a bit-identity at rate 1, so the lane would be a
+# misleading "augmentation"; q54's identity lane already covers re-encode)
+TEMPO_FACTORS = ((9, 10), (11, 10))
+
+TEMPO_DIGEST_DDL = (
+    "clip_id string, f_num int, f_den int, tp_ok boolean, sr_hz int, "
+    "dur_ms int, payload_md5 string"
+)
+
+TEMPO_DDL = (
+    "clip_id string, f_num int, f_den int, tp_ok boolean, sr_hz int, "
+    "dur_ms int, bytes binary, codec string, transcript string"
+)
+
+
+def _tempo_pdf(
+    pdf: pd.DataFrame,
+    factors: tuple[tuple[int, int], ...],
+    codec_out: str,
+    digest: bool,
+) -> pd.DataFrame:
+    """One pandas batch of clips -> len(factors) tempo-perturbed rows per
+    clip (WSOLA: tempo shifts, pitch does NOT — the complement of
+    _speed_pdf). Undecodable or too-short rows emit one passthrough row
+    per factor with tp_ok=false."""
+    cols = {
+        "clip_id": [], "f_num": [], "f_den": [], "tp_ok": [], "sr_hz": [],
+        "dur_ms": [], "bytes": [], "codec": [], "transcript": [],
+    }
+    for cid, buf, sr, dur, codec, tr in zip(
+        pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["dur_ms"],
+        pdf["codec"], pdf["transcript"],
+    ):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        for num, den in factors:
+            y = wsola(pcm, num, den) if pcm is not None else None
+            cols["clip_id"].append(cid)
+            cols["f_num"].append(num)
+            cols["f_den"].append(den)
+            cols["sr_hz"].append(sr)
+            cols["transcript"].append(tr)
+            if y is None:
+                cols["tp_ok"].append(False)
+                cols["dur_ms"].append(None if pd.isna(dur) else int(dur))
+                cols["bytes"].append(buf)
+                cols["codec"].append(codec)
+                continue
+            cols["tp_ok"].append(True)
+            cols["dur_ms"].append(int(y.size * 1000) // int(sr))
+            cols["bytes"].append(encode(y, codec_out))
+            cols["codec"].append(codec_out)
+    for k in ("f_num", "f_den", "sr_hz", "dur_ms"):
+        cols[k] = pd.array(cols[k], dtype="Int32")
+    if digest:
+        return pd.DataFrame(
+            {
+                "clip_id": cols["clip_id"],
+                "f_num": cols["f_num"],
+                "f_den": cols["f_den"],
+                "tp_ok": cols["tp_ok"],
+                "sr_hz": cols["sr_hz"],
+                "dur_ms": cols["dur_ms"],
+                "payload_md5": [
+                    None if b is None else hashlib.md5(b).hexdigest()
+                    for b in cols["bytes"]
+                ],
+            }
+        )
+    return pd.DataFrame(cols)
+
+
+def tempo_perturb_clips(
+    clips: DataFrame,
+    factors: tuple[tuple[int, int], ...] = TEMPO_FACTORS,
+    codec_out: str = "pcm16",
+    digest: bool = False,
+) -> DataFrame:
+    """WSOLA tempo perturbation (composable path; digest=True is the q64
+    verification mode). Fan-out inside the Arrow batch; shuffle-free."""
+    if codec_out not in ITEMSIZE:
+        raise ValueError(f"unknown codec_out: {codec_out}")
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _tempo_pdf(pdf, factors, codec_out, digest)
+
+    return clips.select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+    ).mapInPandas(_run, schema=TEMPO_DIGEST_DDL if digest else TEMPO_DDL)
+
+
 def _quality_full_pdf(
     pdf: pd.DataFrame, frame_ms: int = FRAME_MS, active_db: float = ACTIVE_DB
 ) -> pd.DataFrame:
@@ -1233,6 +1326,23 @@ def noise_digest_scan(
         input_dir,
         lambda pdf: _noise_pdf(pdf, snr_db, True),
         NOISED_DIGEST_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+    )
+
+
+def tempo_digest_scan(
+    spark: SparkSession,
+    input_dir: str,
+    factors: tuple[tuple[int, int], ...] = TEMPO_FACTORS,
+    codec_out: str = "pcm16",
+) -> DataFrame:
+    """tempo_perturb_clips(digest=True) over a parquet directory via the
+    fused manifest scan (q64)."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _tempo_pdf(pdf, factors, codec_out, True),
+        TEMPO_DIGEST_DDL,
         scan_parallelism=_kernel_parallelism(spark, input_dir),
     )
 

@@ -2724,3 +2724,34 @@ def q63_noise_augment(spark, sf_dir):
     from .operators.audio_ops import noise_digest_scan
 
     return noise_digest_scan(spark, _clips_cache_path(spark, sf_dir))
+
+
+_AUDIO_TEMPO_FIXTURE = f"/root/repo/fixtures/oracle_audio_tempo_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q64_tempo_perturb",
+    f"""
+    SELECT clip_id, f_num, f_den, tp_ok, sr_hz, dur_ms, payload_md5
+    FROM read_parquet('{_AUDIO_TEMPO_FIXTURE}')
+    """,
+)
+def q64_tempo_perturb(spark, sf_dir):
+    """WSOLA tempo perturbation (Verhelst & Roelands 1995) at 0.9x/1.1x:
+    time-stretch WITHOUT pitch change — the complement of q54's resampling
+    speed change (which shifts pitch with tempo); together they span the
+    two standard prosody augmentations. Output frames sit on a fixed Hann
+    50%-overlap grid; each takes the input segment whose alignment within
+    +/-64 samples best continues the previous one, scored by an EXACT
+    int64 cross-correlation over pcm16-quantized frames — the argmax (the
+    one decision a float ulp could flip) is host-portable by construction,
+    so the committed digests hold everywhere the other audio fixtures do.
+    Too-short clips (< 2 frames) pass through with tp_ok=false. One clip
+    fans out to two rows inside the Arrow batch; shuffle-free narrow map.
+
+    Digest-exact value check like q54: fused manifest scan hashes each
+    stretched payload worker-side vs the committed single-process pass
+    (scripts/make_audio_tempo_fixture.py)."""
+    from .operators.audio_ops import tempo_digest_scan
+
+    return tempo_digest_scan(spark, _clips_cache_path(spark, sf_dir))

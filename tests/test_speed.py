@@ -450,3 +450,82 @@ class TestNoiseAugment:
         fresh = mnf.oracle_rows(idx).reset_index(drop=True)
         sample = fix.iloc[idx].reset_index(drop=True)
         assert list(sample.payload_md5) == list(fresh.payload_md5)
+
+
+class TestTempoPerturb:
+    def test_pitch_preserved_duration_scaled(self):
+        from datasmith_spark.core.resample import wsola
+
+        sr, f0 = 16000, 440.0
+        x = 0.5 * np.sin(2 * np.pi * f0 * np.arange(2 * sr) / sr)
+        for num, den in ((9, 10), (11, 10)):
+            y = wsola(x, num, den)
+            assert abs(y.size - round(x.size * den / num)) <= 512
+            spec = np.abs(np.fft.rfft(y * np.hanning(y.size)))
+            peak = spec.argmax() * sr / y.size
+            assert abs(peak - f0) < 5.0  # resampling would give f0*num/den
+
+    def test_short_clip_passthrough(self):
+        from datasmith_spark.operators.audio_ops import _tempo_pdf, TEMPO_FACTORS
+
+        sr = 16000
+        pdf = pd.DataFrame(
+            {
+                "clip_id": ["s"],
+                "bytes": [encode(0.3 * np.ones(600), "pcm16")],
+                "sr_hz": [sr],
+                "dur_ms": [37],
+                "codec": ["pcm16"],
+                "transcript": ["t"],
+            }
+        )
+        out = _tempo_pdf(pdf, TEMPO_FACTORS, "pcm16", False)
+        assert len(out) == 2 and (~out.tp_ok).all()
+        assert all(b == pdf["bytes"].iloc[0] for b in out["bytes"])
+
+    def test_determinism_and_batch_invariance(self):
+        from datasmith_spark.operators.audio_ops import _tempo_pdf, TEMPO_FACTORS
+
+        pdfs = [_tone_pdf(f=290.0 + 41 * i) for i in range(3)]
+        for i, p in enumerate(pdfs):
+            p["clip_id"] = [f"c{i}"]
+        whole = _tempo_pdf(pd.concat(pdfs, ignore_index=True), TEMPO_FACTORS, "pcm16", True)
+        parts = pd.concat(
+            [_tempo_pdf(p, TEMPO_FACTORS, "pcm16", True) for p in pdfs],
+            ignore_index=True,
+        )
+        assert list(whole.payload_md5) == list(parts.payload_md5)
+
+    def test_spark_matches_kernel_and_fixture_honest(self, spark):
+        import sys
+
+        from datasmith_spark.datagen import clips_df
+        from datasmith_spark.operators.audio_ops import (
+            TEMPO_FACTORS,
+            _tempo_pdf,
+            tempo_perturb_clips,
+        )
+
+        clips = clips_df(spark, 60, n_partitions=4)
+        got = (
+            tempo_perturb_clips(clips, digest=True)
+            .toPandas()
+            .sort_values(["clip_id", "f_num"])
+            .reset_index(drop=True)
+        )
+        want = (
+            _tempo_pdf(clips.toPandas(), TEMPO_FACTORS, "pcm16", True)
+            .sort_values(["clip_id", "f_num"])
+            .reset_index(drop=True)
+        )
+        assert list(got.payload_md5) == list(want.payload_md5)
+
+        sys.path.insert(0, "/root/repo/scripts")
+        import make_audio_tempo_fixture as mtf
+
+        fix = pd.read_parquet("/root/repo/fixtures/oracle_audio_tempo_n4000.parquet")
+        idx = list(range(0, 4000, 59))
+        fresh = mtf.oracle_rows(idx).reset_index(drop=True)
+        rows = sorted(i * 2 + j for i in idx for j in range(2))
+        sample = fix.iloc[rows].reset_index(drop=True)
+        assert list(sample.payload_md5) == list(fresh.payload_md5)
