@@ -870,9 +870,17 @@ def _clips_cache_path(spark: SparkSession, sf_dir: str) -> str:
 
     from . import datagen
 
-    path = f"/root/repo/.data/clips_cache/n{_CLIPS_N}"
+    # 64 partitions (not the generator's default 15): the fused digest
+    # scans parallelize per FILE, so the file count is the parallelism
+    # ceiling for every kernel-bound lane (q36/q37/q54/q56/q57/q63/q64) —
+    # 15 uneven files capped them at ~5x effective on 32 cores. Row
+    # CONTENT is a pure function of the row index (datagen.clips_df), so
+    # the layout change cannot move any committed fixture digest.
+    path = f"/root/repo/.data/clips_cache/n{_CLIPS_N}_p64"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        datagen.clips_df(spark, _CLIPS_N).write.mode("overwrite").parquet(path)
+        datagen.clips_df(spark, _CLIPS_N, n_partitions=64).write.mode(
+            "overwrite"
+        ).parquet(path)
     return path
 
 
