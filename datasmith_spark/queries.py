@@ -2763,3 +2763,59 @@ def q64_tempo_perturb(spark, sf_dir):
     from .operators.audio_ops import tempo_digest_scan
 
     return tempo_digest_scan(spark, _clips_cache_path(spark, sf_dir))
+
+
+_IMAGE_FP_FIXTURE = f"/root/repo/fixtures/oracle_image_fp_n{_CLIPS_N}.parquet"
+_IMG_MAX_HAMMING = 10  # near-dup verify threshold (of 64 dHash bits)
+
+
+def _image_fp_sql() -> str:
+    """q65 oracle: from the committed single-process dHash fixture, re-derive
+    the ENTIRE near-dup computation in SQL — band melt, hot-key cap,
+    candidate pair join, exact 64-bit Hamming verify via bit_count(xor)."""
+    melts = "\n      UNION ALL\n      ".join(
+        f"SELECT id, '{b}#' || b{b} AS k FROM h" for b in range(4)
+    )
+    dist = " + ".join(f"bit_count(xor(ha.b{b}::BIGINT, hb.b{b}::BIGINT))" for b in range(4))
+    return f"""
+    WITH h AS (
+      SELECT img_id AS id, b0, b1, b2, b3 FROM read_parquet('{_IMAGE_FP_FIXTURE}')
+    ),
+    melt AS (
+      {melts}
+    ),
+    {_capped_pairs_sql_cte(_default_pair_cap())}
+    SELECT c.a AS img_a, c.b AS img_b, ({dist})::INT AS hamming
+    FROM cand c
+    JOIN h ha ON ha.id = c.a
+    JOIN h hb ON hb.id = c.b
+    WHERE {dist} <= {_IMG_MAX_HAMMING}
+    """
+
+
+@register("q65_image_neardup", _image_fp_sql())
+def q65_image_neardup(spark, sf_dir):
+    """Image near-duplicate pairs via perceptual difference hash (dHash):
+    decode (pure-python PNG/JPEG/rgb8, worker-side) -> integer-exact 9x8
+    luma-grid dHash as four 16-bit bands -> hot-key-capped banded candidate
+    join -> exact 64-bit Hamming verify (JVM-native bitwiseXOR + bit_count,
+    candidates only). Completes the near-dup matrix across modalities
+    (text q21/q22/q26/q31/q60, audio q38/q40, embeddings q25, images HERE).
+
+    Ground truth: every 40th decodable image of the pinned n=4000 table
+    also plants a deterministic exposure/levels variant (gain 265/256,
+    brightness +4) under an imgaug_ id from the SAME decode pass — planted
+    pairs land at Hamming <= 4 with a clean band each (measured max 4),
+    unrelated images at >= 21, so the 10-bit verify separates exactly.
+
+    Split oracle like q38/q40: the hash kernel is pinned by the committed
+    fixture (scripts/make_image_fp_fixture.py, integer-exact so
+    host-portable); banding, cap, pair join and Hamming verify are ALL
+    re-derived in DuckDB SQL. At 10^12 images: narrow hash map, capped
+    short-key shuffle, verify on candidates only — never all-pairs."""
+    from .operators.image_fp import IMG_AUG_EVERY, image_hash_scan, image_neardup_pairs
+
+    hashes = image_hash_scan(
+        spark, _images_cache_path(spark, sf_dir), aug_every=IMG_AUG_EVERY
+    )
+    return image_neardup_pairs(hashes, max_hamming=_IMG_MAX_HAMMING)

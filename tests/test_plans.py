@@ -180,3 +180,20 @@ def test_span_and_cluster_queries_have_no_nested_loops(spark):
         plan = _plan(QUERIES[q](spark, SF_DIR))
         assert "CartesianProduct" not in plan, (q, plan)
         assert "BroadcastNestedLoopJoin" not in plan, (q, plan)
+
+
+def test_image_neardup_plan_is_capped_equi_join(spark):
+    """q65's pair stage: banded candidates through the hot-key cap, Hamming
+    verify as JVM-native xor+bit_count joins — no nested-loop shapes, no
+    Python in the verify (BatchEvalPython only in the hash map itself)."""
+    from datasmith_spark.operators.image_fp import image_neardup_pairs
+
+    hashes = spark.createDataFrame(
+        [("a", 1, 2, 3, 4), ("b", 1, 9, 9, 9), ("c", 7, 7, 7, 7)],
+        "img_id string, b0 int, b1 int, b2 int, b3 int",
+    )
+    plan = _plan(image_neardup_pairs(hashes))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashAggregate" in plan  # key-frequency stats
+    assert "BatchEvalPython" not in plan  # verify is whole-stage codegen
