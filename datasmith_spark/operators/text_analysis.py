@@ -243,3 +243,87 @@ def bpe_token_hist(docs: DataFrame) -> DataFrame:
         n_tok(r"[^a-z0-9\s]").alias("n_punct"),
         F.count("*").alias("n_docs"),
     )
+
+
+def lm_train_counts(docs: DataFrame) -> DataFrame:
+    """Distributed LM training: the hashed trigram + bigram-context count
+    tables core/lm.py's PerplexityModel scores with, built from a (lang,
+    text) corpus as ONE aggregation — the engine trains its own quality
+    models instead of importing frozen artifacts.
+
+    Shape at 10^12 docs: the Arrow-batched map emits PER-BATCH PARTIAL
+    counts (one bincount per (lang, kind) inside the batch), so shuffle
+    volume is bounded by langs x 2 x 65,536 rows per batch regardless of
+    corpus size — a Python-side map combine ahead of the single (lang,
+    kind, bucket) hash shuffle. Counts are integers, so the distributed
+    sum is bit-identical to a single-process pass (no float reduction
+    order to pin), and a PerplexityModel assembled from the result scores
+    bit-identically to one counted serially (tests/test_text_models.py).
+
+    Skip rule mirrors PerplexityModel.ppl_one: null/whitespace-only text
+    and null lang contribute nothing.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..core.lm import N_BUCKETS, _tri_bi_hashes
+
+    sel = docs.select("lang", "text")
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            per_lang: dict[str, list] = {}
+            for lang, text in zip(pdf["lang"], pdf["text"]):
+                if not text or not text.strip() or lang is None or pd.isna(lang):
+                    continue
+                h3, h2 = _tri_bi_hashes(text.lower())
+                per_lang.setdefault(lang, ([], []))
+                per_lang[lang][0].append(h3)
+                per_lang[lang][1].append(h2)
+            out_lang: list[str] = []
+            out_kind: list[str] = []
+            out_bucket: list[np.ndarray] = []
+            out_n: list[np.ndarray] = []
+            for lang, (tris, bis) in per_lang.items():
+                for kind, parts in (("tri", tris), ("bi", bis)):
+                    cnt = np.bincount(np.concatenate(parts), minlength=N_BUCKETS)
+                    nz = np.flatnonzero(cnt)
+                    out_lang.extend([lang] * nz.size)
+                    out_kind.extend([kind] * nz.size)
+                    out_bucket.append(nz)
+                    out_n.append(cnt[nz])
+            yield pd.DataFrame(
+                {
+                    "lang": out_lang,
+                    "kind": out_kind,
+                    "bucket": pd.array(
+                        np.concatenate(out_bucket) if out_bucket else [], dtype="int64"
+                    ),
+                    "n": pd.array(np.concatenate(out_n) if out_n else [], dtype="int64"),
+                }
+            )
+
+    partial = sel.mapInPandas(_run, schema="lang string, kind string, bucket long, n long")
+    return partial.groupBy("lang", "kind", "bucket").agg(F.sum("n").alias("n"))
+
+
+def lm_model_from_counts(rows) -> "object":
+    """Assemble a core/lm.PerplexityModel from collected lm_train_counts
+    rows (lang, kind, bucket, n) — the driver-side hand-off from the
+    distributed count job to the scoring stage. Bands are not derived here
+    (they come from held-out calibration); callers pass their own."""
+    import numpy as np
+
+    from ..core.lm import N_BUCKETS, PerplexityModel
+    from ..core.text import LANGS
+
+    li = {lang: i for i, lang in enumerate(LANGS)}
+    tri = np.zeros((len(LANGS), N_BUCKETS), dtype=np.float64)
+    bi = np.zeros((len(LANGS), N_BUCKETS), dtype=np.float64)
+    for r in rows:
+        if r["lang"] not in li:
+            continue
+        (tri if r["kind"] == "tri" else bi)[li[r["lang"]], r["bucket"]] += r["n"]
+    return PerplexityModel(tri, bi, bands={})

@@ -2819,3 +2819,75 @@ def q65_image_neardup(spark, sf_dir):
         spark, _images_cache_path(spark, sf_dir), aug_every=IMG_AUG_EVERY
     )
     return image_neardup_pairs(hashes, max_hamming=_IMG_MAX_HAMMING)
+
+
+def _lm_counts_sql() -> str:
+    """q66 oracle: the ENTIRE distributed LM-training computation re-derived
+    in DuckDB — lowercase+pad, per-position trigram and bigram-context raw
+    hashes, the uint64 xorshift+multiply finalization (emulated exactly with
+    HUGEINT modular arithmetic and a 32-bit-split wrapping multiply, since
+    SQL has no overflowing 64-bit product), bucket fold, and the count
+    aggregation. Bit-for-bit the core/lm._tri_bi_hashes pipeline."""
+    from .core.langid import _P1, _P2, _P3
+
+    p1, p2, p3 = int(_P1), int(_P2), int(_P3)
+    t64, t32 = 1 << 64, 1 << 32
+
+    def cp(off: int) -> str:
+        return f"unicode(substr(t, i + {off}, 1))::HUGEINT"
+
+    tri = f"{cp(0)} * {p1} + {cp(1)} * {p2} + {cp(2)} * {p3}"
+    bi = f"{cp(0)} * {p1} + {cp(1)} * {p2}"
+    return f"""
+    WITH d AS (
+      SELECT lang, '  ' || lower(text) || ' ' AS t
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> '' AND lang IS NOT NULL
+    ),
+    raw AS (
+      SELECT lang, 'tri' AS kind,
+             unnest(list_transform(range(1, length(t) - 1), i -> {tri})) AS r
+      FROM d
+      UNION ALL
+      SELECT lang, 'bi' AS kind,
+             unnest(list_transform(range(1, length(t) - 1), i -> {bi})) AS r
+      FROM d
+    ),
+    u AS (
+      SELECT lang, kind,
+             xor((r % {t64}::HUGEINT)::UBIGINT,
+                 (r % {t64}::HUGEINT)::UBIGINT >> 31) AS x
+      FROM raw
+    ),
+    f AS (
+      SELECT lang, kind,
+             ((((x::HUGEINT // {t32}) * {p2} % {t32}) * {t32}
+               + (x::HUGEINT % {t32}) * {p2}) % {t64}::HUGEINT
+              % 65536)::BIGINT AS bucket
+      FROM u
+    )
+    SELECT lang, kind, bucket, count(*)::BIGINT AS n
+    FROM f GROUP BY lang, kind, bucket
+    """
+
+
+@register("q66_lm_train_counts", _lm_counts_sql())
+def q66_lm_train_counts(spark, sf_dir):
+    """Distributed LM training: build the hashed trigram + bigram-context
+    count tables that core/lm.PerplexityModel scores with, from the
+    documents corpus — the engine trains its own quality models.
+
+    Scale shape: the Arrow-batched map emits PER-BATCH PARTIAL counts
+    (one bincount per (lang, kind) in the batch), bounding shuffle volume
+    at langs x 2 x 65,536 rows per batch regardless of corpus size, ahead
+    of ONE (lang, kind, bucket) hash aggregation. Counts are integers, so
+    the distributed sum is bit-identical to a serial pass and a model
+    assembled from the result scores bit-identically
+    (tests/test_text_models.py::TestLmTrainCounts).
+
+    Oracle: the FULL computation re-derived in DuckDB SQL, including the
+    uint64 xorshift hash finalization emulated with HUGEINT modular
+    arithmetic (see _lm_counts_sql)."""
+    from .operators.text_analysis import lm_train_counts
+
+    return lm_train_counts(_t(spark, sf_dir, "documents"))

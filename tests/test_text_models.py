@@ -89,3 +89,71 @@ def test_ppl_batch_bitwise_equals_one():
     for i, (t, lg) in enumerate(zip(texts, langs)):
         one = m.ppl_one(t, lg)
         assert (np.isinf(one) and np.isinf(b[i])) or one == b[i], (i, one, b[i])
+
+
+class TestLmTrainCounts:
+    """q66: the distributed LM-count job must reproduce a serial count pass
+    exactly, and a model assembled from it must SCORE bit-identically."""
+
+    def test_spark_counts_equal_serial_and_model_scores_match(self, spark):
+        import pandas as pd
+
+        from datasmith_spark.core.lm import N_BUCKETS, _tri_bi_hashes
+        from datasmith_spark.core.text import LANGS
+        from datasmith_spark.operators.text_analysis import (
+            lm_model_from_counts,
+            lm_train_counts,
+        )
+
+        from datasmith_spark import datagen
+
+        texts = [datagen.gen_row(i)["transcript"] for i in range(200)]
+        texts += [None, "", "   "]  # skip-rule rows contribute nothing
+        langs = [LANGS[i % len(LANGS)] for i in range(len(texts))]
+        pdf = pd.DataFrame({"lang": langs, "text": texts})
+
+        rows = lm_train_counts(
+            spark.createDataFrame(pdf).repartition(7)
+        ).collect()
+
+        # serial reference counts
+        serial: dict = {}
+        for lang, text in zip(langs, texts):
+            if not text or not text.strip():
+                continue
+            h3, h2 = _tri_bi_hashes(text.lower())
+            for kind, hs in (("tri", h3), ("bi", h2)):
+                for b in hs:
+                    k = (lang, kind, int(b))
+                    serial[k] = serial.get(k, 0) + 1
+        got = {(r["lang"], r["kind"], r["bucket"]): r["n"] for r in rows}
+        assert got == serial
+
+        # a model assembled from the distributed counts scores identically
+        # to one assembled from the serial counts (integer counts -> the
+        # smoothing arithmetic sees bit-identical inputs)
+        m_dist = lm_model_from_counts(rows)
+        m_serial = lm_model_from_counts(
+            [
+                {"lang": lg, "kind": kd, "bucket": b, "n": n}
+                for (lg, kd, b), n in serial.items()
+            ]
+        )
+        for t, lg in zip(texts[:50], langs[:50]):
+            assert m_dist.ppl_one(t, lg) == m_serial.ppl_one(t, lg)
+        assert 0 <= min(r["bucket"] for r in rows) <= max(r["bucket"] for r in rows) < N_BUCKETS
+
+    def test_single_exchange_plan(self, spark):
+        import pandas as pd
+
+        from datasmith_spark.operators.text_analysis import lm_train_counts
+
+        pdf = pd.DataFrame({"lang": ["en"] * 4, "text": ["hello world"] * 4})
+        df = lm_train_counts(spark.createDataFrame(pdf))
+        qe = df._jdf.queryExecution()
+        jvm = df.sparkSession._jvm
+        plan = qe.explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert plan.count("Exchange") <= 2  # one shuffle + AQE artifacts
+        assert "HashAggregate" in plan
