@@ -327,3 +327,72 @@ def lm_model_from_counts(rows) -> "object":
             continue
         (tri if r["kind"] == "tri" else bi)[li[r["lang"]], r["bucket"]] += r["n"]
     return PerplexityModel(tri, bi, bands={})
+
+
+def langid_train_counts(docs: DataFrame) -> DataFrame:
+    """Distributed langid training: the hashed 1/2/3-gram count table
+    core/langid.LangIdModel scores with, from a (lang, text) corpus — the
+    companion of lm_train_counts (together they train BOTH frozen quality
+    models the curation pipeline applies, so the full model lifecycle runs
+    on the engine).
+
+    Same scale shape as lm_train_counts: per-batch partial bincounts bound
+    the shuffle at langs x 65,536 rows per batch, one hash aggregation,
+    integer counts -> bit-identical to a serial pass.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..core.langid import N_BUCKETS, ngram_hashes
+
+    sel = docs.select("lang", "text")
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            per_lang: dict[str, list] = {}
+            for lang, text in zip(pdf["lang"], pdf["text"]):
+                if not text or not text.strip() or lang is None or pd.isna(lang):
+                    continue
+                per_lang.setdefault(lang, []).append(ngram_hashes(text))
+            out_lang: list[str] = []
+            out_bucket: list[np.ndarray] = []
+            out_n: list[np.ndarray] = []
+            for lang, parts in per_lang.items():
+                cnt = np.bincount(np.concatenate(parts), minlength=N_BUCKETS)
+                nz = np.flatnonzero(cnt)
+                out_lang.extend([lang] * nz.size)
+                out_bucket.append(nz)
+                out_n.append(cnt[nz])
+            yield pd.DataFrame(
+                {
+                    "lang": out_lang,
+                    "bucket": pd.array(
+                        np.concatenate(out_bucket) if out_bucket else [], dtype="int64"
+                    ),
+                    "n": pd.array(np.concatenate(out_n) if out_n else [], dtype="int64"),
+                }
+            )
+
+    partial = sel.mapInPandas(_run, schema="lang string, bucket long, n long")
+    return partial.groupBy("lang", "bucket").agg(F.sum("n").alias("n"))
+
+
+def langid_model_from_counts(rows, smooth: float = 1.0) -> "object":
+    """Assemble a core/langid.LangIdModel from collected langid_train_counts
+    rows (lang, bucket, n): counts + add-one smoothing -> per-language
+    log-probabilities — the driver-side hand-off from the distributed count
+    job to the scorer."""
+    import numpy as np
+
+    from ..core.langid import N_BUCKETS, LangIdModel
+    from ..core.text import LANGS
+
+    li = {lang: i for i, lang in enumerate(LANGS)}
+    counts = np.full((len(LANGS), N_BUCKETS), smooth, dtype=np.float64)
+    for r in rows:
+        if r["lang"] in li:
+            counts[li[r["lang"]], r["bucket"]] += r["n"]
+    logprob = np.log(counts / counts.sum(axis=1, keepdims=True))
+    return LangIdModel(logprob, tuple(LANGS))

@@ -2891,3 +2891,70 @@ def q66_lm_train_counts(spark, sf_dir):
     from .operators.text_analysis import lm_train_counts
 
     return lm_train_counts(_t(spark, sf_dir, "documents"))
+
+
+def _langid_counts_sql() -> str:
+    """q67 oracle: the distributed langid-training computation re-derived in
+    DuckDB — lowercase+pad, order-salted 1/2/3-gram raw hashes, the uint64
+    xorshift(29) * P2 xorshift(32) finalization emulated with HUGEINT
+    modular arithmetic (32-bit-split wrapping multiply), bucket fold
+    (N_BUCKETS=32768), count agg. Bit-for-bit core/langid.ngram_hashes."""
+    from .core.langid import N_BUCKETS as LID_BUCKETS
+    from .core.langid import _ORDER_SALT, _P1, _P2, _P3
+
+    p1, p2, p3, salt = int(_P1), int(_P2), int(_P3), int(_ORDER_SALT)
+    t64, t32 = 1 << 64, 1 << 32
+
+    def cp(off: int) -> str:
+        return f"unicode(substr(t, i + {off}, 1))::HUGEINT"
+
+    uni = f"{cp(0)} * {p1}"
+    bi = f"{cp(0)} * {p1} + {cp(1)} * {p2} + {salt}"
+    tri = f"{cp(0)} * {p1} + {cp(1)} * {p2} + {cp(2)} * {p3} + 2 * {salt}::HUGEINT"
+    return f"""
+    WITH d AS (
+      SELECT lang, ' ' || lower(text) || ' ' AS t
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> '' AND lang IS NOT NULL
+    ),
+    raw AS (
+      SELECT lang, unnest(list_transform(range(1, length(t) + 1), i -> {uni})) AS r FROM d
+      UNION ALL
+      SELECT lang, unnest(list_transform(range(1, length(t)), i -> {bi})) FROM d
+      UNION ALL
+      SELECT lang, unnest(list_transform(range(1, length(t) - 1), i -> {tri})) FROM d
+    ),
+    x1 AS (
+      SELECT lang, xor((r % {t64}::HUGEINT)::UBIGINT,
+                       (r % {t64}::HUGEINT)::UBIGINT >> 29) AS x
+      FROM raw
+    ),
+    m AS (
+      SELECT lang,
+             ((((x::HUGEINT // {t32}) * {p2} % {t32}) * {t32}
+               + (x::HUGEINT % {t32}) * {p2}) % {t64}::HUGEINT)::UBIGINT AS y
+      FROM x1
+    )
+    SELECT lang, (xor(y, y >> 32) % {LID_BUCKETS})::BIGINT AS bucket,
+           count(*)::BIGINT AS n
+    FROM m GROUP BY lang, bucket
+    """
+
+
+@register("q67_langid_train_counts", _langid_counts_sql())
+def q67_langid_train_counts(spark, sf_dir):
+    """Distributed langid training: build the hashed 1/2/3-gram count table
+    core/langid.LangIdModel scores with, from the documents corpus — q66's
+    companion; together they train BOTH frozen quality models the curation
+    chain applies, so the full model lifecycle (train -> freeze -> score)
+    runs on the engine.
+
+    Same scale shape as q66: per-batch partial bincounts bound the shuffle
+    at langs x 32,768 rows per batch ahead of ONE hash aggregation; integer
+    counts make the distributed sum bit-identical to a serial pass, and a
+    LangIdModel assembled from the result predicts bit-identically
+    (tests/test_text_models.py::TestLangidTrainCounts). Oracle: the FULL
+    computation re-derived in DuckDB SQL (see _langid_counts_sql)."""
+    from .operators.text_analysis import langid_train_counts
+
+    return langid_train_counts(_t(spark, sf_dir, "documents"))

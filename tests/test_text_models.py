@@ -157,3 +157,57 @@ class TestLmTrainCounts:
         )
         assert plan.count("Exchange") <= 2  # one shuffle + AQE artifacts
         assert "HashAggregate" in plan
+
+
+class TestLangidTrainCounts:
+    """q67: distributed langid-count job == serial counts exactly; the
+    assembled model predicts bit-identically to a serial-count model and
+    recovers the training labels on clean text."""
+
+    def test_spark_counts_equal_serial_and_model_predicts(self, spark):
+        import pandas as pd
+
+        from datasmith_spark.core.langid import ngram_hashes
+        from datasmith_spark.core.text import LANGS, gen_sentence
+        from datasmith_spark.operators.text_analysis import (
+            langid_model_from_counts,
+            langid_train_counts,
+        )
+
+        rng = np.random.default_rng(606)
+        texts, langs = [], []
+        for li, lang in enumerate(LANGS):
+            for _ in range(40):
+                texts.append(gen_sentence(rng, lang, 25))
+                langs.append(lang)
+        texts += [None, "", "   "]
+        langs += [LANGS[0]] * 3
+        pdf = pd.DataFrame({"lang": langs, "text": texts})
+
+        rows = langid_train_counts(
+            spark.createDataFrame(pdf).repartition(5)
+        ).collect()
+
+        serial: dict = {}
+        for lang, text in zip(langs, texts):
+            if not text or not text.strip():
+                continue
+            for b in ngram_hashes(text):
+                k = (lang, int(b))
+                serial[k] = serial.get(k, 0) + 1
+        got = {(r["lang"], r["bucket"]): r["n"] for r in rows}
+        assert got == serial
+
+        m_dist = langid_model_from_counts(rows)
+        m_serial = langid_model_from_counts(
+            [{"lang": lg, "bucket": b, "n": n} for (lg, b), n in serial.items()]
+        )
+        # bit-identical scoring, and the model actually separates languages
+        hits = 0
+        eval_rng = np.random.default_rng(707)
+        for lang in LANGS:
+            for _ in range(10):
+                t = gen_sentence(eval_rng, lang, 25)
+                assert m_dist.predict_one(t) == m_serial.predict_one(t)
+                hits += m_dist.predict_one(t)[0] == lang
+        assert hits >= 0.9 * 10 * len(LANGS)
