@@ -2958,3 +2958,51 @@ def q67_langid_train_counts(spark, sf_dir):
     from .operators.text_analysis import langid_train_counts
 
     return langid_train_counts(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q68_ppl_band_calibration",
+    f"""
+    SELECT lang,
+           count(*)::BIGINT AS n_scored,
+           min(ppl) AS min_ppl,
+           max(ppl) AS max_ppl,
+           min(ppl) * 0.35 AS band_lo,
+           max(ppl) * 2.50 AS band_hi
+    FROM read_parquet('{_ORACLE_FIXTURE}')
+    WHERE lang IS NOT NULL AND isfinite(ppl)
+    GROUP BY lang
+    """,
+)
+def q68_ppl_band_calibration(spark, sf_dir):
+    """Perplexity keep-band calibration from corpus quantiles: score every
+    clip's transcript under its detected language's LM (the live fused
+    langid+ppl chain), then derive per-language keep bands as
+    lo = min(ppl) * 0.35 / hi = max(ppl) * 2.50 — the exact held-out
+    calibration rule core/lm.py freezes at train time (_BAND_LO/HI_FACTOR),
+    recomputed distributed over a real corpus. With q66/q67 (distributed
+    model training) this closes the full model lifecycle on the engine:
+    train counts -> assemble -> calibrate bands -> score/filter.
+
+    At 10^12 clips: the scoring pass is the shared fused scan; calibration
+    is one tiny per-lang aggregate (map-side combinable min/max/count).
+
+    Oracle: aggregates the committed independent single-process labels
+    fixture (the q27 pattern) — the min/max/factor arithmetic re-derived
+    in SQL; per-row ppl equality is pinned by test_pipeline.py."""
+    from .operators.stages import langid_stage, ppl_stage
+
+    post = _clips_post_decode(spark, sf_dir)
+    scored = ppl_stage(langid_stage(post))
+    inf = F.lit(float("inf"))
+    return (
+        scored.filter(F.col("lang").isNotNull() & (F.col("ppl") < inf))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.min("ppl").alias("min_ppl"),
+            F.max("ppl").alias("max_ppl"),
+            (F.min("ppl") * F.lit(0.35)).alias("band_lo"),
+            (F.max("ppl") * F.lit(2.50)).alias("band_hi"),
+        )
+    )
