@@ -1,0 +1,112 @@
+"""Deterministic mergeable sketches for corpus statistics at scale.
+
+KMV (k-minimum-values) distinct-cardinality estimation [Bar-Yossef et al.
+2002]: hash every key, keep only the k smallest hash values per group; if
+fewer than k distinct hashes exist the count is exact, otherwise estimate
+D = (k-1) / v_k where v_k is the k-th smallest hash mapped to (0, 1).
+
+Why not approx_count_distinct: Spark's HLL++ and DuckDB's approx sketch
+are different algorithms with different registers — their estimates can
+never value-match, so the operator would be untestable against the oracle.
+KMV over md5 is EXACTLY reproducible in any engine with the same hash
+(both engines here share md5, and hex strings order like the integers they
+encode), giving a sketch that is deterministic, mergeable, AND
+value-checked — the property this repo requires of every operator.
+
+Scale shape: the partial pass keeps k smallest distinct hashes per group
+PER ARROW BATCH (bounded state, the mergeable-sketch property), so the
+final exact selection sees at most batches x k rows per group instead of
+the full distinct set. The group-hot window at the end therefore runs on a
+bounded candidate set — no single reducer ever sorts a full group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KMV_K = 64
+_HEX15 = 1 << 60  # value space of the first 15 md5 hex digits
+
+
+def kmv_distinct(
+    df: DataFrame, key: str, group: str, k: int = KMV_K, exact: bool = True
+) -> DataFrame:
+    """(group, n_exact?, k_used, kth_hash, est_distinct) per group value.
+
+    est_distinct = n if the group has n < k distinct keys (exact by
+    construction), else (k-1) * 2^60 / int(kth_hash[:15], 16) — both sides
+    of the driver's value check compute the identical IEEE double.
+
+    `exact=True` adds the true distinct count for comparison; it is the
+    only full-shuffle column and would be dropped at 10^12 rows (the
+    sketch path alone is the scale path — that is its point).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    sel = df.filter(F.col(key).isNotNull()).select(
+        F.col(group).alias("g"), F.md5(F.col(key).cast("string")).alias("h")
+    )
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # k smallest DISTINCT hashes per group per batch — bounded state
+        for pdf in batches:
+            yield (
+                pdf.drop_duplicates()
+                .sort_values(["g", "h"])
+                .groupby("g", sort=False)
+                .head(k)
+            )
+
+    cand = sel.mapInPandas(_partial, schema="g string, h string").dropDuplicates()
+    w = Window.partitionBy("g").orderBy("h")
+    topk = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    sketch = topk.groupBy("g").agg(
+        F.count("*").alias("n_min"), F.max("h").alias("kth_hash")
+    )
+    est = F.when(F.col("n_min") < k, F.col("n_min").cast("double")).otherwise(
+        F.lit(float(k - 1) * _HEX15)
+        / F.conv(F.substring("kth_hash", 1, 15), 16, 10).cast("double")
+    )
+    out = sketch.select(
+        F.col("g").alias(group),
+        F.lit(k).alias("k_used"),
+        "kth_hash",
+        est.alias("est_distinct"),
+    )
+    if exact:
+        truth = sel.distinct().groupBy("g").agg(F.count("*").alias("n_exact"))
+        out = out.join(truth.withColumnRenamed("g", group), group)
+    return out
+
+
+def kmv_sql(table_expr: str, key: str, group: str, k: int = KMV_K) -> str:
+    """DuckDB mirror of kmv_distinct(exact=True) — the full computation
+    (md5, distinct, per-group k-smallest window, hex->int parse, the
+    (k-1)*2^60/v_k estimate) re-derived in SQL."""
+    parse = (
+        "list_sum(list_transform(range(1, 16), i -> "
+        "(strpos('0123456789abcdef', substr(kth_hash, i, 1)) - 1)::BIGINT"
+        " * (16::BIGINT ** (15 - i))::BIGINT))"
+    )
+    return f"""
+    WITH d AS (
+      SELECT DISTINCT {group} AS g, md5({key}::VARCHAR) AS h
+      FROM {table_expr} WHERE {key} IS NOT NULL
+    ),
+    rn AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r FROM d
+    ),
+    sk AS (
+      SELECT g, count(*)::BIGINT AS n_min, max(h) AS kth_hash
+      FROM rn WHERE r <= {k} GROUP BY g
+    ),
+    truth AS (SELECT g, count(*)::BIGINT AS n_exact FROM d GROUP BY g)
+    SELECT sk.g AS {group}, {k} AS k_used, kth_hash,
+           CASE WHEN n_min < {k} THEN n_min::DOUBLE
+                ELSE {float(k - 1) * _HEX15} / ({parse})::DOUBLE END AS est_distinct,
+           n_exact
+    FROM sk JOIN truth ON truth.g = sk.g
+    """

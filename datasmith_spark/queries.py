@@ -3006,3 +3006,72 @@ def q68_ppl_band_calibration(spark, sf_dir):
             (F.max("ppl") * F.lit(2.50)).alias("band_hi"),
         )
     )
+
+
+def _kmv_sql() -> str:
+    from .operators.sketches import kmv_sql
+
+    return kmv_sql("documents", "text", "lang")
+
+
+@register("q69_kmv_distinct", _kmv_sql())
+def q69_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-content cardinality per language —
+    the dedup-planning statistic ("how much unique text is in this
+    bucket?") as a deterministic MERGEABLE sketch instead of a full
+    distinct: keep the k=64 smallest md5 values per group; estimate
+    D = (k-1) * 2^60 / v_k. Unlike HLL (approx_count_distinct), KMV over
+    md5 is exactly reproducible in any engine, so the sketch itself is
+    value-checked against DuckDB — determinism AND mergeability
+    (union = merge + re-trim), the properties a 10^12-row planner needs.
+
+    Scale shape: per-Arrow-batch bounded partial (k smallest distinct per
+    group per batch) -> the final per-group selection sees batches x k
+    candidates, never the full distinct set; the n_exact comparison column
+    is the only full shuffle and exists to exhibit sketch accuracy (drop
+    it at scale). Oracle: the ENTIRE computation re-derived in SQL incl.
+    the hex->int parse (operators/sketches.kmv_sql)."""
+    from .operators.sketches import kmv_distinct
+
+    return kmv_distinct(_t(spark, sf_dir, "documents"), key="text", group="lang")
+
+
+_VOCAB_K = 400
+
+
+@register(
+    "q70_vocab_topk",
+    rf"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    cnt AS (SELECT token, count(*)::BIGINT AS n FROM tok WHERE token <> '' GROUP BY token)
+    SELECT row_number() OVER (ORDER BY n DESC, token) AS rank, token, n
+    FROM cnt ORDER BY n DESC, token LIMIT {_VOCAB_K}
+    """,
+)
+def q70_vocab_topk(spark, sf_dir):
+    """Tokenizer vocabulary construction: top-K whitespace tokens by corpus
+    frequency with deterministic ranks (ties broken by token — a total
+    order, so the vocab is reproducible bit-for-bit run to run). The
+    engine-pinned tokenization is shared with the MinHash/token-stats
+    family (split(trim(text), '\\s+')).
+
+    Scale shape: groupBy(token) is a map-side-combinable count (Zipf-heavy
+    keys combine before the shuffle); the global top-K runs as
+    TakeOrderedAndProject (per-partition heads merged on the driver-side
+    limit), so no reducer ever sees the full vocabulary; the final rank
+    window orders K rows, not the corpus."""
+    from .operators.text_analysis import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    cnt = tok.groupBy("token").agg(F.count("*").alias("n"))
+    topk = cnt.orderBy(F.desc("n"), F.asc("token")).limit(_VOCAB_K)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return topk.select(F.row_number().over(w).alias("rank"), "token", "n")
