@@ -351,7 +351,12 @@ def wsola(
     n_out = int(round(n * rate_den / rate_num))
     n_frames = max(1, (n_out - frame) // hop + 1)
     win = np.hanning(frame)
-    q = np.rint(np.clip(x, -1.0, 1.0) * 32767.0).astype(np.int64)
+    # pcm16-quantized frames kept as float64: every product is <= 32767^2
+    # (< 2^31) and every window sum < 2^40, far inside float64's 2^53 exact
+    # range — so the sliding correlation below is EXACT integer arithmetic
+    # regardless of summation order (bit-identical to an int64 dot), while
+    # running on the fast float path (~3x the int64 matmul).
+    q = np.rint(np.clip(x, -1.0, 1.0) * 32767.0)
     out = np.zeros(n_frames * hop + frame, dtype=np.float64)
     norm = np.zeros_like(out)
     prev_start = 0
@@ -367,11 +372,10 @@ def wsola(
                 start = min(max(nominal, 0), n - frame)
             else:
                 ref = q[ref_start : ref_start + frame]
-                # exact integer sliding dot products over the search window
-                cand = np.lib.stride_tricks.sliding_window_view(
-                    q[lo : hi + frame], frame
-                )[: hi - lo + 1]
-                scores = cand @ ref
+                # exact integer-valued sliding dot products (see q above)
+                scores = np.correlate(q[lo : hi + frame], ref, mode="valid")[
+                    : hi - lo + 1
+                ]
                 start = lo + int(np.argmax(scores))
         seg = x[start : start + frame]
         o = k * hop
