@@ -386,3 +386,68 @@ def wsola(
     nz = norm[: n_out] > 1e-12
     body[nz] /= norm[: n_out][nz]
     return body
+
+
+def reverb(pcm: np.ndarray, key: str, sr: int, tail_ms: int = 200) -> np.ndarray | None:
+    """Reverberation augmentation: convolve the clip with a DETERMINISTIC
+    synthetic room impulse response keyed by md5(key) — the third standard
+    robustness augmentation next to additive noise (add_noise) and prosody
+    perturbation (wsola / resample speed).
+
+    RIR construction (all from the clip's own counter-based Philox stream,
+    so retries and re-runs reproduce it exactly, independent across clips):
+    a unit direct path at t=0, six early reflections at random lags within
+    the first quarter of the tail with signed gains in [0.3, 0.7), and an
+    exponentially decaying uniform-noise tail (factor 0.998 per sample at
+    16 kHz, rate-scaled) at gain 0.2. The RIR is then energy-normalized
+    (IEEE sqrt of the fixed-order _sumsq_tree) so output loudness is
+    comparable to the input.
+
+    Convolution runs in the frequency domain (numpy pocketfft — the same
+    deterministic FFT the log-mel/fingerprint fixtures already pin) and the
+    output is truncated to the input length and clipped to [-1, 1].
+
+    Returns None for empty input or degenerate sample rates.
+
+    >>> x = np.sin(np.arange(16000) / 8.0) * 0.4
+    >>> y = reverb(x, "clip_1", 16000)
+    >>> y.shape == x.shape and not np.array_equal(y, x)
+    True
+    >>> bool(np.array_equal(reverb(x, "clip_1", 16000), y))  # deterministic
+    True
+    >>> bool(np.array_equal(reverb(x, "clip_2", 16000), y))  # per-key stream
+    False
+    >>> reverb(np.zeros(0), "clip_1", 16000) is None
+    True
+    >>> reverb(np.zeros(100), "clip_1", 16000) is None  # silent -> passthrough
+    True
+    """
+    import hashlib
+
+    from .audio import _sumsq_tree
+
+    x = np.asarray(pcm, dtype=np.float64)
+    n = x.size
+    if n == 0 or sr <= 0 or not np.any(x):
+        return None
+    taps = max(2, (sr * tail_ms) // 1000)
+    seed = int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "big")
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    h = np.zeros(taps, dtype=np.float64)
+    h[0] = 1.0
+    early_span = max(1, taps // 4)
+    lags = 1 + (rng.random(6) * (early_span - 1)).astype(np.int64)
+    gains = 0.3 + 0.4 * rng.random(6)
+    signs = np.where(rng.random(6) < 0.5, -1.0, 1.0)
+    np.add.at(h, lags, signs * gains)
+    decay = np.float64(0.998) ** (np.arange(taps) * (16000.0 / sr))
+    h += 0.2 * (2.0 * rng.random(taps) - 1.0) * decay
+    ss = _sumsq_tree(h)
+    if ss <= 0.0:
+        return None
+    h /= np.sqrt(ss)
+    m = 1
+    while m < n + taps - 1:
+        m <<= 1
+    y = np.fft.irfft(np.fft.rfft(x, m) * np.fft.rfft(h, m), m)[:n]
+    return np.clip(y, -1.0, 1.0)

@@ -1360,3 +1360,84 @@ def cmvn_digest_scan(
         LOGMEL_DIGEST_DDL,
         scan_parallelism=_kernel_parallelism(spark, input_dir),
     )
+
+
+REVERB_DDL = NOISED_DDL
+REVERB_DIGEST_DDL = NOISED_DIGEST_DDL
+
+
+def _reverb_pdf(pdf: pd.DataFrame, tail_ms: int, digest: bool) -> pd.DataFrame:
+    """One pandas batch of clips -> reverberated batch (or digest batch).
+
+    RIR convolution (core/resample.reverb: a deterministic synthetic room
+    impulse response from a Philox stream keyed by md5(clip_id), direct
+    path + early reflections + exponentially decaying tail, convolved via
+    the same deterministic pocketfft the log-mel fixtures pin), re-encoded
+    in the clip's OWN codec like the q50/q63 lanes. Undecodable rows pass
+    through byte-identical with augmented=false."""
+    from ..core.resample import reverb
+
+    out_bytes, augmented = [], []
+    for cid, buf, sr, codec in zip(
+        pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"]
+    ):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        y = reverb(pcm, str(cid), sr, tail_ms) if pcm is not None else None
+        if y is None:
+            out_bytes.append(buf)
+            augmented.append(False)
+            continue
+        out_bytes.append(encode(y, codec))
+        augmented.append(True)
+    if digest:
+        return pd.DataFrame(
+            {
+                "clip_id": pdf["clip_id"],
+                "augmented": augmented,
+                "payload_md5": [
+                    None if b is None else hashlib.md5(b).hexdigest()
+                    for b in out_bytes
+                ],
+            }
+        )
+    return pd.DataFrame(
+        {
+            "clip_id": pdf["clip_id"],
+            "bytes": out_bytes,
+            "sr_hz": pdf["sr_hz"],
+            "dur_ms": pdf["dur_ms"],
+            "codec": pdf["codec"],
+            "transcript": pdf["transcript"],
+            "augmented": augmented,
+        }
+    )
+
+
+def reverb_clips(
+    clips: DataFrame, tail_ms: int = 200, digest: bool = False
+) -> DataFrame:
+    """Reverberation augmentation (composable path; digest=True is the q71
+    verification mode). Shuffle-free narrow map."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _reverb_pdf(pdf, tail_ms, digest)
+
+    return clips.select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+    ).mapInPandas(_run, schema=REVERB_DIGEST_DDL if digest else REVERB_DDL)
+
+
+def reverb_digest_scan(
+    spark: SparkSession, input_dir: str, tail_ms: int = 200
+) -> DataFrame:
+    """reverb_clips(digest=True) over a parquet directory via the fused
+    manifest scan (q71)."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _reverb_pdf(pdf, tail_ms, True),
+        REVERB_DIGEST_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+    )

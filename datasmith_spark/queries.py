@@ -3075,3 +3075,34 @@ def q70_vocab_topk(spark, sf_dir):
     topk = cnt.orderBy(F.desc("n"), F.asc("token")).limit(_VOCAB_K)
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     return topk.select(F.row_number().over(w).alias("rank"), "token", "n")
+
+
+_AUDIO_REVERB_FIXTURE = f"/root/repo/fixtures/oracle_audio_reverb_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q71_reverb_augment",
+    f"""
+    SELECT clip_id, augmented, payload_md5
+    FROM read_parquet('{_AUDIO_REVERB_FIXTURE}')
+    """,
+)
+def q71_reverb_augment(spark, sf_dir):
+    """Reverberation augmentation: convolve each clip with a deterministic
+    synthetic room impulse response (direct path + six signed early
+    reflections + exponentially decaying tail, all from a Philox stream
+    keyed by md5(clip_id) — idempotent under task retries, independent
+    across clips; energy-normalized so loudness is comparable) — the third
+    standard robustness augmentation beside additive noise (q63) and the
+    prosody perturbations (q54/q64). Re-encoded in the clip's OWN codec;
+    undecodable rows pass through byte-identical with augmented=false.
+    Shuffle-free narrow map at 10^12 clips.
+
+    Digest-exact value check like q63: the fused manifest scan hashes each
+    reverberated payload worker-side; the DuckDB oracle reads the committed
+    single-process pass (scripts/make_audio_reverb_fixture.py). The
+    convolution runs through the same deterministic pocketfft the q37/q38
+    fixtures already pin."""
+    from .operators.audio_ops import reverb_digest_scan
+
+    return reverb_digest_scan(spark, _clips_cache_path(spark, sf_dir))

@@ -529,3 +529,82 @@ class TestTempoPerturb:
         rows = sorted(i * 2 + j for i in idx for j in range(2))
         sample = fix.iloc[rows].reset_index(drop=True)
         assert list(sample.payload_md5) == list(fresh.payload_md5)
+
+
+class TestReverbAugment:
+    """q71: RIR convolution — tail energy appears, determinism, per-key
+    independence, passthrough contract, Spark==kernel, fixture honesty."""
+
+    def _imp(self, sr=16000, n=16000):
+        x = np.zeros(n)
+        x[100] = 0.9
+        return x
+
+    def test_impulse_grows_a_tail(self):
+        from datasmith_spark.core.resample import reverb
+
+        y = reverb(self._imp(), "clip_1", 16000)
+        assert y is not None and y.shape == (16000,)
+        # energy well after the impulse that the dry signal does not have
+        assert np.abs(y[500:4000]).max() > 1e-3
+        assert np.abs(y).max() <= 1.0  # clipped to legal range
+
+    def test_deterministic_and_per_key(self):
+        from datasmith_spark.core.resample import reverb
+
+        x = self._imp()
+        a = reverb(x, "k1", 16000)
+        assert np.array_equal(a, reverb(x, "k1", 16000))
+        assert not np.array_equal(a, reverb(x, "k2", 16000))
+
+    def test_passthrough_contract(self):
+        from datasmith_spark.core.resample import reverb
+
+        assert reverb(np.zeros(0), "k", 16000) is None
+        assert reverb(np.zeros(4000), "k", 16000) is None
+        assert reverb(self._imp(), "k", 0) is None
+
+    def test_spark_matches_kernel_arbitrary_ids(self, spark):
+        import hashlib
+
+        import pandas as pd
+
+        from datasmith_spark.core.audio import decode, encode
+        from datasmith_spark.core.resample import reverb
+        from datasmith_spark.operators.audio_ops import reverb_clips
+
+        rng = np.random.default_rng(81)
+        rows = []
+        for i, cid in enumerate(["s3://b/a.wav", "re-upload", "silent", "broken"]):
+            if cid == "silent":
+                pcm = np.zeros(8000)
+            else:
+                pcm = np.clip(rng.normal(0, 0.3, 8000), -1, 1)
+            rows.append((cid, encode(pcm, "pcm16"), 16000, 500, "pcm16", ""))
+        pdf = pd.DataFrame(
+            rows, columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+        )
+        pdf.loc[3, "bytes"] = b"x"  # undecodable (odd length for pcm16)
+        out = {
+            r["clip_id"]: r
+            for r in reverb_clips(spark.createDataFrame(pdf), digest=True).collect()
+        }
+        for cid, buf, sr, _, codec, _ in rows:
+            if cid == "broken":
+                buf = b"x"
+            pcm = decode(buf, codec)
+            y = reverb(pcm, cid, sr) if pcm is not None else None
+            want = buf if y is None else encode(y, codec)
+            assert out[cid]["augmented"] == (y is not None), cid
+            assert out[cid]["payload_md5"] == hashlib.md5(want).hexdigest(), cid
+        assert not out["silent"]["augmented"] and not out["broken"]["augmented"]
+
+    def test_fixture_honesty(self):
+        import pandas as pd
+
+        from scripts.make_audio_reverb_fixture import oracle_rows
+
+        fx = pd.read_parquet("/root/repo/fixtures/oracle_audio_reverb_n4000.parquet")
+        regen = oracle_rows(range(0, 120))
+        sub = fx.iloc[:120].reset_index(drop=True)
+        pd.testing.assert_frame_equal(sub, regen)
