@@ -3106,3 +3106,161 @@ def q71_reverb_augment(spark, sf_dir):
     from .operators.audio_ops import reverb_digest_scan
 
     return reverb_digest_scan(spark, _clips_cache_path(spark, sf_dir))
+
+
+def _kmeans_sql_ctes(src: str, k: int, iters: int, dims: int = 64) -> str:
+    """CTE chain re-deriving operators/clustering.kmeans_assign in DuckDB
+    over a `{src}` relation with (vec_id, embedding): lattice quantization,
+    seedless md5 init, `iters` unrolled Lloyd rounds (assignment with
+    lowest-cid tie-break; per-dim integer floor-mean updates; empty
+    clusters keep their centroid), ending in CTE `afin(vec_id, cluster,
+    dist)`. Every value is integer-exact, so the mirror is bit-for-bit."""
+    dist = (
+        "list_sum(list_transform(range(1, {d}), "
+        "i -> (p.xq[i] - c.c[i]) * (p.xq[i] - c.c[i])))".format(d=dims + 1)
+    )
+    parts = [
+        f"""pts AS (
+      SELECT vec_id,
+             list_transform({src}.embedding,
+                            v -> floor((v::DOUBLE + 1.0) * 65536)::BIGINT) AS xq
+      FROM {src}
+    ),
+    rk AS (
+      SELECT vec_id, xq,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+      FROM pts
+    ),
+    c0 AS (SELECT (r - 1)::INT AS cid, xq AS c FROM rk WHERE r <= {k})"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""d{t} AS (
+      SELECT p.vec_id, c.cid, {dist} AS dist FROM pts p CROSS JOIN c{t} c
+    ),
+    a{t} AS (
+      SELECT d.vec_id, min(d.cid) AS cluster
+      FROM d{t} d
+      JOIN (SELECT vec_id, min(dist) AS md FROM d{t} GROUP BY vec_id) m
+        ON m.vec_id = d.vec_id AND d.dist = m.md
+      GROUP BY d.vec_id
+    ),
+    u{t} AS (
+      SELECT a.cluster AS cid, t.i,
+             (sum(p.xq[t.i]) // count(*))::BIGINT AS cv
+      FROM a{t} a
+      JOIN pts p ON p.vec_id = a.vec_id
+      CROSS JOIN range(1, {dims + 1}) t(i)
+      GROUP BY a.cluster, t.i
+    ),
+    c{t + 1} AS (
+      SELECT c.cid, coalesce(uu.c2, c.c) AS c
+      FROM c{t} c
+      LEFT JOIN (SELECT cid, list(cv ORDER BY i) AS c2 FROM u{t} GROUP BY cid) uu
+        ON uu.cid = c.cid
+    )"""
+        )
+    parts.append(
+        f"""dfin AS (
+      SELECT p.vec_id, c.cid, {dist} AS dist FROM pts p CROSS JOIN c{iters} c
+    ),
+    afin AS (
+      SELECT d.vec_id, min(d.cid)::INT AS cluster, min(m.md)::BIGINT AS dist
+      FROM dfin d
+      JOIN (SELECT vec_id, min(dist) AS md FROM dfin GROUP BY vec_id) m
+        ON m.vec_id = d.vec_id AND d.dist = m.md
+      GROUP BY d.vec_id
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _km_consts():
+    from .operators.clustering import KM_ITERS, KM_K
+
+    return KM_K, KM_ITERS
+
+
+@register(
+    "q73_kmeans_clusters",
+    f"""
+    WITH {_kmeans_sql_ctes("embeddings", 10, 3)}
+    SELECT vec_id, cluster, dist FROM afin
+    """,
+)
+def q73_kmeans_clusters(spark, sf_dir):
+    """Distributed k-means (Lloyd's, k=10, 3 rounds) on the embeddings
+    table — an ITERATIVE ML algorithm as DataFrame ops under the same
+    value-check discipline as the relational operators. Integer-exact end
+    to end: embeddings quantized to a 2^16 lattice (all quantization steps
+    are exact float ops), distances are int64 sums (order-free), centroid
+    updates are integer floor-means, ties break to the lowest centroid id,
+    and the seedless md5 init is the q45 construction — so the DuckDB
+    oracle re-derives the ENTIRE iteration bit-for-bit (no float reduction
+    anywhere, nothing to drift).
+
+    Scale shape: assignment is a shuffle-free narrow map against k
+    broadcast centroids; each update is ONE map-side-combinable
+    aggregation; driver traffic is k x dims ints per round (bounded
+    metadata). dist (exact distance to the final centroid) doubles as the
+    per-row quality signal and pins the centroid values through the value
+    check."""
+    from .operators.clustering import kmeans_assign
+
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"))
+
+
+_SEMDEDUP_TAU = 1_000_000_000  # squared lattice units; planted <= ~3e5, unrelated >= ~4.4e9
+
+
+@register(
+    "q74_semdedup_pairs",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id,
+             list_transform(embedding, v -> v::DOUBLE + 0.001) AS embedding
+      FROM embeddings WHERE vec_id < 20
+    ),
+    {_kmeans_sql_ctes("corpus", 10, 3)}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_sum(list_transform(range(1, 65),
+                    i -> (pa.xq[i] - pb.xq[i]) * (pa.xq[i] - pb.xq[i])))::BIGINT
+             AS sq_dist
+    FROM afin a
+    JOIN afin b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    JOIN pts pa ON pa.vec_id = a.vec_id
+    JOIN pts pb ON pb.vec_id = b.vec_id
+    WHERE list_sum(list_transform(range(1, 65),
+                   i -> (pa.xq[i] - pb.xq[i]) * (pa.xq[i] - pb.xq[i])))
+          <= {_SEMDEDUP_TAU}
+    """,
+)
+def q74_semdedup_pairs(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs searched
+    ONLY within a k-means cluster — the cluster assignment bounds the pair
+    join the way LSH bands bound the text/audio dedup joins (never
+    all-pairs). Corpus salted with 20 planted near-duplicates (every
+    dimension shifted +0.001, vec_id + 10000 — the q25 construction made
+    NEAR instead of exact); all 20 co-cluster with their source and land
+    at lattice distance <= ~3e5 vs >= ~4.4e9 for unrelated same-cluster
+    vectors, so tau = 1e9 recovers exactly the planted set.
+
+    Oracle: the FULL computation — salting, quantization, every k-means
+    round, the cluster-bounded pair join and the exact integer distance
+    verify — re-derived in DuckDB SQL."""
+    from .operators.clustering import semantic_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda v: v.cast("double") + F.lit(0.001)).alias(
+            "embedding"
+        ),
+    )
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("embedding"),
+    )
+    return semantic_dup_pairs(base.unionByName(planted), tau=_SEMDEDUP_TAU)

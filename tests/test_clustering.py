@@ -1,0 +1,123 @@
+"""Integer-lattice k-means + SemDeDup (q73/q74): agreement with a serial
+numpy mirror of the algorithm, partitioning invariance, tie/empty-cluster
+semantics, planted-pair recall, plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datasmith_spark.operators.clustering import (
+    KM_ITERS,
+    KM_K,
+    kmeans_assign,
+    semantic_dup_pairs,
+)
+
+
+def _quant(v: np.ndarray) -> np.ndarray:
+    return np.floor((v.astype(np.float64) + 1.0) * 65536).astype(np.int64)
+
+
+def _serial_kmeans(ids, X, k=KM_K, iters=KM_ITERS):
+    """Independent numpy implementation of the same algorithm (md5 init,
+    lowest-cid tie-break, integer floor-mean updates, empty keep)."""
+    XQ = np.array([_quant(x) for x in X])
+    order = sorted(
+        range(len(ids)), key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i])
+    )
+    cents = {c: XQ[order[c]].copy() for c in range(k)}
+
+    def assign():
+        C = np.array([cents[c] for c in range(k)])
+        d = ((XQ[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return d.argmin(1), d.min(1)  # argmin = first min = lowest cid
+
+    a, dist = assign()
+    for _ in range(iters):
+        for c in range(k):
+            m = a == c
+            if m.any():
+                cents[c] = XQ[m].sum(0) // int(m.sum())
+        a, dist = assign()
+    return dict(zip(ids, zip(a.tolist(), dist.tolist())))
+
+
+def _emb_df(spark, n=160, dims=8, seed=5, k=None):
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-0.6, 0.6, size=(n, dims)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": [x.tolist() for x in X]})
+    return spark.createDataFrame(pdf), list(range(n)), list(X)
+
+
+class TestKmeans:
+    def test_matches_serial_mirror(self, spark):
+        df, ids, X = _emb_df(spark)
+        got = {
+            r["vec_id"]: (r["cluster"], r["dist"])
+            for r in kmeans_assign(df.repartition(7), dims=8).collect()
+        }
+        want = _serial_kmeans(ids, X)
+        assert got == want
+
+    def test_partitioning_invariance(self, spark):
+        df, _, _ = _emb_df(spark, seed=9)
+        a = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df.repartition(2), dims=8).collect()}
+        b = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df.repartition(11), dims=8).collect()}
+        assert a == b
+
+    def test_exact_duplicate_points_tie_identically(self, spark):
+        # duplicate vectors must always land in the same cluster (equal
+        # distances everywhere -> same lowest-cid tie-break)
+        rng = np.random.default_rng(3)
+        X = rng.uniform(-0.5, 0.5, size=(40, 8)).astype(np.float32)
+        X[25] = X[3]
+        X[31] = X[3]
+        pdf = pd.DataFrame({"vec_id": range(40), "embedding": [x.tolist() for x in X]})
+        out = {r["vec_id"]: r["cluster"] for r in kmeans_assign(spark.createDataFrame(pdf), k=5, dims=8).collect()}
+        assert out[3] == out[25] == out[31]
+
+    def test_dist_is_exact_lattice_distance(self, spark):
+        df, ids, X = _emb_df(spark, n=60, seed=11)
+        rows = kmeans_assign(df, dims=8).collect()
+        want = _serial_kmeans(ids, X)
+        for r in rows:
+            assert r["dist"] == want[r["vec_id"]][1]
+
+
+class TestSemDedup:
+    def test_planted_neardups_recovered_exactly(self, spark):
+        df, ids, X = _emb_df(spark, n=120, seed=21)
+        planted = pd.DataFrame(
+            {
+                "vec_id": [10000 + i for i in range(8)],
+                "embedding": [
+                    (np.array(X[i], dtype=np.float64) + 0.001).tolist() for i in range(8)
+                ],
+            }
+        )
+        base = pd.DataFrame(
+            {"vec_id": ids, "embedding": [np.asarray(x, dtype=np.float64).tolist() for x in X]}
+        )
+        corpus = spark.createDataFrame(pd.concat([base, planted], ignore_index=True))
+        pairs = semantic_dup_pairs(corpus, tau=1_000_000, k=6).collect()
+        got = {(r["vec_a"], r["vec_b"]) for r in pairs}
+        assert got == {(i, 10000 + i) for i in range(8)}
+        assert all(r["sq_dist"] <= 8 * (66 ** 2) for r in pairs)  # ~0.001*65536 per dim
+
+    def test_no_nested_loop_plan(self, spark):
+        from tests.test_plans import _plan
+
+        df, _, _ = _emb_df(spark, n=40, seed=2)
+        plan = _plan(semantic_dup_pairs(df, tau=1000, k=3, iters=1))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-q"]))
