@@ -197,3 +197,17 @@ def split_dead_letters(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     ok = df.filter(F.col(DL_ERROR_COL).isNull()).drop(DL_ERROR_COL)
     dead = df.filter(F.col(DL_ERROR_COL).isNotNull()).select(DL_PAGE_COL, DL_ERROR_COL)
     return ok, dead
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:
+    """ORC scan with pinned schema — the columnar alternative to parquet
+    that ships in Spark's builtin datasources (no extra jar), rounding out
+    the source matrix (CSV / JSONL / pseudo-JSONL / parquet / ORC). Same
+    pushdown/pruning properties as the parquet scan (ORC carries min/max
+    stripe stats Catalyst uses for predicate pushdown)."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (snappy, Spark default)."""
+    df.write.mode(mode).orc(path)

@@ -224,3 +224,27 @@ def test_paginated_scan_coalesces_small_pages(spark):
     assert list(got.page) == list(range(64))
     # 64 pages over 2 tasks, 16 pages/batch -> ~4 batches, certainly << 64
     assert n_batches <= 8, n_batches
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datasmith_spark.sources import read_orc, write_orc
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+    )
+    p = str(tmp_path / "orc_rt")
+    write_orc(df, p)
+    back = read_orc(spark, p, "id long, k long, s string")
+    assert back.count() == 100
+    assert sorted(r["s"] for r in back.collect()) == sorted(r["s"] for r in df.collect())
+    # predicate pushdown reaches the ORC scan
+    qe = back.filter(F.col("k") == 3)._jdf.queryExecution()
+    jvm = back.sparkSession._jvm
+    plan = qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)]" in plan, plan
