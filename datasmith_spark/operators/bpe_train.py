@@ -1,0 +1,110 @@
+"""Distributed BPE tokenizer training (Spark operators).
+
+The engine's third trained artifact, next to the langid (q67) and LM (q66)
+count tables: learn byte-pair-encoding merges from the corpus itself.
+
+Distributed shape (Sennrich et al. 2016 trained the way real tokenizer
+pipelines distribute it):
+
+  1. The ONE big-data pass: word-frequency table via the shared
+     tokenization — map-side-combinable groupBy, so 10^12 documents
+     collapse to a bounded distinct-word table before training starts.
+  2. Every merge round runs on that word table only: adjacent-pair counts
+     are ONE aggregation (native arrays_zip/slice explode — no Python),
+     the argmax is ONE collected row (count desc, then lexicographically
+     smallest pair — a total order, so training is deterministic), and the
+     rewrite is ONE Arrow-batched narrow map applying the merge via the
+     shared core/bpe.merge_seq kernel. localCheckpoint per round keeps the
+     lineage flat across rounds.
+
+Driver traffic: one (left, right, count) row per round — bounded metadata,
+the broadcast-centroids shape q73 uses.
+
+The serial reference (core/bpe.bpe_train) trains on the same word-count
+table; tests assert the distributed trainer reproduces it merge-for-merge,
+and the committed q75 fixture pins the single-process pass over the pinned
+clips transcripts.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.bpe import EOW, merge_seq
+
+BPE_MERGES = 32
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, freq) word-frequency table via the shared tokenization — the
+    only pass that touches the full corpus."""
+    from .text_analysis import tokens_col
+
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_train_distributed(
+    docs: DataFrame, n_merges: int = BPE_MERGES, text_col: str = "text"
+) -> list[tuple[int, str, str, int]]:
+    """Train n_merges BPE merges; returns [(rank, left, right, pair_count)].
+
+    Matches core/bpe.bpe_train exactly (same tie-break, same overlap rule,
+    same early stop)."""
+    wc = word_counts(docs, text_col)
+    seqs = wc.select(
+        F.concat(F.split("w", ""), F.array(F.lit(EOW))).alias("seq"), "freq"
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        n1 = F.size("seq") - 1
+        pairs = seqs.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("seq", 1, n1).alias("l"),
+                    F.slice("seq", 2, n1).alias("r"),
+                )
+            ).alias("p"),
+            "freq",
+        ).select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "freq")
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((rank, left, right, cnt))
+
+        def _rewrite(batches, _l=left, _r=right):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "seq": [list(merge_seq(tuple(s), _l, _r)) for s in pdf["seq"]],
+                        "freq": pdf["freq"],
+                    }
+                )
+
+        seqs = seqs.mapInPandas(
+            _rewrite, schema="seq array<string>, freq long"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_merges_df(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """The merge table as a DataFrame (rank, left, right, pair_count)."""
+    spark = docs.sparkSession
+    rows = bpe_train_distributed(docs, n_merges)
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_count long"
+    )

@@ -3264,3 +3264,39 @@ def q74_semdedup_pairs(spark, sf_dir):
         F.transform("embedding", lambda v: v.cast("double")).alias("embedding"),
     )
     return semantic_dup_pairs(base.unionByName(planted), tau=_SEMDEDUP_TAU)
+
+
+_BPE_MERGES_N = 24
+_BPE_FIXTURE = f"/root/repo/fixtures/oracle_bpe_n{_CLIPS_N}_m{_BPE_MERGES_N}.parquet"
+
+
+@register(
+    "q75_bpe_train",
+    f"""
+    SELECT "rank", "left", "right", pair_count
+    FROM read_parquet('{_BPE_FIXTURE}')
+    """,
+)
+def q75_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training over the pinned clips'
+    transcripts — the engine's third trained artifact beside the langid
+    (q67) and LM (q66) count tables, completing the tokenizer half of the
+    training-data story (q70 built the word vocabulary; THIS learns the
+    subword merges).
+
+    Distributed shape: ONE corpus pass builds the word-frequency table
+    (10^12 docs collapse to a bounded distinct-word table), then every
+    merge round runs on that table only — native arrays_zip pair counting
+    (one aggregation), one collected argmax row (total-order tie-break:
+    count desc, lexicographically smallest pair), one Arrow-batched
+    rewrite via the shared core/bpe.merge_seq kernel, lineage flattened
+    per round. Pure string/integer computation — nothing to drift.
+
+    Oracle: the committed single-process reference training run
+    (scripts/make_bpe_fixture.py over core/bpe.bpe_train — an independent
+    serial implementation of the same algorithm); the distributed trainer
+    must reproduce it merge-for-merge, count-for-count."""
+    from .operators.bpe_train import bpe_merges_df
+
+    clips = spark.read.parquet(_clips_cache_path(spark, sf_dir))
+    return bpe_merges_df(clips.select(F.col("transcript").alias("text")), _BPE_MERGES_N)

@@ -1,0 +1,92 @@
+"""BPE tokenizer training (q75): serial kernel semantics, distributed ==
+serial merge-for-merge, partitioning invariance, fixture honesty."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from datasmith_spark.core.bpe import EOW, bpe_train, best_pair, merge_seq, symbolize
+
+
+class TestKernel:
+    def test_symbolize_and_overlap_rule(self):
+        assert symbolize("ab") == ("a", "b", EOW)
+        # 'aaa' under (a,a): left-to-right gives ('aa','a'), not ('a','aa')
+        assert merge_seq(("a", "a", "a"), "a", "a") == ("aa", "a")
+        assert merge_seq(("a", "a", "a", "a"), "a", "a") == ("aa", "aa")
+
+    def test_tie_breaks_to_lexicographically_smallest(self):
+        # all four pairs tie at count 1; '<' sorts before 'b', so the
+        # lexicographically smallest pair ('a', '</w>') wins
+        m = bpe_train({"ab": 1, "ba": 1}, 1)
+        assert (m[0][1], m[0][2]) == ("a", EOW)
+        # a pure letter tie, isolated at the best_pair level
+        m3 = best_pair({("b", "a"): 3, ("a", "b"): 3})
+        assert (m3[0], m3[1]) == ("a", "b")
+
+    def test_collapsed_sequences_accumulate_frequency(self):
+        # after merging (a,b), 'ab' and a hypothetical pre-merged form must
+        # pool counts — exercised via words that become identical
+        m = bpe_train({"ab": 3, "abab": 2}, 4)
+        ranks = [(x[1], x[2], x[3]) for x in m]
+        assert ranks[0] == ("a", "b", 7)  # 3 + 2*2
+
+    def test_early_stop(self):
+        m = bpe_train({"ab": 1}, 100)
+        assert len(m) == 2  # (a,b) then (ab,</w>) and nothing remains
+
+
+class TestDistributed:
+    def _docs(self, spark, texts, parts=1):
+        return spark.createDataFrame(pd.DataFrame({"text": texts})).repartition(parts)
+
+    def test_matches_serial_merge_for_merge(self, spark):
+        import re
+        from collections import Counter
+
+        from datasmith_spark.operators.bpe_train import bpe_train_distributed
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "the quicker the better",
+            "pack my box with five dozen liquor jugs",
+            None,
+            "   ",
+        ] * 3
+        wc = Counter()
+        for t in texts:
+            if not t:
+                continue
+            for w in re.split(r"\s+", t.strip()):
+                if w:
+                    wc[w] += 1
+        want = bpe_train(dict(wc), 12)
+        got = bpe_train_distributed(self._docs(spark, texts, parts=5), 12)
+        assert got == want
+
+    def test_partitioning_invariance(self, spark):
+        from datasmith_spark.operators.bpe_train import bpe_train_distributed
+
+        texts = ["aa ab ba bb ab aa", "ba aa bb", "ab ab aa"] * 2
+        a = bpe_train_distributed(self._docs(spark, texts, parts=1), 6)
+        b = bpe_train_distributed(self._docs(spark, texts, parts=7), 6)
+        assert a == b
+
+
+class TestFixtureHonesty:
+    def test_committed_fixture_matches_retrained_prefix(self):
+        from scripts.make_bpe_fixture import transcript_word_counts
+
+        fx = pd.read_parquet("/root/repo/fixtures/oracle_bpe_n4000_m24.parquet")
+        # retrain the first 8 merges over the same word table — a prefix of
+        # BPE training is exact (later merges never affect earlier ones)
+        merges = bpe_train(transcript_word_counts(4000), 8)
+        want = [(r["rank"], r["left"], r["right"], r["pair_count"]) for _, r in fx.head(8).iterrows()]
+        assert merges == [tuple(m) for m in want]
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-q"]))
