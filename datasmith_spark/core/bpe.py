@@ -90,3 +90,19 @@ def bpe_train(
             nxt[m] = nxt.get(m, 0) + freq  # distinct seqs can collide post-merge
         words = nxt
     return out
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> tuple[str, ...]:
+    """Tokenize one word with a trained merge list: apply every merge in
+    rank order (the standard BPE encoder — rank order, not greedy-longest).
+
+    >>> ms = [(m[1], m[2]) for m in bpe_train({"low": 5, "lower": 2}, 4)]
+    >>> encode_word("lowest", ms)
+    ('low', 'e', 's', 't', '</w>')
+    >>> encode_word("low", ms)[:1]
+    ('low',)
+    """
+    seq = symbolize(word)
+    for left, right in merges:
+        seq = merge_seq(seq, left, right)
+    return seq

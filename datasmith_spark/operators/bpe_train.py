@@ -108,3 +108,46 @@ def bpe_merges_df(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank int, left string, right string, pair_count long"
     )
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    top: int = 50,
+) -> DataFrame:
+    """Apply a trained merge list to the corpus and count subword tokens —
+    the train -> apply loop closed: (rank, token, n) for the `top` most
+    frequent subwords under a deterministic total order (n desc, token
+    asc).
+
+    Shape: the merge list is a broadcast-sized constant captured in the
+    encode closure (like q73's centroids); encoding runs per DISTINCT word
+    on the word-frequency table (one Arrow-batched narrow map over the
+    bounded word table, NOT the corpus), then one explode + one
+    map-side-combinable count aggregation, then the q70 top-K."""
+    from pyspark.sql import Window
+
+    from ..core.bpe import encode_word
+
+    wc = word_counts(docs, text_col)
+
+    def _enc(batches, _ms=tuple(merges)):
+        ms = list(_ms)
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "toks": [list(encode_word(w, ms)) for w in pdf["w"]],
+                    "freq": pdf["freq"],
+                }
+            )
+
+    toks = wc.mapInPandas(_enc, schema="toks array<string>, freq long")
+    cnt = (
+        toks.select(F.explode("toks").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n"))
+    )
+    topk = cnt.orderBy(F.desc("n"), F.asc("token")).limit(top)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return topk.select(F.row_number().over(w).alias("rank"), "token", "n")

@@ -3300,3 +3300,43 @@ def q75_bpe_train(spark, sf_dir):
 
     clips = spark.read.parquet(_clips_cache_path(spark, sf_dir))
     return bpe_merges_df(clips.select(F.col("transcript").alias("text")), _BPE_MERGES_N)
+
+
+_BPE_ENCODE_FIXTURE = (
+    f"/root/repo/fixtures/oracle_bpe_encode_n{_CLIPS_N}_m{_BPE_MERGES_N}.parquet"
+)
+
+
+@register(
+    "q76_bpe_encode",
+    f"""
+    SELECT "rank", token, n FROM read_parquet('{_BPE_ENCODE_FIXTURE}')
+    """,
+)
+def q76_bpe_encode(spark, sf_dir):
+    """BPE encode — the train -> apply loop closed: tokenize the corpus
+    with the q75-trained merge table (rank-order application, the standard
+    BPE encoder) and emit the top-50 subword tokens by frequency under a
+    deterministic total order.
+
+    Shape: encoding runs per DISTINCT word over the bounded word-frequency
+    table (one Arrow-batched narrow map — the corpus itself is touched
+    only by the word-count pass), with the merge list captured as a
+    broadcast-sized constant (the q73 centroid shape); then one
+    map-side-combinable count and the q70 top-K. The merge table is q75's
+    independently verified artifact, read from the committed fixture so
+    the two queries stay modular (train | apply).
+
+    Oracle: the committed single-process encode+count pass
+    (scripts/make_bpe_encode_fixture.py) over the same merges — pure
+    string/integer computation."""
+    import pandas as pd
+
+    from .operators.bpe_train import bpe_encode_counts
+
+    merges_fx = pd.read_parquet(_BPE_FIXTURE)
+    merges = [(r["left"], r["right"]) for _, r in merges_fx.iterrows()]
+    clips = spark.read.parquet(_clips_cache_path(spark, sf_dir))
+    return bpe_encode_counts(
+        clips.select(F.col("transcript").alias("text")), merges, top=50
+    )

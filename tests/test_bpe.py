@@ -86,6 +86,42 @@ class TestFixtureHonesty:
         assert merges == [tuple(m) for m in want]
 
 
+
+class TestEncode:
+    def test_encode_roundtrip_property(self):
+        from datasmith_spark.core.bpe import encode_word
+
+        merges = [("l", "o"), ("lo", "w"), ("e", "r")]
+        for w in ("low", "lower", "lowest", "slow", "x"):
+            toks = encode_word(w, merges)
+            assert "".join(toks) == w + EOW  # lossless segmentation
+
+    def test_spark_encode_counts_match_serial(self, spark):
+        import re
+        from collections import Counter
+
+        from datasmith_spark.core.bpe import encode_word
+        from datasmith_spark.operators.bpe_train import bpe_encode_counts
+
+        texts = ["low lower lowest", "slow glow low", "lower slower"] * 3
+        merges = [("l", "o"), ("lo", "w"), ("low", EOW)]
+        got = {
+            r["token"]: (r["rank"], r["n"])
+            for r in bpe_encode_counts(
+                spark.createDataFrame(pd.DataFrame({"text": texts})).repartition(4),
+                merges,
+                top=100,
+            ).collect()
+        }
+        counts = Counter()
+        for t in texts:
+            for w in re.split(r"\s+", t.strip()):
+                if w:
+                    for tok in encode_word(w, merges):
+                        counts[tok] += 1
+        want_order = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want = {t: (i + 1, c) for i, (t, c) in enumerate(want_order)}
+        assert got == want
 if __name__ == "__main__":
     import sys
 
