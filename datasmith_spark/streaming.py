@@ -452,3 +452,26 @@ def run_streaming_pipeline(
         q.awaitTermination(timeout_sec)
         return q
     return writer.start()
+
+
+def stream_image_hashes(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Continuous-ingest image fingerprinting: the q65 dHash operator
+    lifted onto a file-source stream — decode + perceptual hash per
+    arriving image, stateless Arrow-batched mapInPandas, so micro-batch
+    results are bit-identical to the batch operator over the same files
+    (the one-codepath-for-backfill-and-live property the audio quality and
+    featurization lifts already pin). Downstream, the emitted (img_id,
+    b0..b3) band rows feed the same near-dup machinery either as a batch
+    self-join (operators/image_fp.image_neardup_pairs) or a probe against
+    a persisted band-key store (the incremental-dedup shape)."""
+    from .operators.image_fp import image_hashes
+    from .operators.multimodal import IMAGE_SCHEMA_DDL
+
+    reader = spark.readStream.schema(IMAGE_SCHEMA_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return image_hashes(reader.parquet(input_dir))

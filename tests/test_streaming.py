@@ -589,3 +589,41 @@ def test_stream_features_matches_batch(spark, clips_path, stream_dirs, tmp_path)
 
     for a, b in zip(got.feats, want.feats):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stream_image_hashes_matches_batch(spark, tmp_path):
+    """The q65 image dHash lifted onto a stream reproduces the batch
+    operator bit-for-bit (stateless narrow map), including skipping the
+    corrupt lane rather than crashing the micro-batch."""
+    from datasmith_spark.operators.image_fp import image_hashes
+    from datasmith_spark.operators.multimodal import synth_images
+
+    inp = str(tmp_path / "img_in")
+    # 120 pinned synthetic images incl. png/jpeg/corrupt lanes, 6 files
+    synth_images(spark, 120).repartition(6).write.mode("overwrite").parquet(inp)
+    from datasmith_spark.streaming import stream_image_hashes
+
+    q = (
+        stream_image_hashes(spark, inp, max_files_per_trigger=2)
+        .writeStream.format("memory")
+        .queryName("img_hash_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.table("img_hash_stream")
+        .toPandas()
+        .sort_values("img_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        image_hashes(spark.read.parquet(inp))
+        .toPandas()
+        .sort_values("img_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+    # corrupt rows (every 51st index) were skipped, not crashed
+    assert len(got) < 120
