@@ -3340,3 +3340,63 @@ def q76_bpe_encode(spark, sf_dir):
     return bpe_encode_counts(
         clips.select(F.col("transcript").alias("text")), merges, top=50
     )
+
+
+@register(
+    "q77_vocab_coverage",
+    rf"""
+    WITH tok AS (
+      SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> '' AND lang IS NOT NULL
+    ),
+    toks AS (SELECT lang, token FROM tok WHERE token <> ''),
+    cnt AS (SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY token),
+    vocab AS (
+      SELECT token FROM cnt ORDER BY n DESC, token LIMIT {_VOCAB_K}
+    )
+    SELECT t.lang,
+           count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN v.token IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_covered,
+           sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+    FROM toks t LEFT JOIN vocab v ON v.token = t.token
+    GROUP BY t.lang
+    """,
+)
+def q77_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage audit: per-language token counts split into
+    covered-by-vocab vs out-of-vocabulary under the q70 top-K vocabulary —
+    the acceptance check a tokenizer vocab must pass before a training run
+    commits to it (low-resource languages are exactly where a
+    frequency-ranked vocab silently under-covers; this emits the number
+    that decision needs, all-integer).
+
+    Shape: the vocab is a K-row broadcast side; coverage is one broadcast
+    left join + one map-side-combinable aggregation over the token stream —
+    no extra shuffle beyond the count that built the vocab."""
+    from .operators.text_analysis import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(
+            F.col("text").isNotNull() & (F.trim("text") != "") & F.col("lang").isNotNull()
+        )
+        .select("lang", F.explode(tokens_col(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(_VOCAB_K)
+        .select("token", F.lit(True).alias("_inv"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("_inv").isNotNull().cast("long")).alias("n_covered"),
+            F.sum(F.col("_inv").isNull().cast("long")).alias("n_oov"),
+        )
+    )
