@@ -1441,3 +1441,87 @@ def reverb_digest_scan(
         REVERB_DIGEST_DDL,
         scan_parallelism=_kernel_parallelism(spark, input_dir),
     )
+
+
+TRANSCODE_DDL = NOISED_DDL.replace(", augmented boolean", ", transcoded boolean")
+TRANSCODE_DIGEST_DDL = "clip_id string, codec_out string, transcoded boolean, payload_md5 string"
+
+
+def _transcode_pdf(pdf: pd.DataFrame, codec_out: str, digest: bool) -> pd.DataFrame:
+    """One pandas batch of clips -> codec-normalized batch (or digest batch).
+
+    Ingest-side codec normalization: decode whatever arrives (pcm16/pcm8/
+    float32/mulaw/alaw) and re-encode in ONE canonical codec, so every
+    downstream stage sees uniform samples. Rows already in the target codec
+    pass through BYTE-IDENTICAL (no decode->re-encode round trip — lossy
+    for companded codecs and pointless for exact ones); undecodable rows
+    pass through with transcoded=false."""
+    out_bytes, transcoded, codecs = [], [], []
+    for buf, sr, codec in zip(pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
+        sr = None if pd.isna(sr) else int(sr)
+        if codec == codec_out:
+            out_bytes.append(buf)
+            transcoded.append(False)
+            codecs.append(codec)
+            continue
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        if pcm is None:
+            out_bytes.append(buf)
+            transcoded.append(False)
+            codecs.append(codec)
+            continue
+        out_bytes.append(encode(pcm, codec_out))
+        transcoded.append(True)
+        codecs.append(codec_out)
+    if digest:
+        return pd.DataFrame(
+            {
+                "clip_id": pdf["clip_id"],
+                "codec_out": codecs,
+                "transcoded": transcoded,
+                "payload_md5": [
+                    None if b is None else hashlib.md5(b).hexdigest()
+                    for b in out_bytes
+                ],
+            }
+        )
+    return pd.DataFrame(
+        {
+            "clip_id": pdf["clip_id"],
+            "bytes": out_bytes,
+            "sr_hz": pdf["sr_hz"],
+            "dur_ms": pdf["dur_ms"],
+            "codec": codecs,
+            "transcript": pdf["transcript"],
+            "transcoded": transcoded,
+        }
+    )
+
+
+def transcode_clips(
+    clips: DataFrame, codec_out: str = "pcm16", digest: bool = False
+) -> DataFrame:
+    """Codec normalization (composable path; digest=True is the q78
+    verification mode). Shuffle-free narrow map."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _transcode_pdf(pdf, codec_out, digest)
+
+    return clips.select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+    ).mapInPandas(_run, schema=TRANSCODE_DIGEST_DDL if digest else TRANSCODE_DDL)
+
+
+def transcode_digest_scan(
+    spark: SparkSession, input_dir: str, codec_out: str = "pcm16"
+) -> DataFrame:
+    """transcode_clips(digest=True) over a parquet directory via the fused
+    manifest scan (q78). Byte-bound (decode+requantize, no DSP kernel), so
+    it keeps the sandbox I/O cap like the plain decode scans."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _transcode_pdf(pdf, codec_out, True),
+        TRANSCODE_DIGEST_DDL,
+    )

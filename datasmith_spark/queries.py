@@ -3400,3 +3400,31 @@ def q77_vocab_coverage(spark, sf_dir):
             F.sum(F.col("_inv").isNull().cast("long")).alias("n_oov"),
         )
     )
+
+
+_AUDIO_TRANSCODE_FIXTURE = f"/root/repo/fixtures/oracle_audio_transcode_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q78_transcode_normalize",
+    f"""
+    SELECT clip_id, codec_out, transcoded, payload_md5
+    FROM read_parquet('{_AUDIO_TRANSCODE_FIXTURE}')
+    """,
+)
+def q78_transcode_normalize(spark, sf_dir):
+    """Codec normalization: decode whatever arrives (pcm16/pcm8/float32/
+    mulaw/alaw) and re-encode in ONE canonical codec (pcm16) — the
+    ingest-side stage that gives every downstream operator uniform
+    samples. Rows already in the target codec pass through BYTE-IDENTICAL
+    (no lossy decode->re-encode round trip); undecodable rows pass through
+    flagged. Shuffle-free narrow map at 10^12 clips; byte-bound, so it
+    keeps the sandbox I/O cap like the plain decode scans.
+
+    Digest-exact value check like q50/q63: the fused manifest scan hashes
+    each normalized payload worker-side; the DuckDB oracle reads the
+    committed single-process pass (scripts/make_audio_transcode_fixture.py
+    — pure integer/quantization computation, host-portable)."""
+    from .operators.audio_ops import transcode_digest_scan
+
+    return transcode_digest_scan(spark, _clips_cache_path(spark, sf_dir))

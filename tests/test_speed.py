@@ -608,3 +608,63 @@ class TestReverbAugment:
         regen = oracle_rows(range(0, 120))
         sub = fx.iloc[:120].reset_index(drop=True)
         pd.testing.assert_frame_equal(sub, regen)
+
+
+class TestTranscode:
+    """q78 codec normalization: target-codec byte-passthrough, lossy-codec
+    requantization to pcm16, undecodable flag-not-crash, Spark==kernel,
+    fixture honesty."""
+
+    def test_passthrough_and_requantize(self, spark):
+        import hashlib
+
+        import pandas as pd
+
+        from datasmith_spark.core.audio import decode, encode
+        from datasmith_spark.operators.audio_ops import transcode_clips
+
+        rng = np.random.default_rng(17)
+        pcm = np.clip(rng.normal(0, 0.3, 4000), -1, 1)
+        rows = [
+            ("already", encode(pcm, "pcm16"), "pcm16"),
+            ("mu", encode(pcm, "mulaw"), "mulaw"),
+            ("f32", encode(pcm, "float32"), "float32"),
+            ("broken", b"x", "pcm16"),
+        ]
+        pdf = pd.DataFrame(
+            {
+                "clip_id": [r[0] for r in rows],
+                "bytes": [r[1] for r in rows],
+                "sr_hz": 16000,
+                "dur_ms": 250,
+                "codec": [r[2] for r in rows],
+                "transcript": "",
+            }
+        )
+        out = {
+            r["clip_id"]: r
+            for r in transcode_clips(spark.createDataFrame(pdf), digest=True).collect()
+        }
+        # target codec: byte-identical passthrough, flagged untranscoded
+        assert not out["already"]["transcoded"]
+        assert out["already"]["payload_md5"] == hashlib.md5(rows[0][1]).hexdigest()
+        # lossy source: decode -> pcm16 re-encode
+        want_mu = encode(decode(rows[1][1], "mulaw"), "pcm16")
+        assert out["mu"]["transcoded"] and out["mu"]["codec_out"] == "pcm16"
+        assert out["mu"]["payload_md5"] == hashlib.md5(want_mu).hexdigest()
+        # float32 -> pcm16 requantization
+        want_f = encode(decode(rows[2][1], "float32"), "pcm16")
+        assert out["f32"]["payload_md5"] == hashlib.md5(want_f).hexdigest()
+        # undecodable: passthrough, flagged
+        assert not out["broken"]["transcoded"]
+
+    def test_fixture_honesty(self):
+        import pandas as pd
+
+        from scripts.make_audio_transcode_fixture import oracle_rows
+
+        fx = pd.read_parquet(
+            "/root/repo/fixtures/oracle_audio_transcode_n4000.parquet"
+        )
+        regen = oracle_rows(range(0, 150))
+        pd.testing.assert_frame_equal(fx.iloc[:150].reset_index(drop=True), regen)
