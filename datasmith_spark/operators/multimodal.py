@@ -379,3 +379,55 @@ def synth_images(spark, n: int, width: int = 32, height: int = 24) -> DataFrame:
             yield pd.DataFrame([synth_image_record(i, width, height) for i in b["id"]])
 
     return spark.range(n).mapInPandas(_gen, schema=IMAGE_SCHEMA_DDL)
+
+
+_THUMB_DDL = "img_id string, fmt string, thumb_ok boolean, thumb_md5 string"
+THUMB_W, THUMB_H = 16, 12  # pinned q79 thumbnail geometry
+
+
+def _thumb_pdf(pdf: pd.DataFrame, out_w: int = THUMB_W, out_h: int = THUMB_H) -> pd.DataFrame:
+    """One pandas batch of images -> thumbnail-digest batch: decode (any
+    codec), nearest-neighbor resize to the pinned geometry, md5 of the
+    resized HxWx3 uint8 buffer — pure integer end to end (index arithmetic
+    only), so the committed fixture is host-portable like q39's. Undecodable
+    rows flag thumb_ok=false with a null digest."""
+    import hashlib
+
+    n = len(pdf)
+    ok = np.zeros(n, dtype=bool)
+    digests: list[str | None] = [None] * n
+    for i, (buf, w, h, fmt) in enumerate(
+        zip(pdf["bytes"], pdf["width"], pdf["height"], pdf["fmt"])
+    ):
+        img = decode_image(buf, int(w), int(h), fmt)
+        if img is None:
+            continue
+        thumb = resize_rgb8(img, out_w, out_h)
+        ok[i] = True
+        digests[i] = hashlib.md5(
+            np.ascontiguousarray(thumb, dtype=np.uint8).tobytes()
+        ).hexdigest()
+    return pd.DataFrame(
+        {
+            "img_id": pdf["img_id"],
+            "fmt": pdf["fmt"],
+            "thumb_ok": ok,
+            "thumb_md5": digests,
+        }
+    )
+
+
+def thumbnail_digest_scan(spark, input_dir: str):
+    """Decode->resize->digest scan over an image parquet directory (q79's
+    verification path; fused manifest scan, kernel parallelism — the same
+    shape as image_digest_scan)."""
+    from .audio_ops import _kernel_parallelism, _manifest_scan
+
+    return _manifest_scan(
+        spark,
+        input_dir,
+        _thumb_pdf,
+        _THUMB_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+        columns=IMAGE_COLUMNS,
+    )

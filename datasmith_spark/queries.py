@@ -3428,3 +3428,31 @@ def q78_transcode_normalize(spark, sf_dir):
     from .operators.audio_ops import transcode_digest_scan
 
     return transcode_digest_scan(spark, _clips_cache_path(spark, sf_dir))
+
+
+_IMAGE_THUMB_FIXTURE = f"/root/repo/fixtures/oracle_image_thumb_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q79_image_thumbnails",
+    f"""
+    SELECT img_id, fmt, thumb_ok, thumb_md5
+    FROM read_parquet('{_IMAGE_THUMB_FIXTURE}')
+    """,
+)
+def q79_image_thumbnails(spark, sf_dir):
+    """Image thumbnail derivation: decode (rgb8/PNG/JPEG via the shared
+    pure-python codecs) then nearest-neighbor resize to a pinned 16x12
+    geometry — the preview/feature-extraction resize every multimodal
+    training pipeline carries, now oracle-checked like the decode lane
+    (q39). Integer index arithmetic only, so digests are host-portable;
+    corrupt streams flag thumb_ok=false rather than crash the task.
+    Shuffle-free narrow map at 10^12 images.
+
+    Digest-exact value check: the fused manifest scan decodes and resizes
+    worker-side (bytes never in the JVM) and hashes each thumbnail; the
+    DuckDB oracle reads the committed single-process pass
+    (scripts/make_image_thumb_fixture.py)."""
+    from .operators.multimodal import thumbnail_digest_scan
+
+    return thumbnail_digest_scan(spark, _images_cache_path(spark, sf_dir))

@@ -145,6 +145,35 @@ class TestFixtureHonesty:
             assert dhash_bands(img) == [want.b0, want.b1, want.b2, want.b3]
 
 
+
+class TestThumbnails:
+    """q79: resize geometry, digest parity with the serial pass, corrupt
+    flag-not-crash, fixture honesty."""
+
+    def test_resize_geometry_and_determinism(self):
+        from datasmith_spark.operators.multimodal import resize_rgb8
+
+        img = _img(11)
+        t = resize_rgb8(img, 16, 12)
+        assert t.shape == (12, 16, 3) and t.dtype == np.uint8
+        assert np.array_equal(t, resize_rgb8(img, 16, 12))
+        # nearest-neighbor: every output pixel is an input pixel
+        assert np.array_equal(t[0, 0], img[0, 0])
+
+    def test_fixture_honesty(self):
+        from scripts.make_image_thumb_fixture import oracle_rows
+
+        fx = pd.read_parquet("/root/repo/fixtures/oracle_image_thumb_n4000.parquet")
+        regen = oracle_rows(range(0, 150))
+        pd.testing.assert_frame_equal(fx.iloc[:150].reset_index(drop=True), regen)
+
+    def test_corrupt_rows_flag_not_crash(self):
+        from datasmith_spark.operators.multimodal import _thumb_pdf, synth_image_record
+
+        rows = [synth_image_record(i) for i in (0, 1, 2)]  # i=0 is corrupt JPEG
+        out = _thumb_pdf(pd.DataFrame(rows))
+        assert not out.loc[0, "thumb_ok"] and out.loc[0, "thumb_md5"] is None
+        assert out.loc[1, "thumb_ok"] and out.loc[1, "thumb_md5"]
 if __name__ == "__main__":
     import sys
 
