@@ -154,3 +154,123 @@ def image_neardup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------- incremental lane
+
+def _melt_bands(hashes: DataFrame) -> DataFrame:
+    """(img_id, b0..b3) -> (img_id, bk) band-key rows ('0#<v>' composite
+    keys — the same construction capped_band_pairs melts to, so batch and
+    store sides agree byte-for-byte)."""
+    return hashes.select(
+        "img_id",
+        F.explode(
+            F.array(
+                *[F.concat(F.lit(f"{i}#"), F.col(c)) for i, c in enumerate(_BAND_COLS)]
+            )
+        ).alias("bk"),
+    ).filter(F.col("bk").isNotNull())
+
+
+def seen_store_image_neardup(
+    batch_hashes: DataFrame,
+    store_melted: DataFrame,
+    store_wide: DataFrame,
+    max_hamming: int = DH_MAX_HAMMING,
+    cap: int | None = None,
+) -> DataFrame:
+    """(batch_id, seen_id, hamming) pairs where an incoming image is within
+    max_hamming of an already-seen one: band-key equi-join through the
+    hot-key cap (keys hot on either side are excluded — a pair glued only
+    by a viral band value can't pass the Hamming verify anyway), then the
+    exact 64-bit verify on candidates only, JVM-native like
+    image_neardup_pairs."""
+    from .pairs import pair_key_cap
+
+    cap = pair_key_cap(cap)
+    bm = _melt_bands(batch_hashes).select(F.col("img_id").alias("bid"), "bk")
+    sm = store_melted.select(F.col("img_id").alias("sid"), "bk")
+    cold = (
+        bm.groupBy("bk").agg(F.count("*").alias("_bc"))
+        .join(sm.groupBy("bk").agg(F.count("*").alias("_sc")), "bk")
+        .filter((F.col("_bc") <= cap) & (F.col("_sc") <= cap))
+        .select("bk")
+    )
+    cand = (
+        bm.join(cold, "bk").join(sm, "bk").select("bid", "sid").distinct()
+    )
+    hb = batch_hashes.select(
+        F.col("img_id").alias("bid"), *[F.col(c).alias(f"{c}_b") for c in _BAND_COLS]
+    )
+    hs = store_wide.select(
+        F.col("img_id").alias("sid"), *[F.col(c).alias(f"{c}_s") for c in _BAND_COLS]
+    )
+    dist = None
+    for c in _BAND_COLS:
+        term = F.bit_count(F.col(f"{c}_b").bitwiseXOR(F.col(f"{c}_s")))
+        dist = term if dist is None else dist + term
+    return (
+        cand.join(hb, "bid")
+        .join(hs, "sid")
+        .select(
+            F.col("bid").alias("batch_id"),
+            F.col("sid").alias("seen_id"),
+            dist.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ingest_image_batch(
+    spark: SparkSession,
+    tl,
+    store: str,
+    batch_hashes: DataFrame,
+    max_hamming: int = DH_MAX_HAMMING,
+    cap: int | None = None,
+    n_buckets: int = 32,
+):
+    """One image-ingest step against a persisted dHash store: probe, then
+    append only NOVEL images — the continuous-ingest dedup shape
+    operators/incremental.py established for audio fingerprints, carried
+    to the image lane (the corpus is never re-self-joined at 10^12 images;
+    only the batch shuffles against the bucketed band-key store).
+
+    Store layout: `store` = melted (img_id, bk) rows bucketed on bk (the
+    probe's join key — zero-exchange on the store side), plus
+    `store__wide` = (img_id, b0..b3) for the Hamming verify. Returns
+    (pairs, n_novel, n_dup); pairs is pinned via eager localCheckpoint
+    BEFORE the append (same rationale as incremental.ingest_batch)."""
+    wide_name = f"{store}__wide"
+    if not tl.exists(spark, store):
+        tl.write_bucketed(_melt_bands(batch_hashes), store, "bk", n_buckets=n_buckets)
+        batch_hashes.write.format(tl.fmt).mode("overwrite").saveAsTable(
+            tl.ident(wide_name)
+        )
+        n = batch_hashes.select("img_id").distinct().count()
+        empty = seen_store_image_neardup(
+            batch_hashes.limit(0), _melt_bands(batch_hashes.limit(0)), batch_hashes.limit(0)
+        )
+        return empty, n, 0
+    pairs = seen_store_image_neardup(
+        batch_hashes,
+        tl.read(spark, store),
+        tl.read(spark, wide_name),
+        max_hamming=max_hamming,
+        cap=cap,
+    ).localCheckpoint(eager=True)
+    dup_ids = pairs.select(F.col("batch_id").alias("img_id")).distinct()
+    novel = batch_hashes.join(dup_ids, "img_id", "left_anti")
+    n_dup = dup_ids.count()
+    n_novel = novel.select("img_id").distinct().count()
+    (
+        _melt_bands(novel).write.format(tl.fmt)
+        .mode("append")
+        .bucketBy(n_buckets, "bk")
+        .sortBy("bk")
+        .saveAsTable(tl.ident(store))
+    )
+    novel.write.format(tl.fmt).mode("append").saveAsTable(tl.ident(wide_name))
+    spark.catalog.refreshTable(tl.ident(store))
+    spark.catalog.refreshTable(tl.ident(wide_name))
+    return pairs, n_novel, n_dup

@@ -227,3 +227,69 @@ class TestCompactStore:
         before, after = compact_store(spark, tl, "orph")
         assert before == -1 and after == 2
         assert tl.exists(spark, "orph") and not tl.exists(spark, "orph__compact")
+
+
+class TestIncrementalImageDedup:
+    """Continuous-ingest image dedup against the persisted dHash band-key
+    store: cross-batch recall of an exposure-variant re-upload, re-ingest
+    flags everything as seen, store grows by novel images only."""
+
+    def _hashes(self, spark, imgs):
+        import pandas as pd
+
+        from datasmith_spark.operators.image_fp import image_hashes
+
+        pdf = pd.DataFrame(
+            {
+                "img_id": [i for i, _ in imgs],
+                "bytes": [im.tobytes() for _, im in imgs],
+                "width": 32,
+                "height": 24,
+                "fmt": "rgb8",
+            }
+        )
+        return image_hashes(spark.createDataFrame(pdf))
+
+    def test_cross_batch_recall_and_store_growth(self, spark, ns):
+        from datasmith_spark.core.image_fp import aug_exposure_variant
+        from datasmith_spark.operators.image_fp import ingest_image_batch
+
+        rng = np.random.default_rng(314)
+        base = {
+            f"web/img-{i}.png": rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+            for i in range(10)
+        }
+        tl = TableLayer("unused", catalog=ns)
+        items = list(base.items())
+
+        # batch 1: ten originals -> store init, no pairs
+        h1 = self._hashes(spark, items)
+        pairs, n_novel, n_dup = ingest_image_batch(spark, tl, "imgstore", h1)
+        assert (n_novel, n_dup) == (10, 0) and pairs.count() == 0
+
+        # batch 2: an exposure-variant re-upload + two new images
+        b2 = [
+            ("reupload/variant", aug_exposure_variant(items[3][1])),
+            ("web/img-new-a.png", rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)),
+            ("web/img-new-b.png", rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)),
+        ]
+        pairs2, n_novel2, n_dup2 = ingest_image_batch(
+            spark, tl, "imgstore", self._hashes(spark, b2)
+        )
+        got = [(r["batch_id"], r["seen_id"]) for r in pairs2.collect()]
+        assert got == [("reupload/variant", "web/img-3.png")]
+        assert (n_novel2, n_dup2) == (2, 1)
+
+        # store holds melted keys for 12 images (10 + 2 novel), 4 bands each
+        melted = tl.read(spark, "imgstore")
+        assert melted.select("img_id").distinct().count() == 12
+        assert melted.count() == 48
+        wide = tl.read(spark, "imgstore__wide")
+        assert wide.count() == 12
+
+        # re-ingest batch 2 wholesale: all three now flagged seen, no growth
+        pairs3, n_novel3, n_dup3 = ingest_image_batch(
+            spark, tl, "imgstore", self._hashes(spark, b2)
+        )
+        assert n_novel3 == 0 and n_dup3 == 3
+        assert tl.read(spark, "imgstore").count() == 48
