@@ -360,3 +360,64 @@ def audio_neardup_pairs(
             "sz_b",
         )
     )
+
+
+def decontaminate_by_eval_keys(
+    keys: DataFrame,
+    eval_ids: DataFrame,
+    num: int,
+    den: int,
+    eval_df_cap: int = 10,
+) -> DataFrame:
+    """Eval-suite decontamination over fingerprint keys: flag every corpus
+    clip whose key set CONTAINS a large fraction of some eval clip's keys.
+
+    `keys` is (clip_id, fp_key) set-semantic rows (fingerprint_clips /
+    fingerprint_scan output over the full corpus — eval clips included);
+    `eval_ids` is the bounded eval-suite id list (clip_id). A corpus clip t
+    is contaminated by eval clip e when, in exact integers,
+
+        den * |K_t n K_e| >= num * |K_e|     (t != e)
+
+    — asymmetric CONTAINMENT against the eval clip, not Jaccard: a long
+    training clip that swallows a whole eval clip must flag even though
+    its own key set is much larger. Keys shared by more than `eval_df_cap`
+    eval clips are dropped from BOTH the intersection and the denominator
+    first (non-discriminative, silence-like patterns); the filter is
+    computed on the bounded eval key set only, so it costs no corpus pass.
+
+    Output: one row per contaminated corpus clip —
+    (clip_id, n_eval_hits, max_shared), all exact integers.
+
+    Scale shape (the audio twin of the q43 text-contamination probe): the
+    eval suite is bounded, so its keys BROADCAST; candidate generation is
+    a map-side hash join against the corpus key stream — the corpus is
+    never shuffled on raw keys. The only shuffles are partial-aggregated
+    (tid, eid) hit counts (bounded by |eval| per corpus clip) and the
+    final per-clip rollup. No self-join, no cap machinery needed: per-key
+    join fanout is bounded by the eval suite's occurrences of that key.
+    """
+    ev = keys.join(F.broadcast(eval_ids.select("clip_id")), "clip_id").select(
+        F.col("clip_id").alias("eid"), "fp_key"
+    )
+    # discriminative eval keys only (eval-side document frequency cap)
+    evdf = ev.groupBy("fp_key").agg(F.countDistinct("eid").alias("_ec"))
+    ev = ev.join(evdf.filter(F.col("_ec") <= eval_df_cap).select("fp_key"), "fp_key")
+    esz = ev.groupBy("eid").agg(F.count("*").alias("sz"))
+    inter = (
+        keys.withColumnRenamed("clip_id", "tid")
+        .join(F.broadcast(ev), "fp_key")
+        .filter(F.col("tid") != F.col("eid"))
+        .groupBy("tid", "eid")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.join(F.broadcast(esz), "eid")
+        .filter(F.lit(den) * F.col("n_shared") >= F.lit(num) * F.col("sz"))
+        .groupBy("tid")
+        .agg(
+            F.count("*").alias("n_eval_hits"),
+            F.max("n_shared").cast("long").alias("max_shared"),
+        )
+        .select(F.col("tid").alias("clip_id"), "n_eval_hits", "max_shared")
+    )

@@ -3456,3 +3456,91 @@ def q79_image_thumbnails(spark, sf_dir):
     from .operators.multimodal import thumbnail_digest_scan
 
     return thumbnail_digest_scan(spark, _images_cache_path(spark, sf_dir))
+
+
+_DECON_NUM, _DECON_DEN = 30, 100  # eval-containment threshold num/den
+_DECON_EVAL_DF_CAP = 10  # drop keys shared by > this many eval clips
+_DECON_EVAL_EVERY = 40  # eval suite = plant originals (== FP_AUG_EVERY)
+
+
+@register(
+    "q80_eval_decontamination",
+    rf"""
+    WITH keys AS (
+      SELECT clip_id AS id, fp_key AS k FROM read_parquet('{_AUDIO_FP_FIXTURE}')
+    ),
+    ev AS (
+      SELECT DISTINCT id AS eid FROM keys
+      WHERE id LIKE 'clip_%'
+        AND CAST(string_split(id, '_')[2] AS INTEGER) % {_DECON_EVAL_EVERY} = 0
+    ),
+    evk AS (SELECT e.eid, k.k FROM keys k JOIN ev e ON e.eid = k.id),
+    evdf AS (SELECT k, count(DISTINCT eid) AS ec FROM evk GROUP BY k),
+    evk2 AS (
+      SELECT v.eid, v.k FROM evk v
+      JOIN evdf d ON d.k = v.k AND d.ec <= {_DECON_EVAL_DF_CAP}
+    ),
+    esz AS (SELECT eid, count(*) AS sz FROM evk2 GROUP BY eid),
+    inter AS (
+      SELECT t.id AS tid, v.eid, count(*) AS n_shared
+      FROM keys t JOIN evk2 v ON v.k = t.k
+      WHERE t.id <> v.eid
+      GROUP BY t.id, v.eid
+    )
+    SELECT i.tid AS clip_id, count(*) AS n_eval_hits,
+           CAST(max(i.n_shared) AS BIGINT) AS max_shared
+    FROM inter i JOIN esz s ON s.eid = i.eid
+    WHERE {_DECON_DEN} * i.n_shared >= {_DECON_NUM} * s.sz
+    GROUP BY i.tid
+    """,
+)
+def q80_eval_decontamination(spark, sf_dir):
+    """Eval-suite decontamination over audio fingerprints: flag every
+    corpus clip whose Haitsma-Kalker key set contains >= 30% of some eval
+    clip's keys — the audio twin of the q43 text-contamination probe, and
+    the decontamination gate every training pipeline runs before a release
+    (an eval clip that leaked into the training corpus, at any gain or
+    re-quantization, must be caught and dropped).
+
+    Input is the SAME pinned fingerprint subset as q38 (every 4th clip,
+    plus planted gain+requant near-duplicates under aug_ ids); the eval
+    suite is the plant originals (index % 40 == 0, 97 decodable clips), so
+    the planted aug_ copies are the known leaked members the query must
+    recover — all 97 flag, zero false positives at num/den = 30/100.
+    Asymmetric exact-integer containment (den*|Kt n Ke| >= num*|Ke|), not
+    Jaccard: a long training clip swallowing a short eval clip must flag.
+
+    Split oracle like q38: the committed key fixture pins the fingerprint
+    math; the DuckDB SQL re-derives the ENTIRE distributed part — eval key
+    selection, the eval-side document-frequency cap, candidate join,
+    containment verify, per-clip rollup — from those keys. At 10^12 clips
+    the eval suite is bounded so its keys BROADCAST: candidate generation
+    is a map-side join over the corpus key stream (no corpus shuffle, no
+    self-join, no cap machinery — per-key fanout is bounded by the eval
+    suite); only partial-aggregated hit counts shuffle
+    (operators/audio_fp.py decontaminate_by_eval_keys)."""
+    from pyspark import StorageLevel
+
+    from .operators.audio_fp import (
+        FP_AUG_EVERY,
+        FP_EVERY,
+        decontaminate_by_eval_keys,
+        fingerprint_scan,
+    )
+
+    keys = fingerprint_scan(
+        spark,
+        _clips_cache_path(spark, sf_dir),
+        every=FP_EVERY,
+        aug_every=FP_AUG_EVERY,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    eval_ids = keys.select("clip_id").distinct().filter(
+        F.col("clip_id").startswith("clip_")
+        & (F.split("clip_id", "_").getItem(1).cast("int") % FP_AUG_EVERY == 0)
+    )
+    out = decontaminate_by_eval_keys(
+        keys, eval_ids, num=_DECON_NUM, den=_DECON_DEN,
+        eval_df_cap=_DECON_EVAL_DF_CAP,
+    ).localCheckpoint(eager=True)
+    keys.unpersist()
+    return out

@@ -271,3 +271,55 @@ class TestFixture:
 
         assert "q38_audio_fp_neardup" in QUERIES
         assert "q38_audio_fp_neardup" in ORACLE_SQL
+
+
+class TestDecontamination:
+    """q80: eval-suite decontamination by fingerprint-key containment."""
+
+    def _keys(self, spark, rows):
+        return spark.createDataFrame(rows, "clip_id string, fp_key string")
+
+    def test_containment_semantics(self, spark):
+        from datasmith_spark.operators.audio_fp import decontaminate_by_eval_keys
+
+        # eval clip e has keys {a,b,c,d}; t1 contains 3/4 (flag at 30%),
+        # t2 shares 1/4 (no flag), arbitrary non-datagen ids throughout
+        rows = [
+            ("eval/one.wav", k) for k in "abcd"
+        ] + [("train-x", k) for k in "abcz"] + [("train:y", k) for k in "a"]
+        keys = self._keys(spark, rows)
+        ev = spark.createDataFrame([("eval/one.wav",)], "clip_id string")
+        out = decontaminate_by_eval_keys(keys, ev, num=30, den=100).collect()
+        flagged = {r.clip_id: (r.n_eval_hits, r.max_shared) for r in out}
+        assert flagged == {"train-x": (1, 3)}
+
+    def test_eval_df_cap_drops_ubiquitous_keys(self, spark):
+        from datasmith_spark.operators.audio_fp import decontaminate_by_eval_keys
+
+        # key 'z' appears in both eval clips -> dropped at cap 1; e1 keeps
+        # {a,b}, t shares {a} = 50% >= 30% -> flag against e1 only
+        rows = (
+            [("e1", k) for k in "abz"]
+            + [("e2", k) for k in "cdz"]
+            + [("t", k) for k in "az"]
+        )
+        keys = self._keys(spark, rows)
+        ev = spark.createDataFrame([("e1",), ("e2",)], "clip_id string")
+        out = decontaminate_by_eval_keys(keys, ev, num=30, den=100, eval_df_cap=1).collect()
+        assert {r.clip_id: (r.n_eval_hits, r.max_shared) for r in out} == {"t": (1, 1)}
+
+    def test_plan_broadcasts_eval_side(self, spark):
+        from datasmith_spark.operators.audio_fp import decontaminate_by_eval_keys
+        from tests.test_plans import _plan
+
+        keys = self._keys(spark, [("a", "k1"), ("b", "k1")])
+        ev = spark.createDataFrame([("a",)], "clip_id string")
+        plan = _plan(decontaminate_by_eval_keys(keys, ev, num=30, den=100))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    def test_registry_has_q80(self):
+        from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+        assert "q80_eval_decontamination" in QUERIES
+        assert "q80_eval_decontamination" in ORACLE_SQL
