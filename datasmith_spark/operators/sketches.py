@@ -110,3 +110,48 @@ def kmv_sql(table_expr: str, key: str, group: str, k: int = KMV_K) -> str:
            n_exact
     FROM sk JOIN truth ON truth.g = sk.g
     """
+
+
+def binned_histogram(
+    df: DataFrame, value: str, group: str, bin_width: int, pcts: tuple[int, ...] = (50, 90, 99)
+) -> DataFrame:
+    """Fixed-width integer-binned histogram per group, with cumulative
+    counts and exact percentile-bin markers — the mergeable distribution
+    manifest a corpus release ships (duration/length profiles per codec,
+    language, source).
+
+    Output per (group, bin): n, cum_n, total, and one boolean per requested
+    percentile marking THE bin where that percentile lands:
+
+        is_pXX  <=>  100*cum_n >= XX*total  AND  100*(cum_n - n) < XX*total
+
+    — all-integer logic, so any engine reproduces it bit-for-bit (the
+    determinism bar approx_percentile/t-digest cannot meet; same reasoning
+    as kmv_distinct above).
+
+    Scale shape: the histogram is ONE map-side-combined groupBy to at most
+    (groups x bins) rows — the mergeable-sketch property (partial
+    histograms from any partitioning sum to the same result). The windows
+    run on the AGGREGATED bins, never the corpus: per-group state is the
+    bin count (bounded by value range / bin_width), not the row count.
+    """
+    h = (
+        df.filter(F.col(value).isNotNull())
+        .groupBy(
+            F.col(group).alias("grp"),
+            F.floor(F.col(value) / F.lit(bin_width)).cast("long").alias("bin"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wc = Window.partitionBy("grp").orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy("grp")
+    out = h.withColumn("cum_n", F.sum("n").over(wc)).withColumn(
+        "total", F.sum("n").over(wt)
+    )
+    for p in pcts:
+        out = out.withColumn(
+            f"is_p{p}",
+            (100 * F.col("cum_n") >= p * F.col("total"))
+            & (100 * (F.col("cum_n") - F.col("n")) < p * F.col("total")),
+        )
+    return out

@@ -3544,3 +3544,58 @@ def q80_eval_decontamination(spark, sf_dir):
     ).localCheckpoint(eager=True)
     keys.unpersist()
     return out
+
+
+_HIST_BIN_SAMPLES = 8000  # decoded-length histogram bin width (samples)
+
+
+@register(
+    "q81_duration_histogram",
+    f"""
+    WITH src AS (
+      SELECT codec, n_samples FROM read_parquet('{_ORACLE_FIXTURE}')
+      WHERE decode_ok AND n_samples IS NOT NULL
+    ),
+    h AS (
+      SELECT codec AS grp, CAST(floor(n_samples / {_HIST_BIN_SAMPLES}) AS BIGINT) AS bin,
+             count(*) AS n
+      FROM src GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT grp, bin, n,
+             sum(n) OVER (PARTITION BY grp ORDER BY bin) AS cum_n,
+             sum(n) OVER (PARTITION BY grp) AS total
+      FROM h
+    )
+    SELECT grp, bin, n, CAST(cum_n AS BIGINT) AS cum_n, CAST(total AS BIGINT) AS total,
+           (100 * cum_n >= 50 * total AND 100 * (cum_n - n) < 50 * total) AS is_p50,
+           (100 * cum_n >= 90 * total AND 100 * (cum_n - n) < 90 * total) AS is_p90,
+           (100 * cum_n >= 99 * total AND 100 * (cum_n - n) < 99 * total) AS is_p99
+    FROM c
+    """,
+)
+def q81_duration_histogram(spark, sf_dir):
+    """Per-codec decoded-length distribution manifest: fixed 8000-sample
+    bins over the decoded PCM length, cumulative counts, and exact
+    integer-logic percentile-bin markers (p50/p90/p99) — the distribution
+    profile a corpus release ships per codec/language/source, and the
+    deterministic alternative to approx_percentile (whose sketch never
+    value-matches across engines; same argument as q69's KMV).
+
+    The DuckDB oracle runs the identical computation over the committed
+    single-process pipeline fixture (oracle_labels_n4000.parquet), so the
+    value check covers the decode (n_samples), the binning, the window
+    logic, and the percentile markers. Spark side shares the fused
+    scan+decode pass with q27/q28 via the session-persisted post-decode
+    frame. At 10^12 clips: ONE map-side-combined groupBy down to
+    (codecs x bins) rows; the windows run on the aggregated bins only
+    (operators/sketches.py binned_histogram)."""
+    from .operators.sketches import binned_histogram
+
+    post = _clips_post_decode(spark, sf_dir)
+    return binned_histogram(
+        post.filter(F.col("decode_ok") & F.col("n_samples").isNotNull()),
+        value="n_samples",
+        group="codec",
+        bin_width=_HIST_BIN_SAMPLES,
+    )

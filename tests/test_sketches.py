@@ -63,3 +63,42 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+class TestBinnedHistogram:
+    def test_exact_markers_hand_case(self, spark):
+        from datasmith_spark.operators.sketches import binned_histogram
+
+        # group g: values -> bins [0,0,0,1,2,2,2,2,3,9]; total 10
+        vals = [1, 2, 3, 10, 20, 21, 22, 23, 30, 95]
+        df = spark.createDataFrame([("g", v) for v in vals], "grp0 string, v long")
+        out = {
+            r.bin: r
+            for r in binned_histogram(df, "v", "grp0", bin_width=10).collect()
+        }
+        assert {b: out[b].n for b in out} == {0: 3, 1: 1, 2: 4, 3: 1, 9: 1}
+        assert [out[b].cum_n for b in sorted(out)] == [3, 4, 8, 9, 10]
+        # p50 lands in bin 2 (cum 8 >= 5, prev cum 4 < 5); p90 in bin 3
+        # (cum 9 >= 9, prev 8 < 9); p99 in bin 9 (cum 10 >= 9.9, prev 9 < 9.9)
+        assert [b for b in out if out[b].is_p50] == [2]
+        assert [b for b in out if out[b].is_p90] == [3]
+        assert [b for b in out if out[b].is_p99] == [9]
+
+    def test_merge_invariance(self, spark):
+        """Partial histograms from any partitioning sum to the same result
+        (the mergeable-sketch property, asserted end-to-end)."""
+        from datasmith_spark.operators.sketches import binned_histogram
+
+        rows = [(f"g{i % 3}", (i * 37) % 500) for i in range(300)]
+        df1 = spark.createDataFrame(rows, "grp0 string, v long").repartition(1)
+        df8 = spark.createDataFrame(rows, "grp0 string, v long").repartition(8, "v")
+        key = lambda df: sorted(
+            map(tuple, binned_histogram(df, "v", "grp0", 50).collect())
+        )
+        assert key(df1) == key(df8)
+
+    def test_registry_has_q81(self):
+        from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+        assert "q81_duration_histogram" in QUERIES
+        assert "q81_duration_histogram" in ORACLE_SQL
