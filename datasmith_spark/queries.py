@@ -3599,3 +3599,53 @@ def q81_duration_histogram(spark, sf_dir):
         group="codec",
         bin_width=_HIST_BIN_SAMPLES,
     )
+
+
+@register(
+    "q82_bloom_store_dedup",
+    """
+    WITH sig AS (
+      SELECT doc_id,
+             md5(concat_ws('|', lang, source,
+                           CAST(CAST(floor(n_chars / 10) AS BIGINT) AS VARCHAR))) AS h
+      FROM documents
+    ),
+    store AS (SELECT DISTINCT h FROM sig WHERE doc_id % 3 = 0),
+    inc AS (SELECT doc_id, h FROM sig WHERE doc_id % 3 <> 0)
+    SELECT i.doc_id, i.h
+    FROM inc i WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.h = i.h)
+    """,
+)
+def q82_bloom_store_dedup(spark, sf_dir):
+    """Incremental dedup against a seen-signature store through a Bloom
+    membership prefilter: incoming docs (doc_id % 3 != 0) keep only rows
+    whose content signature (lang|source|length-bucket md5) was never seen
+    by the already-processed store (doc_id % 3 == 0).
+
+    The bloom is the 10^12-key answer to "was this key already processed":
+    the store collapses to a <=16 Ki-row (word, bits) artifact via ONE
+    map-side-combined bit_or groupBy; per-batch membership is k=3
+    broadcast probes — JVM-native xxhash64/shift/bitwiseAND inside
+    whole-stage codegen, NO shuffle of the batch; only the maybe-members
+    (false positives + true duplicates) reach the exact anti-join. Blooms
+    have no false negatives, so the composition is VALUE-EQUAL to the
+    plain left-anti join — which is exactly what the DuckDB oracle runs
+    (NOT EXISTS), value-checking that the probabilistic structure only
+    prunes and never decides (operators/bloom.py; equality also asserted
+    directly by tests/test_bloom.py)."""
+    from .operators.bloom import anti_join_via_bloom
+
+    sig = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("lang"),
+                F.col("source"),
+                F.floor(F.col("n_chars") / 10).cast("long").cast("string"),
+            )
+        ).alias("h"),
+    )
+    store = sig.filter(F.col("doc_id") % 3 == 0).select("h").distinct()
+    inc = sig.filter(F.col("doc_id") % 3 != 0)
+    return anti_join_via_bloom(inc, store, "h")
