@@ -3649,3 +3649,71 @@ def q82_bloom_store_dedup(spark, sf_dir):
     store = sig.filter(F.col("doc_id") % 3 == 0).select("h").distinct()
     inc = sig.filter(F.col("doc_id") % 3 != 0)
     return anti_join_via_bloom(inc, store, "h")
+
+
+_DRIFT_THR_PCT = 4  # flag when |keep-rate delta| between cohorts > 4%
+
+
+@register(
+    "q83_keep_rate_drift",
+    f"""
+    WITH l AS (
+      SELECT lang, keep,
+             CAST(string_split(clip_id, '_')[2] AS INTEGER) < 2000 AS cohort_a
+      FROM read_parquet('{_ORACLE_FIXTURE}') WHERE lang IS NOT NULL
+    ),
+    agg AS (
+      SELECT lang,
+             CAST(sum(CASE WHEN cohort_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN cohort_a AND keep THEN 1 ELSE 0 END) AS BIGINT) AS keep_a,
+             CAST(sum(CASE WHEN NOT cohort_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN NOT cohort_a AND keep THEN 1 ELSE 0 END) AS BIGINT) AS keep_b
+      FROM l GROUP BY lang
+    )
+    SELECT lang, n_a, keep_a, n_b, keep_b,
+           (n_a > 0 AND n_b > 0 AND
+            100 * abs(keep_a * n_b - keep_b * n_a) > {_DRIFT_THR_PCT} * n_a * n_b) AS drift
+    FROM agg
+    """,
+)
+def q83_keep_rate_drift(spark, sf_dir):
+    """Filter-health drift monitor: per-language keep-rate comparison
+    between two ingest cohorts (clip index < 2000 vs >= 2000 stands in for
+    yesterday's vs today's partition), flagging languages whose keep rate
+    moved by more than 4 percentage points — the alarm a production
+    curation pipeline wires to its filter-stage metrics (a drifting keep
+    rate means the upstream data OR a filter changed; the reference's
+    per-stage metrics tables exist for exactly this reading).
+
+    The rate comparison is integer cross-multiplied
+    (100*|keep_a*n_b - keep_b*n_a| > thr*n_a*n_b) so every emitted column
+    and the flag itself are engine-exact — no float rate ever materializes.
+    The DuckDB oracle runs the identical computation over the committed
+    pipeline fixture. Spark side shares the session-persisted post-decode
+    frame with q27/q28/q81 and runs the langid stage over it; ONE
+    map-side-combined groupBy per cohort-conditional sum at any scale."""
+    from .operators.stages import langid_stage, ppl_stage, scrub_stage
+
+    post = _clips_post_decode(spark, sf_dir)
+    labels = scrub_stage(ppl_stage(langid_stage(post))).withColumn(
+        "keep", F.col("drop_stage").isNull()
+    )
+    coh = labels.filter(F.col("lang").isNotNull()).withColumn(
+        "cohort_a", F.split("clip_id", "_").getItem(1).cast("int") < 2000
+    )
+    agg = coh.groupBy("lang").agg(
+        F.sum(F.col("cohort_a").cast("long")).alias("n_a"),
+        F.sum((F.col("cohort_a") & F.col("keep")).cast("long")).alias("keep_a"),
+        F.sum((~F.col("cohort_a")).cast("long")).alias("n_b"),
+        F.sum(((~F.col("cohort_a")) & F.col("keep")).cast("long")).alias("keep_b"),
+    )
+    return agg.select(
+        "lang", "n_a", "keep_a", "n_b", "keep_b",
+        (
+            (F.col("n_a") > 0) & (F.col("n_b") > 0)
+            & (
+                100 * F.abs(F.col("keep_a") * F.col("n_b") - F.col("keep_b") * F.col("n_a"))
+                > _DRIFT_THR_PCT * F.col("n_a") * F.col("n_b")
+            )
+        ).alias("drift"),
+    )

@@ -102,3 +102,10 @@ class TestBinnedHistogram:
 
         assert "q81_duration_histogram" in QUERIES
         assert "q81_duration_histogram" in ORACLE_SQL
+
+
+def test_registry_has_q83():
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q83_keep_rate_drift" in QUERIES
+    assert "q83_keep_rate_drift" in ORACLE_SQL
