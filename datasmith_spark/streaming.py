@@ -475,3 +475,44 @@ def stream_image_hashes(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return image_hashes(reader.parquet(input_dir))
+
+
+def stream_store_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    store_keys: DataFrame,
+    col: str,
+    max_files_per_trigger: int | None = None,
+    m_bits: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Continuous-ingest dedup against a seen-key store: every arriving
+    micro-batch keeps only rows whose `col` is NOT among `store_keys`,
+    probed through the q82 Bloom prefilter (operators/bloom.py).
+
+    The bloom is built ONCE from the store when the stream is declared and
+    pinned as a static side; each micro-batch then pays k broadcast probes
+    (map-side, JVM-native) plus an exact stream-static anti-join over the
+    maybe-member sliver — the per-batch cost profile that holds when the
+    store has 10^12 keys but a trigger carries thousands of rows. Because
+    blooms have no false negatives the retained set is VALUE-EQUAL to the
+    plain stream-static left-anti join, so micro-batch == batch
+    bit-for-bit (pinned by tests/test_streaming.py), the same
+    one-codepath-for-backfill-and-live property as every other lift here.
+    The stream's own schema is inferred from the parquet directory, like
+    stream_exact_dedup above."""
+    from .operators import bloom as B
+
+    m_bits = B.BLOOM_M_BITS if m_bits is None else m_bits
+    k = B.BLOOM_K if k is None else k
+    schema = spark.read.parquet(input_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
+    # build once, eagerly, so micro-batches only probe (localCheckpoint
+    # pins the tiny (word, bits) table; a stream cannot re-derive it)
+    filt = B.bloom_build(store_keys, col, m_bits, k).localCheckpoint(eager=True)
+    return B.anti_join_via_bloom(
+        stream, store_keys, col, m_bits, k, filter_df=filt
+    )

@@ -627,3 +627,37 @@ def test_stream_image_hashes_matches_batch(spark, tmp_path):
     assert got.equals(want)
     # corrupt rows (every 51st index) were skipped, not crashed
     assert len(got) < 120
+
+
+def test_stream_store_dedup_matches_batch(spark, tmp_path):
+    """The q82 bloom store-dedup lifted onto a stream retains EXACTLY the
+    rows of the plain batch anti-join over the same files — the bloom only
+    prunes, and micro-batching does not change the retained set."""
+    from datasmith_spark.streaming import stream_store_dedup
+
+    inp = str(tmp_path / "sig_in")
+    rows = [(i, f"sig-{i % 140}") for i in range(400)]  # heavy key reuse
+    spark.createDataFrame(rows, "row_id long, h string").repartition(
+        5
+    ).write.mode("overwrite").parquet(inp)
+    store = spark.createDataFrame(
+        [(f"sig-{i}",) for i in range(0, 140, 2)], "h string"  # evens seen
+    )
+    q = (
+        stream_store_dedup(spark, inp, store, "h", max_files_per_trigger=2)
+        .writeStream.format("memory")
+        .queryName("store_dedup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r.row_id, r.h) for r in spark.table("store_dedup_stream").collect()
+    )
+    want = sorted(
+        (r.row_id, r.h)
+        for r in spark.read.parquet(inp).join(store, "h", "left_anti").collect()
+    )
+    assert got == want and len(got) > 0
+    # only odd signatures survive
+    assert all(int(h.split("-")[1]) % 2 == 1 for _, h in got)
