@@ -451,3 +451,50 @@ def reverb(pcm: np.ndarray, key: str, sr: int, tail_ms: int = 200) -> np.ndarray
         m <<= 1
     y = np.fft.irfft(np.fft.rfft(x, m) * np.fft.rfft(h, m), m)[:n]
     return np.clip(y, -1.0, 1.0)
+
+
+def pitch_shift(
+    pcm: np.ndarray,
+    num: int,
+    den: int,
+    frame: int = 512,
+    delta: int = 64,
+) -> np.ndarray | None:
+    """Pitch shift WITHOUT tempo change — the third prosody axis beside
+    resampling speed change (pitch+tempo together) and WSOLA tempo change
+    (tempo only). Factor num/den > 1 shifts pitch UP.
+
+    Classical two-stage construction: Lanczos-resample the waveform to
+    den/num of its length (when replayed at the original rate every
+    frequency scales by num/den — and so does duration), then WSOLA
+    time-stretch by den/num to restore the original duration without
+    touching the new pitch. Both stages are the engine's existing
+    deterministic kernels, so the composition inherits their
+    host-portability (exact int64 alignment argmax; fixed-order sinc).
+
+    Returns None (caller passes the row through) when the clip is too
+    short for the WSOLA stage — the same flag-don't-crash contract.
+
+    >>> sr = 16000
+    >>> t = np.arange(2 * sr) / sr
+    >>> x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    >>> y = pitch_shift(x, 9, 8)  # up ~2 semitones
+    >>> abs(y.size - x.size) <= 512  # duration preserved
+    True
+    >>> spec = np.abs(np.fft.rfft(y * np.hanning(y.size)))
+    >>> peak_hz = spec.argmax() * sr / y.size
+    >>> abs(peak_hz - 440.0 * 9 / 8) < 5.0  # pitch moved to 495 Hz
+    True
+    >>> pitch_shift(x[:700], 9, 8) is None  # too short to stretch
+    True
+    """
+    x = np.asarray(pcm, dtype=np.float64)
+    if x.size == 0 or num <= 0 or den <= 0:
+        return None
+    if num == den:
+        return x.copy()
+    # stage 1: time-compress by num/den (only the RATIO matters to the
+    # resampler; anti-aliasing engages on the down direction)
+    y1 = resample(x, num, den)
+    # stage 2: stretch back to the original length, pitch untouched
+    return wsola(y1, den, num, frame=frame, delta=delta)

@@ -34,7 +34,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..core.audio import ITEMSIZE, decode, encode
-from ..core.resample import add_noise, cmvn, logmel, resample, spec_augment, wsola
+from ..core.resample import (
+    add_noise,
+    cmvn,
+    logmel,
+    pitch_shift,
+    resample,
+    spec_augment,
+    wsola,
+)
 from ..core.spectral import (
     bw_bin_to_hz,
     speaking_rate_keep,
@@ -835,11 +843,18 @@ def _tempo_pdf(
     factors: tuple[tuple[int, int], ...],
     codec_out: str,
     digest: bool,
+    kernel=None,
 ) -> pd.DataFrame:
     """One pandas batch of clips -> len(factors) tempo-perturbed rows per
     clip (WSOLA: tempo shifts, pitch does NOT — the complement of
     _speed_pdf). Undecodable or too-short rows emit one passthrough row
-    per factor with tp_ok=false."""
+    per factor with tp_ok=false.
+
+    `kernel(pcm, num, den) -> pcm | None` defaults to wsola; the pitch
+    lane (q84) passes core.resample.pitch_shift — same row contract, so
+    the whole fan-out/passthrough/digest scaffolding is shared."""
+    if kernel is None:
+        kernel = wsola
     cols = {
         "clip_id": [], "f_num": [], "f_den": [], "tp_ok": [], "sr_hz": [],
         "dur_ms": [], "bytes": [], "codec": [], "transcript": [],
@@ -851,7 +866,7 @@ def _tempo_pdf(
         sr = None if pd.isna(sr) else int(sr)
         pcm = decode(buf, codec) if sr and sr > 0 else None
         for num, den in factors:
-            y = wsola(pcm, num, den) if pcm is not None else None
+            y = kernel(pcm, num, den) if pcm is not None else None
             cols["clip_id"].append(cid)
             cols["f_num"].append(num)
             cols["f_den"].append(den)
@@ -1343,6 +1358,70 @@ def tempo_digest_scan(
         input_dir,
         lambda pdf: _tempo_pdf(pdf, factors, codec_out, True),
         TEMPO_DIGEST_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+    )
+
+
+PITCH_FACTORS = ((9, 8), (8, 9))  # ~+/-2 semitones
+
+PITCH_DIGEST_DDL = (
+    "clip_id string, f_num int, f_den int, ps_ok boolean, sr_hz int, "
+    "dur_ms int, payload_md5 string"
+)
+
+PITCH_DDL = (
+    "clip_id string, f_num int, f_den int, ps_ok boolean, sr_hz int, "
+    "dur_ms int, bytes binary, codec string, transcript string"
+)
+
+
+def _pitch_pdf(
+    pdf: pd.DataFrame,
+    factors: tuple[tuple[int, int], ...],
+    codec_out: str,
+    digest: bool,
+) -> pd.DataFrame:
+    """One pandas batch of clips -> len(factors) pitch-shifted rows per
+    clip (resample+WSOLA composition: pitch shifts, tempo does NOT — the
+    third prosody axis beside _speed_pdf and _tempo_pdf). Same row
+    contract as _tempo_pdf via the shared scaffolding."""
+    out = _tempo_pdf(pdf, factors, codec_out, digest, kernel=pitch_shift)
+    return out.rename(columns={"tp_ok": "ps_ok"})
+
+
+def pitch_perturb_clips(
+    clips: DataFrame,
+    factors: tuple[tuple[int, int], ...] = PITCH_FACTORS,
+    codec_out: str = "pcm16",
+    digest: bool = False,
+) -> DataFrame:
+    """Pitch perturbation (composable path; digest=True is the q84
+    verification mode). Fan-out inside the Arrow batch; shuffle-free."""
+    if codec_out not in ITEMSIZE:
+        raise ValueError(f"unknown codec_out: {codec_out}")
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _pitch_pdf(pdf, factors, codec_out, digest)
+
+    return clips.select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+    ).mapInPandas(_run, schema=PITCH_DIGEST_DDL if digest else PITCH_DDL)
+
+
+def pitch_digest_scan(
+    spark: SparkSession,
+    input_dir: str,
+    factors: tuple[tuple[int, int], ...] = PITCH_FACTORS,
+    codec_out: str = "pcm16",
+) -> DataFrame:
+    """pitch_perturb_clips(digest=True) over a parquet directory via the
+    fused manifest scan (q84)."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _pitch_pdf(pdf, factors, codec_out, True),
+        PITCH_DIGEST_DDL,
         scan_parallelism=_kernel_parallelism(spark, input_dir),
     )
 

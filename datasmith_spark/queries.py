@@ -3721,3 +3721,35 @@ def q83_keep_rate_drift(spark, sf_dir):
             )
         ).alias("drift"),
     )
+
+
+_AUDIO_PITCH_FIXTURE = f"/root/repo/fixtures/oracle_audio_pitch_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q84_pitch_perturb",
+    f"""
+    SELECT clip_id, f_num, f_den, ps_ok, sr_hz, dur_ms, payload_md5
+    FROM read_parquet('{_AUDIO_PITCH_FIXTURE}')
+    """,
+)
+def q84_pitch_perturb(spark, sf_dir):
+    """Pitch shift WITHOUT tempo change at ~+/-2 semitones (9/8 and 8/9):
+    the third prosody axis completing the augmentation triad — q54 resample
+    (pitch+tempo together), q64 WSOLA (tempo only), q84 (pitch only). The
+    classical two-stage composition of the engine's existing kernels:
+    Lanczos-resample to den/num length (replayed at the original rate every
+    frequency scales by num/den), then WSOLA-stretch by den/num to restore
+    the duration without touching the new pitch. Host-portable because the
+    only ulp-flippable decision — the WSOLA alignment argmax — is an exact
+    int64 cross-correlation and the sinc stage is a fixed-order sum.
+    Too-short clips pass through with ps_ok=false. One clip fans out to
+    two rows inside the Arrow batch; shuffle-free narrow map at 10^12
+    clips.
+
+    Digest-exact value check like q64: fused manifest scan hashes each
+    shifted payload worker-side vs the committed single-process pass
+    (scripts/make_audio_pitch_fixture.py)."""
+    from .operators.audio_ops import pitch_digest_scan
+
+    return pitch_digest_scan(spark, _clips_cache_path(spark, sf_dir))

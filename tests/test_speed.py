@@ -668,3 +668,90 @@ class TestTranscode:
         )
         regen = oracle_rows(range(0, 150))
         pd.testing.assert_frame_equal(fx.iloc[:150].reset_index(drop=True), regen)
+
+
+class TestPitchPerturb:
+    """q84: resample+WSOLA pitch shift — pitch moves, duration does not."""
+
+    def test_pitch_moves_duration_preserved(self):
+        from datasmith_spark.core.resample import pitch_shift
+
+        sr, f0 = 16000, 440.0
+        x = 0.5 * np.sin(2 * np.pi * f0 * np.arange(2 * sr) / sr)
+        for num, den in ((9, 8), (8, 9)):
+            y = pitch_shift(x, num, den)
+            assert abs(y.size - x.size) <= 512  # duration preserved
+            spec = np.abs(np.fft.rfft(y * np.hanning(y.size)))
+            peak = spec.argmax() * sr / y.size
+            assert abs(peak - f0 * num / den) < 5.0  # pitch scaled
+
+    def test_short_clip_passthrough(self):
+        from datasmith_spark.operators.audio_ops import PITCH_FACTORS, _pitch_pdf
+
+        sr = 16000
+        pdf = pd.DataFrame(
+            {
+                "clip_id": ["s"],
+                "bytes": [encode(0.3 * np.ones(600), "pcm16")],
+                "sr_hz": [sr],
+                "dur_ms": [37],
+                "codec": ["pcm16"],
+                "transcript": ["t"],
+            }
+        )
+        out = _pitch_pdf(pdf, PITCH_FACTORS, "pcm16", False)
+        assert len(out) == 2 and (~out.ps_ok).all()
+        assert all(b == pdf["bytes"].iloc[0] for b in out["bytes"])
+
+    def test_determinism_and_batch_invariance(self):
+        from datasmith_spark.operators.audio_ops import PITCH_FACTORS, _pitch_pdf
+
+        pdfs = [_tone_pdf(f=290.0 + 41 * i) for i in range(3)]
+        for i, p in enumerate(pdfs):
+            p["clip_id"] = [f"c{i}"]
+        whole = _pitch_pdf(pd.concat(pdfs, ignore_index=True), PITCH_FACTORS, "pcm16", True)
+        parts = pd.concat(
+            [_pitch_pdf(p, PITCH_FACTORS, "pcm16", True) for p in pdfs],
+            ignore_index=True,
+        )
+        assert list(whole.payload_md5) == list(parts.payload_md5)
+
+    def test_spark_matches_kernel_and_fixture_honest(self, spark):
+        import sys
+
+        from datasmith_spark.datagen import clips_df
+        from datasmith_spark.operators.audio_ops import (
+            PITCH_FACTORS,
+            _pitch_pdf,
+            pitch_perturb_clips,
+        )
+
+        clips = clips_df(spark, 60, n_partitions=4)
+        got = (
+            pitch_perturb_clips(clips, digest=True)
+            .toPandas()
+            .sort_values(["clip_id", "f_num"])
+            .reset_index(drop=True)
+        )
+        want = (
+            _pitch_pdf(clips.toPandas(), PITCH_FACTORS, "pcm16", True)
+            .sort_values(["clip_id", "f_num"])
+            .reset_index(drop=True)
+        )
+        assert list(got.payload_md5) == list(want.payload_md5)
+
+        sys.path.insert(0, "/root/repo/scripts")
+        import make_audio_pitch_fixture as mpf
+
+        fix = pd.read_parquet("/root/repo/fixtures/oracle_audio_pitch_n4000.parquet")
+        idx = list(range(0, 4000, 59))
+        fresh = mpf.oracle_rows(idx).reset_index(drop=True)
+        rows = sorted(i * 2 + j for i in idx for j in range(2))
+        sample = fix.iloc[rows].reset_index(drop=True)
+        assert list(sample.payload_md5) == list(fresh.payload_md5)
+
+    def test_registry_has_q84(self):
+        from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+        assert "q84_pitch_perturb" in QUERIES
+        assert "q84_pitch_perturb" in ORACLE_SQL
