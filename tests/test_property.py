@@ -286,3 +286,25 @@ def test_spec_augment_only_zeroes_and_preserves_rest(key, n_t):
     assert np.all((out == 3.25) | (out == 0.0))
     # deterministic in the key
     assert np.array_equal(out, spec_augment(f, key))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=2048, max_value=20000),
+    st.sampled_from([(9, 8), (8, 9), (12, 11), (11, 12)]),
+    st.floats(min_value=50.0, max_value=2000.0),
+)
+def test_pitch_shift_preserves_duration(n, factor, f0):
+    """pitch_shift output length stays within one WSOLA frame of the input
+    for any clip long enough to stretch (duration is the invariant the
+    composition exists to protect)."""
+    from datasmith_spark.core.resample import pitch_shift
+
+    num, den = factor
+    x = 0.4 * np.sin(2 * np.pi * f0 * np.arange(n) / 16000.0)
+    y = pitch_shift(x, num, den)
+    if y is None:
+        # only permissible for clips whose RESAMPLED form is too short
+        assert round(n * den / num) < 2 * 512
+    else:
+        assert abs(y.size - n) <= 512
