@@ -1604,3 +1604,108 @@ def transcode_digest_scan(
         lambda pdf: _transcode_pdf(pdf, codec_out, True),
         TRANSCODE_DIGEST_DDL,
     )
+
+
+AUG_ROUTES = ("noise", "reverb", "speed", "tempo", "pitch")
+
+AUG_ROUTE_DIGEST_DDL = "clip_id string, aug string, ok boolean, payload_md5 string"
+
+
+def default_aug_route(clip_id: str) -> int:
+    """crc32-based route for arbitrary clip ids (the composable default —
+    the q85 registration routes by datagen index instead so the fixture
+    oracle can reproduce the routing in SQL)."""
+    import zlib
+
+    return zlib.crc32(clip_id.encode("utf-8")) % len(AUG_ROUTES)
+
+
+def _aug_route_pdf(
+    pdf: pd.DataFrame, route_fn, snr_db: int, tail_ms: int
+) -> pd.DataFrame:
+    """One pandas batch of clips -> one digest row per clip, augmented by
+    the ONE lane its route selects. Row-wise kernels make sub-batch
+    dispatch safe (batch invariance is pinned per lane by the per-lane
+    suites), so the router costs one kernel call per present lane, not
+    one pass per lane over the whole batch."""
+    import numpy as np
+
+    routes = np.fromiter(
+        (route_fn(c) for c in pdf["clip_id"]), dtype=np.int64, count=len(pdf)
+    )
+
+    def norm(df: pd.DataFrame, aug: str, flag: str) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "clip_id": df["clip_id"].to_numpy(),
+                "aug": aug,
+                "ok": df[flag].to_numpy(),
+                "payload_md5": df["payload_md5"].to_numpy(),
+            }
+        )
+
+    lanes = (
+        ("noise", lambda s: _noise_pdf(s, snr_db, True), "augmented"),
+        ("reverb", lambda s: _reverb_pdf(s, tail_ms, True), "augmented"),
+        ("speed", lambda s: _speed_pdf(s, ((11, 10),), "pcm16", True), "sp_ok"),
+        ("tempo", lambda s: _tempo_pdf(s, ((11, 10),), "pcm16", True), "tp_ok"),
+        ("pitch", lambda s: _pitch_pdf(s, ((9, 8),), "pcm16", True), "ps_ok"),
+    )
+    parts = []
+    for r, (aug, fn, flag) in enumerate(lanes):
+        sub = pdf[routes == r]
+        if len(sub):
+            parts.append(norm(fn(sub), aug, flag))
+    if not parts:
+        return pd.DataFrame(
+            {
+                "clip_id": pd.Series(dtype="object"),
+                "aug": pd.Series(dtype="object"),
+                "ok": pd.Series(dtype="bool"),
+                "payload_md5": pd.Series(dtype="object"),
+            }
+        )
+    return pd.concat(parts, ignore_index=True)
+
+
+def augment_route_clips(
+    clips: DataFrame,
+    route_fn=default_aug_route,
+    snr_db: int = 10,
+    tail_ms: int = 200,
+    digest: bool = True,
+) -> DataFrame:
+    """Deterministic augmentation-policy router: each clip receives exactly
+    ONE of the five augmentations (noise/reverb/speed/tempo/pitch) chosen
+    by `route_fn(clip_id)` — the "augment a slice of the corpus, evenly
+    across policies" pattern a training-data pipeline runs, composed from
+    the five existing deterministic lanes. Digest mode only for now (the
+    payload mode of every lane stays available individually)."""
+    if not digest:
+        raise NotImplementedError("router emits digests; use the per-lane operators for payloads")
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _aug_route_pdf(pdf, route_fn, snr_db, tail_ms)
+
+    return clips.select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+    ).mapInPandas(_run, schema=AUG_ROUTE_DIGEST_DDL)
+
+
+def augment_route_digest_scan(
+    spark: SparkSession,
+    input_dir: str,
+    route_fn=default_aug_route,
+    snr_db: int = 10,
+    tail_ms: int = 200,
+) -> DataFrame:
+    """augment_route_clips over a parquet directory via the fused manifest
+    scan (q85) — one decode per clip, one kernel by route, digest out."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _aug_route_pdf(pdf, route_fn, snr_db, tail_ms),
+        AUG_ROUTE_DIGEST_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+    )

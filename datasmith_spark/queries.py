@@ -3753,3 +3753,54 @@ def q84_pitch_perturb(spark, sf_dir):
     from .operators.audio_ops import pitch_digest_scan
 
     return pitch_digest_scan(spark, _clips_cache_path(spark, sf_dir))
+
+
+@register(
+    "q85_augment_router",
+    f"""
+    SELECT clip_id, 'noise' AS aug, augmented AS ok, payload_md5
+    FROM read_parquet('{_AUDIO_NOISE_FIXTURE}')
+    WHERE CAST(string_split(clip_id, '_')[2] AS INTEGER) % 5 = 0
+    UNION ALL
+    SELECT clip_id, 'reverb' AS aug, augmented AS ok, payload_md5
+    FROM read_parquet('{_AUDIO_REVERB_FIXTURE}')
+    WHERE CAST(string_split(clip_id, '_')[2] AS INTEGER) % 5 = 1
+    UNION ALL
+    SELECT clip_id, 'speed' AS aug, sp_ok AS ok, payload_md5
+    FROM read_parquet('{_AUDIO_SPEED_FIXTURE}')
+    WHERE CAST(string_split(clip_id, '_')[2] AS INTEGER) % 5 = 2
+      AND f_num = 11 AND f_den = 10
+    UNION ALL
+    SELECT clip_id, 'tempo' AS aug, tp_ok AS ok, payload_md5
+    FROM read_parquet('{_AUDIO_TEMPO_FIXTURE}')
+    WHERE CAST(string_split(clip_id, '_')[2] AS INTEGER) % 5 = 3
+      AND f_num = 11 AND f_den = 10
+    UNION ALL
+    SELECT clip_id, 'pitch' AS aug, ps_ok AS ok, payload_md5
+    FROM read_parquet('{_AUDIO_PITCH_FIXTURE}')
+    WHERE CAST(string_split(clip_id, '_')[2] AS INTEGER) % 5 = 4
+      AND f_num = 9 AND f_den = 8
+    """,
+)
+def q85_augment_router(spark, sf_dir):
+    """Deterministic augmentation-policy router: every clip receives
+    exactly ONE of the five augmentation lanes — additive noise (q63),
+    reverberation (q71), speed 1.1x (q54), tempo 1.1x (q64), or pitch
+    +2 st (q84) — selected per clip, here by datagen index % 5 so the
+    oracle can reproduce the routing (the composable operator defaults to
+    crc32(clip_id) % 5 for arbitrary ids). This is the "augment the corpus
+    evenly across policies" pass a training pipeline runs before export:
+    one decode per clip, one kernel by route, ONE fused shuffle-free scan
+    — never five passes over the bytes.
+
+    The oracle is assembled entirely from the five lanes' OWN committed
+    fixtures (union of route-filtered selects) — no new fixture, so this
+    query value-checks that the router composes the lanes bit-for-bit with
+    their standalone forms (operators/audio_ops.py augment_route_clips)."""
+    from .operators.audio_ops import augment_route_digest_scan
+
+    return augment_route_digest_scan(
+        spark,
+        _clips_cache_path(spark, sf_dir),
+        route_fn=lambda cid: int(cid.rsplit("_", 1)[1]) % 5,
+    )

@@ -755,3 +755,66 @@ class TestPitchPerturb:
 
         assert "q84_pitch_perturb" in QUERIES
         assert "q84_pitch_perturb" in ORACLE_SQL
+
+
+class TestAugmentRouter:
+    """q85: one clip -> exactly one augmentation lane, composed bit-for-bit
+    from the standalone lanes (their equality with the committed fixtures
+    is each lane's own test; here we pin routing + composition)."""
+
+    def test_routes_partition_the_batch(self, spark):
+        from datasmith_spark.datagen import clips_df
+        from datasmith_spark.operators.audio_ops import augment_route_clips
+
+        clips = clips_df(spark, 50, n_partitions=3)
+        out = augment_route_clips(clips).toPandas()
+        assert len(out) == 50 and out.clip_id.is_unique
+        # crc32 routing spreads across all five lanes on 50 clips
+        assert set(out.aug) == {"noise", "reverb", "speed", "tempo", "pitch"}
+
+    def test_arbitrary_ids(self, spark):
+        from datasmith_spark.operators.audio_ops import augment_route_clips
+
+        rows = [
+            ("s3://bucket/a.wav", encode(0.3 * np.sin(np.arange(24000) / 9.0), "pcm16"),
+             16000, 1500, "pcm16", "hello"),
+            ("weird id!", None, 16000, None, "pcm16", None),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+        )
+        out = augment_route_clips(df).toPandas()
+        assert len(out) == 2
+        ok = out.set_index("clip_id")["ok"]
+        assert bool(ok["s3://bucket/a.wav"]) is True
+        assert bool(ok["weird id!"]) is False  # undecodable flags, not crashes
+
+    def test_matches_standalone_lane(self, spark):
+        """Routed digests equal the standalone lane digests for the routed
+        clips (composition adds nothing and loses nothing)."""
+        from datasmith_spark.datagen import clips_df
+        from datasmith_spark.operators.audio_ops import (
+            augment_route_clips,
+            tempo_perturb_clips,
+        )
+
+        clips = clips_df(spark, 40, n_partitions=2)
+        route = lambda cid: int(cid.rsplit("_", 1)[1]) % 5
+        out = augment_route_clips(clips, route_fn=route).toPandas()
+        tempo_ids = {c for c in out[out.aug == "tempo"].clip_id}
+        assert tempo_ids  # route 3 present in 40 clips
+        lane = (
+            tempo_perturb_clips(clips, factors=((11, 10),), digest=True)
+            .toPandas()
+            .set_index("clip_id")
+        )
+        routed = out[out.aug == "tempo"].set_index("clip_id")
+        for cid in tempo_ids:
+            assert routed.loc[cid, "payload_md5"] == lane.loc[cid, "payload_md5"]
+
+    def test_registry_has_q85(self):
+        from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+        assert "q85_augment_router" in QUERIES
+        assert "q85_augment_router" in ORACLE_SQL
