@@ -117,7 +117,9 @@ def anti_join_via_bloom(
     per-batch cost is map-side probes plus an anti-join over the sliver of
     maybe-members (false positives + true duplicates)."""
     if filter_df is None:
-        filter_df = bloom_build(store_keys, col, m_bits, k)
+        # eager checkpoint: the k broadcast probes each re-evaluate their
+        # build side, so an un-pinned filter would scan the store k times
+        filter_df = bloom_build(store_keys, col, m_bits, k).localCheckpoint(eager=True)
     flagged = bloom_maybe(new, col, filter_df, m_bits, k)
     definite = flagged.filter(~F.col("_bloom_maybe")).drop("_bloom_maybe")
     maybe = flagged.filter(F.col("_bloom_maybe")).drop("_bloom_maybe")
