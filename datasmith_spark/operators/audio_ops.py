@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import zlib
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -1615,8 +1616,6 @@ def default_aug_route(clip_id: str) -> int:
     """crc32-based route for arbitrary clip ids (the composable default —
     the q85 registration routes by datagen index instead so the fixture
     oracle can reproduce the routing in SQL)."""
-    import zlib
-
     return zlib.crc32(clip_id.encode("utf-8")) % len(AUG_ROUTES)
 
 
@@ -1628,11 +1627,13 @@ def _aug_route_pdf(
     dispatch safe (batch invariance is pinned per lane by the per-lane
     suites), so the router costs one kernel call per present lane, not
     one pass per lane over the whole batch."""
-    import numpy as np
-
     routes = np.fromiter(
         (route_fn(c) for c in pdf["clip_id"]), dtype=np.int64, count=len(pdf)
     )
+    # normalize so an out-of-range route (a caller's % 6 typo, a -1 for
+    # unparseable ids) folds onto a lane instead of silently DROPPING the
+    # clip — the contract is one output row per input row, always
+    routes %= len(AUG_ROUTES)
 
     def norm(df: pd.DataFrame, aug: str, flag: str) -> pd.DataFrame:
         return pd.DataFrame(

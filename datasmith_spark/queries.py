@@ -887,6 +887,27 @@ def _clips_cache_path(spark: SparkSession, sf_dir: str) -> str:
 _POST_DECODE_CACHE: dict = {}
 
 
+def _session_cached(cache: dict, spark: SparkSession, path: str, build) -> DataFrame:
+    """App-bounded persisted-DataFrame cache discipline, shared by every
+    session cache here (_clips_post_decode, _fp_keys_cached): entries from
+    earlier applications in a long-lived driver died with their context —
+    unpersist best-effort and drop them so the dict cannot accumulate dead
+    frames; `build()` runs once per (application, path)."""
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in cache if k[0] != app]:
+        old = cache.pop(stale)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # context already stopped
+    key = (app, path)
+    df = cache.get(key)
+    if df is None:
+        df = build()
+        cache[key] = df
+    return df
+
+
 def _clips_post_decode(spark: SparkSession, sf_dir: str):
     """Post-decode frame (fused scan+rules+decode) for the pinned clips
     table, persisted once per session: q27 and q28 consume the SAME decode
@@ -897,23 +918,25 @@ def _clips_post_decode(spark: SparkSession, sf_dir: str):
     from .pipeline import ARROW_BATCH
 
     path = _clips_cache_path(spark, sf_dir)
-    app = spark.sparkContext.applicationId
-    # bound the cache to the CURRENT application: entries from earlier
-    # sessions in a long-lived driver died with their context — unpersist
-    # best-effort and drop them so the dict cannot accumulate dead frames
-    for stale in [k for k in _POST_DECODE_CACHE if k[0] != app]:
-        old = _POST_DECODE_CACHE.pop(stale)
-        try:
-            old.unpersist()
-        except Exception:
-            pass  # context already stopped
-    key = (app, path)
-    df = _POST_DECODE_CACHE.get(key)
-    if df is None:
+
+    def build():
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
-        df = scan_rules_decode(spark, list_manifest(path), n_parts=32).persist()
-        _POST_DECODE_CACHE[key] = df
-    return df
+        return scan_rules_decode(spark, list_manifest(path), n_parts=32).persist()
+
+    return _session_cached(_POST_DECODE_CACHE, spark, path, build)
+
+
+def _clips_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full label frame over the session-persisted post-decode frame: the
+    ONE definition of the langid->ppl->scrub tail and of `keep`
+    (drop_stage IS NULL), shared by q27 and q83 so the keep semantics
+    cannot drift between the summary and the drift monitor."""
+    from .operators.stages import langid_stage, ppl_stage, scrub_stage
+
+    post = _clips_post_decode(spark, sf_dir)
+    return scrub_stage(ppl_stage(langid_stage(post))).withColumn(
+        "keep", F.col("drop_stage").isNull()
+    )
 
 
 @register(
@@ -941,12 +964,7 @@ def q27_clips_pipeline_summary(spark, sf_dir):
     stages run over the tiny post-decode rows and produce labels identical
     to the fully-fused scan_labels path (tests/test_scan_decode.py).
     """
-    from .operators.stages import langid_stage, ppl_stage, scrub_stage
-
-    post = _clips_post_decode(spark, sf_dir)
-    labels = scrub_stage(ppl_stage(langid_stage(post))).withColumn(
-        "keep", F.col("drop_stage").isNull()
-    )
+    labels = _clips_labels(spark, sf_dir)
     return (
         labels.groupBy("drop_stage", "lang")
         .agg(
@@ -1401,21 +1419,13 @@ def _fp_keys_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.audio_fp import FP_AUG_EVERY, FP_EVERY, fingerprint_scan
 
     path = _clips_cache_path(spark, sf_dir)
-    app = spark.sparkContext.applicationId
-    for stale in [k for k in _FP_KEYS_CACHE if k[0] != app]:
-        old = _FP_KEYS_CACHE.pop(stale)
-        try:
-            old.unpersist()
-        except Exception:
-            pass  # context already stopped
-    key = (app, path)
-    df = _FP_KEYS_CACHE.get(key)
-    if df is None:
-        df = fingerprint_scan(
+
+    def build():
+        return fingerprint_scan(
             spark, path, every=FP_EVERY, aug_every=FP_AUG_EVERY
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        _FP_KEYS_CACHE[key] = df
-    return df
+
+    return _session_cached(_FP_KEYS_CACHE, spark, path, build)
 _FP_JACC_NUM, _FP_JACC_DEN = 35, 100  # key-set Jaccard threshold num/den
 
 
@@ -3537,6 +3547,9 @@ def q80_eval_decontamination(spark, sf_dir):
     (operators/audio_fp.py decontaminate_by_eval_keys)."""
     from .operators.audio_fp import FP_AUG_EVERY, decontaminate_by_eval_keys
 
+    # the oracle SQL selects the eval suite with a literal modulus; fail
+    # loudly here if the plant cadence is ever retuned without it
+    assert FP_AUG_EVERY == _DECON_EVAL_EVERY, (FP_AUG_EVERY, _DECON_EVAL_EVERY)
     # session-persisted key table shared with q38 — ONE fingerprint scan
     keys = _fp_keys_cached(spark, sf_dir)
     eval_ids = keys.select("clip_id").distinct().filter(
@@ -3696,12 +3709,7 @@ def q83_keep_rate_drift(spark, sf_dir):
     pipeline fixture. Spark side shares the session-persisted post-decode
     frame with q27/q28/q81 and runs the langid stage over it; ONE
     map-side-combined groupBy per cohort-conditional sum at any scale."""
-    from .operators.stages import langid_stage, ppl_stage, scrub_stage
-
-    post = _clips_post_decode(spark, sf_dir)
-    labels = scrub_stage(ppl_stage(langid_stage(post))).withColumn(
-        "keep", F.col("drop_stage").isNull()
-    )
+    labels = _clips_labels(spark, sf_dir)
     coh = labels.filter(F.col("lang").isNotNull()).withColumn(
         "cohort_a", F.split("clip_id", "_").getItem(1).cast("int") < 2000
     )

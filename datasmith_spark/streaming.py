@@ -510,9 +510,12 @@ def stream_store_dedup(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(input_dir)
-    # build once, eagerly, so micro-batches only probe (localCheckpoint
-    # pins the tiny (word, bits) table; a stream cannot re-derive it)
-    filt = B.bloom_build(store_keys, col, m_bits, k).localCheckpoint(eager=True)
+    # pin BOTH static sides once at declaration: the (word, bits) filter
+    # AND the distinct store projection the exact confirm join probes —
+    # otherwise every micro-batch would re-scan and re-distinct the full
+    # store (O(store) per trigger instead of per filter refresh)
+    store_d = store_keys.select(col).distinct().localCheckpoint(eager=True)
+    filt = B.bloom_build(store_d, col, m_bits, k).localCheckpoint(eager=True)
     return B.anti_join_via_bloom(
-        stream, store_keys, col, m_bits, k, filter_df=filt
+        stream, store_d, col, m_bits, k, filter_df=filt
     )

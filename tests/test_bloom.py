@@ -83,15 +83,17 @@ class TestBloom:
         plan = _plan(bloom_maybe(new, "h", filt))
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-        # probing must not shuffle the batch: the only exchanges are the
-        # broadcast of the filter words
+        # probing must not shuffle the batch: every Exchange in the plan
+        # must be a broadcast (or the degenerate single-partition collect),
+        # never a repartitioning of the probed rows
         body = plan.split("== Physical Plan ==")[-1]
         import re
 
-        exchanges = re.findall(r"Exchange (\w+)", body)
-        assert all(e == "SinglePartition" or "roadcast" in e for e in exchanges) or (
-            "Exchange hashpartitioning" not in body
-        ), body
+        exchanges = re.findall(r"(\w*Exchange)\b", body)
+        assert exchanges, body  # the broadcasts themselves must be present
+        assert all(
+            e in ("BroadcastExchange", "ReusedExchange") for e in exchanges
+        ), exchanges
 
     def test_registry_has_q82(self):
         from datasmith_spark.queries import ORACLE_SQL, QUERIES
