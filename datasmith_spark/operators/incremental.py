@@ -196,3 +196,55 @@ def compact_store(
     spark.sql(f"ALTER TABLE {tl.ident(staging)} RENAME TO {tl.ident(store)}")
     after = tl.read(spark, store).count()
     return before, after
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots of a keyed table: one row per
+    key whose membership or content changed, with status in
+    {'added', 'removed', 'changed'} (unchanged keys are pruned).
+
+    This is the changelog an Iceberg MERGE pipeline audits with — "what
+    did this ingest actually do" — computed from the snapshots themselves,
+    so it works on any keyed table, not just ones written through a
+    CDC-aware sink (the reference's caching layer answers the same
+    question per cache key by content-digest comparison:
+    /root/reference/src/datasmith/utils.py:85-119).
+
+    Scale design: each side is first projected to (key, md5(content)) —
+    32 bytes + key — so the equi-join shuffles fingerprints, never row
+    payloads; the join is a co-partitioned full outer on the key (plain
+    shuffle join, no broadcast: both snapshots are corpus-sized) and the
+    WHERE prunes the unchanged majority before anything downstream runs.
+    Content hash uses concat_ws('|', ...) over string-cast columns —
+    callers with nullable content columns should coalesce them to a
+    sentinel first (concat_ws skips NULLs, so ('a', NULL) and ('a',)
+    would collide; both engines share this semantic, so parity is
+    unaffected either way).
+    """
+    def fp(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(key),
+            F.md5(
+                F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+            ).alias(alias),
+        )
+
+    o = fp(old, "h_old")
+    n = fp(new, "h_new")
+    joined = o.join(n, on=key, how="full_outer")
+    return joined.select(
+        F.col(key),
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    ).filter(
+        F.col("h_old").isNull()
+        | F.col("h_new").isNull()
+        | (F.col("h_old") != F.col("h_new"))
+    )

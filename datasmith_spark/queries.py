@@ -3812,3 +3812,55 @@ def q85_augment_router(spark, sf_dir):
         _clips_cache_path(spark, sf_dir),
         route_fn=lambda cid: int(cid.rsplit("_", 1)[1]) % 5,
     )
+
+
+@register(
+    "q86_snapshot_diff",
+    """
+    WITH oldv AS (
+      SELECT doc_id,
+             md5(concat_ws('|', text, lang, source,
+                 CAST(CASE WHEN doc_id % 5 = 2 THEN n_chars + 1 ELSE n_chars END
+                      AS VARCHAR))) AS h
+      FROM documents WHERE doc_id % 7 <> 1
+    ),
+    newv AS (
+      SELECT doc_id,
+             md5(concat_ws('|', text, lang, source, CAST(n_chars AS VARCHAR))) AS h
+      FROM documents WHERE doc_id % 7 <> 3
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+    """,
+)
+def q86_snapshot_diff(spark, sf_dir):
+    """Snapshot changelog: row-level diff between two versions of a keyed
+    corpus table — which keys were added, removed, or content-changed by
+    an ingest. The two versions are synthesized deterministically from the
+    one documents table so the oracle reproduces them exactly: the old
+    snapshot drops doc_id%7==1 (those become 'added') and perturbs n_chars
+    for doc_id%5==2 (those become 'changed'); the new snapshot drops
+    doc_id%7==3 (those become 'removed').
+
+    The operator (operators/incremental.py snapshot_diff) projects each
+    side to (key, md5-of-content) BEFORE the join, so at 10^12 rows the
+    full-outer equi-join shuffles 32-byte fingerprints, never payloads,
+    and the unchanged majority is pruned by the hash inequality before
+    anything downstream sees a row. This is the audit a MERGE-based
+    curation pipeline runs between Iceberg snapshots (ref digest-compare
+    resume ancestry in the operator docstring)."""
+    from .operators.incremental import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 1).select(
+        "doc_id", "text", "lang", "source",
+        F.when(F.col("doc_id") % 5 == 2, F.col("n_chars") + 1)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    new = docs.filter(F.col("doc_id") % 7 != 3)
+    return snapshot_diff(old, new, "doc_id", ["text", "lang", "source", "n_chars"])

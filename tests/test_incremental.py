@@ -293,3 +293,40 @@ class TestIncrementalImageDedup:
         )
         assert n_novel3 == 0 and n_dup3 == 3
         assert tl.read(spark, "imgstore").count() == 48
+
+
+class TestSnapshotDiff:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "k bigint, text string, lang string")
+
+    def test_classifies_added_removed_changed_and_prunes_unchanged(self, spark):
+        from datasmith_spark.operators.incremental import snapshot_diff
+
+        old = self._docs(
+            spark,
+            [(1, "same", "en"), (2, "before", "en"), (3, "gone", "de")],
+        )
+        new = self._docs(
+            spark,
+            [(1, "same", "en"), (2, "after", "en"), (4, "fresh", "fr")],
+        )
+        got = {
+            (r["k"], r["status"])
+            for r in snapshot_diff(old, new, "k", ["text", "lang"]).collect()
+        }
+        assert got == {(2, "changed"), (3, "removed"), (4, "added")}
+
+    def test_projects_fingerprints_before_the_join(self, spark):
+        # the full-outer join must see only (key, md5) — payload columns
+        # never shuffle — and must be an equi-join, never a nested loop
+        from datasmith_spark.operators.incremental import snapshot_diff
+
+        old = self._docs(spark, [(1, "a" * 100, "en")])
+        new = self._docs(spark, [(1, "b" * 100, "en")])
+        df = snapshot_diff(old, new, "k", ["text", "lang"])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FullOuter" in plan, plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+        # the join's output attributes are only key + hashes
+        join_line = next(ln for ln in plan.splitlines() if "FullOuter" in ln)
+        assert "text" not in join_line and "lang" not in join_line, join_line
