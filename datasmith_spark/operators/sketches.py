@@ -155,3 +155,57 @@ def binned_histogram(
             & (100 * (F.col("cum_n") - F.col("n")) < p * F.col("total")),
         )
     return out
+
+
+def budget_fill(
+    df: DataFrame,
+    group: str,
+    key: str,
+    cost: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy per-group budget fill without a per-row window over any full
+    group: keep rows in (cost DESC, key ASC) order while the running total
+    BEFORE each row is under `budget` (so the fill overshoots by at most
+    one row per group). Requires cost > 0 on every row (filter upstream;
+    zero-cost rows would divide by zero in the boundary math).
+
+    Equivalent to the one-window form
+        sum(cost) OVER (PARTITION BY group ORDER BY cost DESC, key ASC)
+            - cost < budget
+    by the identity cum_before(row i of value-group v) = cbv + (i-1)*v,
+    but decomposed so a hot group never funnels through one reducer:
+      1. groupBy(group, cost) -> cnt   (map-side combined, tiny result);
+      2. a prefix-sum window over that value table plus integer math
+         k = min(cnt, (budget - cbv + v - 1) DIV v) gives each value
+         group's exact kept-count;
+      3. value groups with k == cnt pass via a broadcast semi-join;
+         only the (at most one per group) boundary value-group is
+         row_number()-ranked, partitioned by (group, cost) — the boundary
+         group alone, never the whole stratum.
+    """
+    agg = df.groupBy(group, cost).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(group).orderBy(F.desc(cost))
+    vals = (
+        agg.withColumn("cum", F.sum(F.col("cnt") * F.col(cost)).over(w))
+        .withColumn("r", F.lit(budget) - F.col("cum") + F.col("cnt") * F.col(cost))
+        .withColumn(
+            "k",
+            F.when(F.col("r") <= 0, F.lit(0).cast("long")).otherwise(
+                F.least(F.col("cnt"), F.expr(f"(r + {cost} - 1) DIV {cost}"))
+            ),
+        )
+    )
+    full = vals.filter(F.col("k") == F.col("cnt")).select(group, cost)
+    boundary = vals.filter((F.col("k") > 0) & (F.col("k") < F.col("cnt"))).select(
+        group, cost, "k"
+    )
+    kept_full = df.join(F.broadcast(full), [group, cost], "left_semi")
+    wb = Window.partitionBy(group, cost).orderBy(F.col(key).asc())
+    kept_boundary = (
+        df.join(F.broadcast(boundary), [group, cost])
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= F.col("k"))
+    )
+    out_cols = [key, group, cost]
+    return kept_full.select(*out_cols).unionByName(kept_boundary.select(*out_cols))

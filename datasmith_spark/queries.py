@@ -3864,3 +3864,60 @@ def q86_snapshot_diff(spark, sf_dir):
     )
     new = docs.filter(F.col("doc_id") % 7 != 3)
     return snapshot_diff(old, new, "doc_id", ["text", "lang", "source", "n_chars"])
+
+
+_BUDGET_CHARS = 2000  # per-language corpus-assembly budget (chars)
+_DOC_COST_CAP = 160   # per-document contribution cap (the sequence-length cap)
+
+
+@register(
+    "q87_budget_fill",
+    f"""
+    WITH priced AS (
+      SELECT doc_id, lang, least(n_chars, {_DOC_COST_CAP}) AS cost
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT doc_id, lang, cost,
+             sum(cost) OVER (PARTITION BY lang ORDER BY cost DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM priced
+    )
+    SELECT doc_id, lang, cost FROM ranked WHERE cum - cost < {_BUDGET_CHARS}
+    """,
+)
+def q87_budget_fill(spark, sf_dir):
+    """Per-language budget fill: assemble a corpus slice by taking the
+    costliest documents first (cost DESC, doc_id ASC — a deterministic
+    total order) until each language's cumulative budget is reached, where
+    a document's cost is its char count capped at the sequence length
+    (least(n_chars, 160) — a doc only ever contributes one training
+    sequence). A row is kept iff the running total BEFORE it is under
+    budget, so the fill may overshoot by at most one document. This is the
+    "fill N hours / N tokens per language with the best material" pass a
+    training-data pipeline runs at export; the cap is also what makes the
+    boundary interesting — every language has a large tied value-group at
+    cost=160 that straddles the budget.
+
+    Unlike q45/q48 (which document their skew-safe variant), this query
+    IMPLEMENTS the two-phase shape that survives a hot `en` stratum at
+    10^12 rows — no per-row window over any full language partition:
+      1. ONE map-side-combined groupBy down to (lang, n_chars, cnt);
+      2. the prefix-sum window runs on that tiny value table only, and
+         integer math (k = min(cnt, (B - cum_before + v - 1) DIV v))
+         yields each value-group's exact kept-count;
+      3. fully-kept groups pass through a broadcast semi-join (no window
+         at all); ONLY the single boundary value-group per language is
+         row_number()-ranked, and its partition is that group alone.
+    The DuckDB oracle runs the plain one-window form — value-equal by the
+    cum-before identity cbv + (i-1)*v — so the check proves the
+    decomposition, not just the arithmetic."""
+    from .operators.sketches import budget_fill
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    priced = docs.select(
+        "doc_id", "lang",
+        F.least(F.col("n_chars"), F.lit(_DOC_COST_CAP)).alias("cost"),
+    )
+    return budget_fill(priced, group="lang", key="doc_id", cost="cost",
+                       budget=_BUDGET_CHARS)
