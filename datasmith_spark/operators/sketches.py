@@ -209,3 +209,77 @@ def budget_fill(
     )
     out_cols = [key, group, cost]
     return kept_full.select(*out_cols).unionByName(kept_boundary.select(*out_cols))
+
+
+CMS_D = 4   # CountMin hash rows
+CMS_W = 32  # CountMin buckets per row
+
+
+def _cms_bucket(key_col, j_col, w: int):
+    """Row-j bucket for a key: first 8 md5 hex digits of 'key#j' as an
+    integer, mod w — engine-portable (Spark conv(...,16,10) == DuckDB
+    CAST('0x'||hex AS BIGINT), value-verified in tests)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", key_col, j_col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+
+
+def cms_sketch(keys: DataFrame, key: str, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """CountMin sketch [Cormode & Muthukrishnan 2005] of a key stream:
+    one (j, b, c) cell per hash row x bucket, c = how many stream items
+    hashed there. The ONLY full-data pass is this map-side-combined
+    groupBy down to d*w cells — bounded state no matter the stream size,
+    and MERGEABLE (union of streams == cell-wise sum of sketches), the
+    two properties that let 10^12-token frequency estimation run as a
+    partial aggregate. Deterministic md5 bucketing (not Spark's xxhash)
+    so any engine reproduces the sketch bit-for-bit — same portability
+    argument as kmv_distinct above."""
+    rows = keys.select(
+        F.col(key).alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"),
+    )
+    return (
+        rows.withColumn("b", _cms_bucket(F.col("k"), F.col("j"), w))
+        .groupBy("j", "b")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_heavy_hitters(
+    keys: DataFrame,
+    key: str,
+    threshold: int,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Heavy hitters by CountMin estimate: (key, est_cnt, true_cnt) for
+    every distinct key whose sketch estimate min_j sketch[j][b_j(key)]
+    reaches `threshold`. est_cnt >= true_cnt always (CMS never
+    underestimates), so the filter has no false NEGATIVES; colliding keys
+    can pass with true_cnt < threshold — the classic CMS false positive,
+    deliberately present at the registered (d=4, w=32) sizing and exactly
+    reproduced by the oracle. The probe runs on the DISTINCT key set
+    (vocabulary-bounded) against the broadcast d*w-cell sketch — the raw
+    stream is touched only by the sketch pass. true_cnt is emitted so the
+    overestimate property itself is value-checked; a pure-sketch deploy
+    at 10^12 keys drops it and keeps only the bounded passes."""
+    sketch = cms_sketch(keys, key, d=d, w=w)
+    tf = keys.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("true_cnt"))
+    probe = tf.select(
+        "k", "true_cnt", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j")
+    ).withColumn("b", _cms_bucket(F.col("k"), F.col("j"), w))
+    est = (
+        probe.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("k")
+        .agg(F.min("c").alias("est_cnt"), F.min("true_cnt").alias("true_cnt"))
+    )
+    return est.filter(F.col("est_cnt") >= threshold).select(
+        F.col("k").alias(key), "est_cnt", "true_cnt"
+    )

@@ -3921,3 +3921,58 @@ def q87_budget_fill(spark, sf_dir):
     )
     return budget_fill(priced, group="lang", key="doc_id", cost="cost",
                        budget=_BUDGET_CHARS)
+
+
+_CMS_HH_THR = 900  # heavy-hitter threshold (token occurrences)
+
+
+@register(
+    "q88_cms_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY tok),
+    g AS (
+      SELECT j,
+             CAST(concat('0x', substr(md5(concat(tok, '#', CAST(j AS VARCHAR))), 1, 8))
+                  AS BIGINT) % 32 AS b,
+             tok, cnt
+      FROM tf CROSS JOIN range(4) t(j)
+    ),
+    sketch AS (SELECT j, b, sum(cnt) AS c FROM g GROUP BY j, b),
+    est AS (
+      SELECT g.tok, min(s.c) AS est_cnt, min(g.cnt) AS true_cnt
+      FROM g JOIN sketch s ON g.j = s.j AND g.b = s.b
+      GROUP BY g.tok
+    )
+    SELECT tok, CAST(est_cnt AS BIGINT) AS est_cnt, CAST(true_cnt AS BIGINT) AS true_cnt
+    FROM est WHERE est_cnt >= {_CMS_HH_THR}
+    """,
+)
+def q88_cms_heavy_hitters(spark, sf_dir):
+    """Token heavy hitters through a CountMin sketch (d=4 rows x w=32
+    buckets, deterministic md5 bucketing): the mergeable frequency-sketch
+    companion to q69's KMV cardinality sketch — "which tokens dominate
+    this corpus" answered with d*w bounded state instead of a full-vocab
+    shuffle, the way a 10^12-token pipeline watches its distribution.
+    The registered sizing deliberately collides (vocab 31 > w 32 cells
+    per row): several emitted rows have est_cnt > true_cnt and four pass
+    the threshold only through collisions — the textbook one-sided CMS
+    error, value-checked exactly because both engines build the identical
+    sketch (DuckDB folds the d-row expansion over exact counts; Spark
+    sketches the raw stream — equal by sum-through-groups).
+
+    Scale shape: ONE map-side-combined groupBy down to <=128 cells is the
+    only pass over the token stream; the probe joins the DISTINCT
+    vocabulary against the broadcast sketch (operators/sketches.py
+    cms_sketch / cms_heavy_hitters; merge property pinned by
+    tests/test_sketches.py)."""
+    from .operators.sketches import cms_heavy_hitters
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    return cms_heavy_hitters(toks, "tok", threshold=_CMS_HH_THR)

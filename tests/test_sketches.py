@@ -109,3 +109,60 @@ def test_registry_has_q83():
 
     assert "q83_keep_rate_drift" in QUERIES
     assert "q83_keep_rate_drift" in ORACLE_SQL
+
+
+class TestCountMin:
+    def _keys(self, spark, items):
+        return spark.createDataFrame([(k,) for k in items], "tok string")
+
+    def test_sketch_is_mergeable_cellwise(self, spark):
+        from datasmith_spark.operators.sketches import cms_sketch
+
+        a = ["x"] * 5 + ["y"] * 3 + ["z"]
+        b = ["x"] * 2 + ["w"] * 7
+        def cells(items):
+            return {
+                (r["j"], r["b"]): r["c"]
+                for r in cms_sketch(self._keys(spark, items), "tok").collect()
+            }
+        ca, cb, cab = cells(a), cells(b), cells(a + b)
+        merged = dict(ca)
+        for k, v in cb.items():
+            merged[k] = merged.get(k, 0) + v
+        assert merged == cab
+
+    def test_never_underestimates_and_exact_when_wide(self, spark):
+        from datasmith_spark.operators.sketches import cms_heavy_hitters
+
+        items = ["a"] * 10 + ["b"] * 4 + ["c"]
+        out = {
+            r["tok"]: (r["est_cnt"], r["true_cnt"])
+            for r in cms_heavy_hitters(
+                self._keys(spark, items), "tok", threshold=1, w=4096
+            ).collect()
+        }
+        # w=4096 >> 3 keys: no collisions, estimates exact
+        assert out == {"a": (10, 10), "b": (4, 4), "c": (1, 1)}
+
+    def test_collisions_overestimate_one_sided(self, spark):
+        from datasmith_spark.operators.sketches import cms_heavy_hitters
+
+        items = [f"k{i}" for i in range(40) for _ in (0, 1)]  # 40 keys x2, w=8
+        rows = cms_heavy_hitters(
+            self._keys(spark, items), "tok", threshold=1, d=2, w=8
+        ).collect()
+        assert len(rows) == 40
+        assert all(r["est_cnt"] >= r["true_cnt"] for r in rows)
+        assert any(r["est_cnt"] > r["true_cnt"] for r in rows)  # collisions real
+
+    def test_registered_sizing_has_passing_false_positives(self, spark):
+        # the q88 threshold must be crossed by at least one colliding token
+        # (est >= thr > true) at sf0.01, or the oracle would not cover the
+        # one-sided-error path
+        from datasmith_spark.queries import _CMS_HH_THR, QUERIES
+
+        rows = QUERIES["q88_cms_heavy_hitters"](spark, "/root/testdata/sf0.01").collect()
+        assert any(
+            r["est_cnt"] >= _CMS_HH_THR > r["true_cnt"] for r in rows
+        )
+        assert all(r["est_cnt"] >= r["true_cnt"] for r in rows)
