@@ -498,3 +498,66 @@ def pitch_shift(
     y1 = resample(x, num, den)
     # stage 2: stretch back to the original length, pitch untouched
     return wsola(y1, den, num, frame=frame, delta=delta)
+
+
+def mix_overlay(
+    base: np.ndarray,
+    base_sr: int,
+    ovl: np.ndarray,
+    ovl_sr: int,
+    sir_db: int = 10,
+) -> np.ndarray | None:
+    """Overlap-mix a second clip under a base clip at an exact target
+    signal-to-interference ratio — the speech-overlap / babble
+    augmentation, and the only augmentation whose input is a PAIR of
+    clips. The overlay is resampled to the base rate when the rates
+    differ (the engine's own anti-aliased Lanczos kernel), then truncated
+    or zero-padded to the base length, scaled so
+    rms(base) / rms(scaled overlay) == 10^(sir_db/20), and added.
+
+    Returns None (callers pass the base through unmixed) when either side
+    is empty or silent — same contract as add_noise. Portability matches
+    add_noise: sir_db must be a multiple of 10 so the amplitude factor is
+    IEEE sqrt(10) repeated (no libm pow); both RMS terms use the
+    fixed-order _sumsq_tree reduction; the resample and the elementwise
+    mix are fixed-order IEEE float64.
+
+    >>> t = np.arange(16000) / 16000.0
+    >>> b = 0.5 * np.sin(2 * np.pi * 440 * t)
+    >>> o = 0.3 * np.sin(2 * np.pi * 1000 * t[:8000])
+    >>> y = mix_overlay(b, 16000, o, 16000)
+    >>> y.shape == b.shape
+    True
+    >>> bool(np.array_equal(y[8000:], b[8000:]))  # zero-padded tail
+    True
+    >>> mix_overlay(b, 16000, np.zeros(100), 16000) is None  # silent ovl
+    True
+    """
+    from .audio import _sumsq_tree
+
+    if sir_db % 10 != 0:
+        raise ValueError("sir_db must be a multiple of 10 (libm-free factor)")
+    x = np.asarray(base, dtype=np.float64)
+    o = np.asarray(ovl, dtype=np.float64)
+    if x.size == 0 or o.size == 0:
+        return None
+    if ovl_sr != base_sr:
+        if ovl_sr <= 0 or base_sr <= 0:
+            return None
+        o = resample(o, ovl_sr, base_sr)
+    if o.size >= x.size:
+        o = o[: x.size]
+    else:
+        o = np.concatenate([o, np.zeros(x.size - o.size, dtype=np.float64)])
+    sig_ss = _sumsq_tree(x)
+    ovl_ss = _sumsq_tree(o)
+    if sig_ss <= 0.0 or ovl_ss <= 0.0:
+        return None
+    f = 1.0
+    root10 = np.sqrt(10.0)
+    for _ in range(abs(sir_db) // 10):
+        f *= root10
+    if sir_db < 0:
+        f = 1.0 / f
+    scale = np.sqrt(sig_ss / ovl_ss) / f
+    return x + scale * o

@@ -1710,3 +1710,125 @@ def augment_route_digest_scan(
         AUG_ROUTE_DIGEST_DDL,
         scan_parallelism=_kernel_parallelism(spark, input_dir),
     )
+
+
+# ------------------------------------------------------------- overlap mix
+
+MIXED_DIGEST_DDL = "clip_id string, ovl_id string, mixed boolean, payload_md5 string"
+
+MIXED_DDL = (
+    "clip_id string, ovl_id string, mixed boolean, bytes binary, sr_hz int, "
+    "dur_ms int, codec string, transcript string"
+)
+
+
+def _mix_pdf(pdf: pd.DataFrame, sir_db: int, digest: bool) -> pd.DataFrame:
+    """One pandas batch of JOINED (base, overlay) clip pairs -> mixed batch.
+
+    Speech-overlap augmentation at an exact target SIR (core/resample.py
+    mix_overlay): the overlay is resampled to the base rate when needed,
+    fitted to the base length, scaled, added, and re-encoded in the BASE
+    clip's codec. Pairs where either side is undecodable or silent pass
+    the base through byte-identical with mixed=false."""
+    from ..core.resample import mix_overlay
+
+    out_bytes, mixed = [], []
+    for buf, sr, codec, obuf, osr, ocodec in zip(
+        pdf["bytes"], pdf["sr_hz"], pdf["codec"],
+        pdf["ovl_bytes"], pdf["ovl_sr"], pdf["ovl_codec"],
+    ):
+        sr = None if pd.isna(sr) else int(sr)
+        osr = None if pd.isna(osr) else int(osr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        opcm = decode(obuf, ocodec) if osr and osr > 0 else None
+        y = (
+            mix_overlay(pcm, sr, opcm, osr, sir_db)
+            if pcm is not None and opcm is not None
+            else None
+        )
+        if y is None:
+            out_bytes.append(buf)
+            mixed.append(False)
+            continue
+        out_bytes.append(encode(y, codec))
+        mixed.append(True)
+    if digest:
+        return pd.DataFrame(
+            {
+                "clip_id": pdf["clip_id"],
+                "ovl_id": pdf["ovl_id"],
+                "mixed": mixed,
+                "payload_md5": [
+                    None if b is None else hashlib.md5(b).hexdigest()
+                    for b in out_bytes
+                ],
+            }
+        )
+    return pd.DataFrame(
+        {
+            "clip_id": pdf["clip_id"],
+            "ovl_id": pdf["ovl_id"],
+            "mixed": mixed,
+            "bytes": out_bytes,
+            "sr_hz": pdf["sr_hz"],
+            "dur_ms": pdf["dur_ms"],
+            "codec": pdf["codec"],
+            "transcript": pdf["transcript"],
+        }
+    )
+
+
+def mix_overlay_clips(
+    base: DataFrame,
+    overlay: DataFrame,
+    on: str = "pair_id",
+    sir_db: int = 10,
+    digest: bool = False,
+) -> DataFrame:
+    """Pairwise overlap-mix: each base clip is mixed with the overlay clip
+    sharing its `on` key, at an exact target SIR (digest=True is the q89
+    verification mode).
+
+    This is the ONE augmentation lane whose input is a pair of payloads,
+    so unlike every narrow-map lane (q54/q63/q64/q71/q84) it cannot be
+    shuffle-free: both sides hash-partition on the pair key and the
+    overlay payload crosses the wire exactly once into the equi-join; the
+    kernel then runs Arrow-batched over the joined rows. At 10^12 clips
+    the two sides are written bucketed on the pair key (tables.TableLayer
+    write_bucketed, the q82 store convention) and the join is
+    zero-exchange; pairing policy is the caller's (the registered query
+    pairs index i with i + N/2 so the oracle can reproduce it).
+
+    Because each JOINED row carries TWO payloads (~0.7 MB avg on the
+    pinned table, multi-MB tail), the Arrow batch is bounded harder than
+    the single-payload lanes' ARROW_BATCH — at the default 10,000-row
+    batches a vanilla-heap driver session dies in the JVM->Python
+    transfer before the kernel sees a byte."""
+    from pyspark.sql import functions as F
+
+    b = base.select(
+        F.col(on).alias("_p"),
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript",
+    )
+    o = overlay.select(
+        F.col(on).alias("_p"),
+        F.col("clip_id").alias("ovl_id"),
+        F.col("bytes").alias("ovl_bytes"),
+        F.col("sr_hz").alias("ovl_sr"),
+        F.col("codec").alias("ovl_codec"),
+    )
+    joined = b.join(o, "_p").drop("_p")
+    conf = base.sparkSession.conf
+    conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+    # the JVM vectorized parquet reader sizes its column vectors by ROWS
+    # (default 4096): on a multi-hundred-KB binary column that is a
+    # multi-GB on-heap spike per task. Bound it the same way the Arrow
+    # batch is bounded — this lane is the only one that scans payloads
+    # through the JVM (every narrow lane reads worker-side via pyarrow).
+    conf.set("spark.sql.parquet.columnarReaderBatchSize", "64")
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _mix_pdf(pdf, sir_db, digest)
+
+    return joined.mapInPandas(_run, schema=MIXED_DIGEST_DDL if digest else MIXED_DDL)

@@ -3976,3 +3976,48 @@ def q88_cms_heavy_hitters(spark, sf_dir):
         .filter(F.col("tok") != "")
     )
     return cms_heavy_hitters(toks, "tok", threshold=_CMS_HH_THR)
+
+
+_AUDIO_MIX_FIXTURE = f"/root/repo/fixtures/oracle_audio_mix_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q89_overlap_mix",
+    f"""
+    SELECT clip_id, ovl_id, mixed, payload_md5
+    FROM read_parquet('{_AUDIO_MIX_FIXTURE}')
+    """,
+)
+def q89_overlap_mix(spark, sf_dir):
+    """Speech-overlap (babble) augmentation at an exact 10 dB target SIR:
+    base clip i in [0, N/2) is mixed with overlay clip i + N/2 — the one
+    augmentation lane whose input is a PAIR of payloads, so unlike the
+    narrow-map lanes (q54/q63/q64/q71/q84) it carries a real equi-join:
+    both sides hash-partition on the pair key, the overlay payload
+    crosses the wire exactly once, and the mix kernel runs Arrow-batched
+    over the joined rows (operators/audio_ops.py mix_overlay_clips). At
+    10^12 clips both sides are written bucketed on the pair key (the q82
+    store convention) and the join is zero-exchange.
+
+    The kernel (core/resample.py mix_overlay) resamples the overlay to
+    the base rate when the rates differ (the engine's own Lanczos sinc),
+    fits it to the base length, scales it so rms(base)/rms(overlay) is
+    exactly 10^(1/2) (libm-free: IEEE sqrt, fixed-order _sumsq_tree RMS),
+    adds, and re-encodes in the BASE clip's codec. Undecodable/silent
+    sides pass the base through byte-identical with mixed=false.
+
+    Digest-exact value check like q63: the DuckDB oracle reads the
+    committed single-process pass (scripts/make_audio_mix_fixture.py);
+    the index pairing is pinned there so any engine reproduces it."""
+    from .operators.audio_ops import mix_overlay_clips
+
+    clips = spark.read.parquet(_clips_cache_path(spark, sf_dir))
+    half = _CLIPS_N // 2
+    idx = F.split(F.col("clip_id"), "_").getItem(1).cast("long")
+    base = clips.withColumn("pair_id", idx).filter(F.col("pair_id") < half)
+    ovl = (
+        clips.withColumn("pair_id", idx - half)
+        .filter(F.col("pair_id") >= 0)
+        .filter(F.col("pair_id") < half)
+    )
+    return mix_overlay_clips(base, ovl, on="pair_id", sir_db=10, digest=True)

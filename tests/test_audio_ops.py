@@ -218,3 +218,142 @@ class TestFixtureAndDigests:
         for cid, row in full.iterrows():
             want = None if row.bytes is None else hashlib.md5(row.bytes).hexdigest()
             assert dig.loc[cid].payload_md5 == want
+
+
+class TestMixOverlay:
+    """q89 speech-overlap kernel + the pairwise-join operator."""
+
+    def test_exact_sir(self):
+        from datasmith_spark.core.resample import mix_overlay
+
+        b = _sine(440, 16000, 1.0)
+        o = 0.2 * np.sin(2 * np.pi * 900 * np.arange(16000) / 16000.0)
+        y = mix_overlay(b, 16000, o, 16000, sir_db=10)
+        added = y - b
+        sir = 20 * np.log10(
+            np.sqrt(np.mean(b**2)) / np.sqrt(np.mean(added**2))
+        )
+        assert abs(sir - 10.0) < 1e-9
+
+    def test_negative_sir_boosts_overlay(self):
+        from datasmith_spark.core.resample import mix_overlay
+
+        b = _sine(440, 16000, 0.25)
+        o = _sine(900, 16000, 0.25)
+        y = mix_overlay(b, 16000, o, 16000, sir_db=-10)
+        added = y - b
+        assert np.sqrt(np.mean(added**2)) > np.sqrt(np.mean(b**2))
+
+    def test_rate_mismatch_resamples_overlay(self):
+        from datasmith_spark.core.resample import mix_overlay
+
+        b = _sine(440, 16000, 0.5)
+        o = _sine(300, 8000, 0.5)  # same duration, half the samples
+        y = mix_overlay(b, 16000, o, 8000, sir_db=10)
+        assert y.shape == b.shape
+        # the resampled overlay covers (almost) the whole base, so the
+        # tail is genuinely mixed, not zero-padded passthrough
+        assert not np.array_equal(y[-2000:], b[-2000:])
+
+    def test_long_overlay_truncates(self):
+        from datasmith_spark.core.resample import mix_overlay
+
+        b = _sine(440, 16000, 0.25)
+        o = _sine(900, 16000, 1.0)
+        y = mix_overlay(b, 16000, o, 16000, sir_db=10)
+        assert y.shape == b.shape
+
+    def test_none_contracts_and_bad_args(self):
+        from datasmith_spark.core.resample import mix_overlay
+
+        b = _sine(440, 16000, 0.1)
+        assert mix_overlay(b, 16000, np.array([]), 16000) is None
+        assert mix_overlay(np.array([]), 16000, b, 16000) is None
+        assert mix_overlay(b, 16000, np.zeros(50), 16000) is None
+        assert mix_overlay(np.zeros(50), 16000, b, 16000) is None
+        assert mix_overlay(b, 16000, b, 0) is None
+        with pytest.raises(ValueError):
+            mix_overlay(b, 16000, b, 16000, sir_db=7)
+
+    def test_operator_arbitrary_ids(self, spark):
+        """mix_overlay_clips must work over ARBITRARY clip ids (no datagen
+        naming assumption — the r4 audio_fp lesson) and its digest mode
+        must agree with the bytes mode."""
+        import hashlib
+
+        from datasmith_spark.core.audio import encode
+        from datasmith_spark.core.resample import mix_overlay
+        from datasmith_spark.operators.audio_ops import mix_overlay_clips
+
+        sr = 16000
+        b1 = _sine(440, sr, 0.3)
+        o1 = _sine(900, sr, 0.3)
+        rows_b = [
+            ("weird id!", encode(b1, "pcm16"), sr, 300, "pcm16", "t1", 0),
+            ("no-underscore", encode(b1, "pcm16"), sr, 300, "pcm16", "t2", 1),
+            ("silent ovl", encode(b1, "pcm16"), sr, 300, "pcm16", "t3", 2),
+        ]
+        rows_o = [
+            ("ovl/0", encode(o1, "pcm16"), sr, 300, "pcm16", "x", 0),
+            ("ovl/1", encode(o1, "mulaw"), sr, 300, "mulaw", "x", 1),
+            ("ovl/2", encode(np.zeros(100), "pcm16"), sr, 300, "pcm16", "x", 2),
+        ]
+        ddl = (
+            "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+            "codec string, transcript string, pair_id int"
+        )
+        base = spark.createDataFrame(rows_b, ddl)
+        ovl = spark.createDataFrame(rows_o, ddl)
+        out = (
+            mix_overlay_clips(base, ovl, on="pair_id", sir_db=10)
+            .toPandas()
+            .set_index("clip_id")
+        )
+        assert len(out) == 3
+        assert bool(out.loc["weird id!", "mixed"]) is True
+        assert bool(out.loc["silent ovl", "mixed"]) is False  # silent overlay
+        assert out.loc["silent ovl", "bytes"] == rows_b[2][1]  # passthrough
+        want = encode(
+            mix_overlay(
+                decode(rows_b[0][1], "pcm16"), sr,
+                decode(rows_o[0][1], "pcm16"), sr, 10,
+            ),
+            "pcm16",
+        )
+        assert bytes(out.loc["weird id!", "bytes"]) == want
+
+        dig = (
+            mix_overlay_clips(base, ovl, on="pair_id", sir_db=10, digest=True)
+            .toPandas()
+            .set_index("clip_id")
+        )
+        for cid, row in out.iterrows():
+            assert dig.loc[cid, "payload_md5"] == hashlib.md5(
+                bytes(row["bytes"])
+            ).hexdigest()
+            assert bool(dig.loc[cid, "mixed"]) == bool(row["mixed"])
+
+    def test_mix_fixture_is_honest(self):
+        """The committed q89 fixture must equal a fresh regeneration on a
+        deterministic row sample."""
+        import sys
+
+        import pandas as pd
+
+        sys.path.insert(0, "/root/repo/scripts")
+        import make_audio_mix_fixture as mmf
+
+        fix = pd.read_parquet("/root/repo/fixtures/oracle_audio_mix_n4000.parquet")
+        assert len(fix) == 2000
+        idx = list(range(0, 2000, 67))  # 30-row deterministic sample
+        fresh = mmf.oracle_rows(idx).reset_index(drop=True)
+        sample = fix.iloc[idx].reset_index(drop=True)
+        for c in fresh.columns:
+            a = sample[c].astype("object").where(sample[c].notna(), "<null>").astype(str)
+            b = fresh[c].astype("object").where(fresh[c].notna(), "<null>").astype(str)
+            assert (a == b).all(), c
+
+    def test_registry_has_q89(self):
+        from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+        assert "q89_overlap_mix" in QUERIES and "q89_overlap_mix" in ORACLE_SQL

@@ -197,3 +197,20 @@ def test_image_neardup_plan_is_capped_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "HashAggregate" in plan  # key-frequency stats
     assert "BatchEvalPython" not in plan  # verify is whole-stage codegen
+
+
+def test_overlap_mix_plan_is_equi_join(spark):
+    """q89's pair stage must be a hash-partitioned equi-join on the pair
+    key — no nested-loop shapes — with the mix kernel as a single
+    ArrowEvalPython/mapInPandas node over the joined rows."""
+    from datasmith_spark.operators.audio_ops import mix_overlay_clips
+
+    ddl = (
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string, pair_id int"
+    )
+    base = spark.createDataFrame([], ddl)
+    ovl = spark.createDataFrame([], ddl)
+    plan = _plan(mix_overlay_clips(base, ovl, on="pair_id", digest=True))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
