@@ -132,6 +132,48 @@ def jaccard_verify(sh: DataFrame, cand: DataFrame, threshold: float = 0.6) -> Da
     return out
 
 
+def editdist_verify(
+    docs: DataFrame,
+    cand: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact edit-distance (Levenshtein) verification of candidate pairs —
+    the classic character-level near-dup verify, as a pure whole-stage-
+    codegen plan: `F.levenshtein` is a JVM built-in, so unlike the
+    shingle-set Jaccard verify no explode/re-aggregation is needed; the
+    candidate table joins each side's text once and the O(len_a·len_b)
+    dynamic program runs inside codegen per pair.
+
+    Similarity is 1 - lev/max(len_a, len_b, 1) (the ,1 guards the
+    both-empty pair identically on the engine and oracle sides). Verify-
+    after-filter: candidates come from banded LSH (bounded by the hot-key
+    cap), so at 10^12 docs the quadratic kernel only ever runs on the
+    candidate sliver and the only payload shuffle is the two text joins
+    keyed by candidate id."""
+    a = docs.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(text_col).alias("_ta"),
+        F.length(text_col).alias("_la"),
+    )
+    b = docs.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(text_col).alias("_tb"),
+        F.length(text_col).alias("_lb"),
+    )
+    sim = F.lit(1.0) - F.levenshtein("_ta", "_tb").cast("double") / F.greatest(
+        "_la", "_lb", F.lit(1)
+    ).cast("double")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("_sim", sim)
+        .filter(F.col("_sim") >= threshold)
+        .select("doc_a", "doc_b", F.round("_sim", 4).alias("edit_sim"))
+    )
+
+
 # ----------------------------------------------------------------- SimHash
 
 _SIMHASH_SCHEMA = "id bigint, h0 string, h1 string, h2 string, h3 string"

@@ -4021,3 +4021,41 @@ def q89_overlap_mix(spark, sf_dir):
         .filter(F.col("pair_id") < half)
     )
     return mix_overlay_clips(base, ovl, on="pair_id", sir_db=10, digest=True)
+
+
+@register(
+    "q90_editdist_neardup",
+    rf"""
+    WITH {_CORPUS_SQL},
+    {_MINHASH_SQL_BODY},
+    texts AS (SELECT doc_id, text, length(text) AS tl FROM corpus)
+    SELECT c.a AS doc_a, c.b AS doc_b,
+           round(1.0 - levenshtein(ta.text, tb.text)::DOUBLE
+                       / greatest(ta.tl, tb.tl, 1)::DOUBLE, 4) AS edit_sim
+    FROM cand c
+    JOIN texts ta ON ta.doc_id = c.a
+    JOIN texts tb ON tb.doc_id = c.b
+    WHERE 1.0 - levenshtein(ta.text, tb.text)::DOUBLE
+                / greatest(ta.tl, tb.tl, 1)::DOUBLE >= 0.8
+    """,
+)
+def q90_editdist_neardup(spark, sf_dir):
+    """Character-level edit-distance near-dup verification of LSH
+    candidates — the third verify family beside shingle-Jaccard (q22) and
+    winnowing (q31), and the only one whose kernel is a single JVM
+    built-in: `F.levenshtein` runs inside whole-stage codegen, so the
+    verify stage has ZERO Python and no explode/re-aggregation. Candidates
+    are the same banded-MinHash, hot-key-capped pairs as q21 (the cap is
+    mirrored in the oracle's shared SQL body); the quadratic DP runs only
+    on that bounded sliver, never all-pairs. DuckDB's `levenshtein` is the
+    same unit-cost character DP, so the oracle is value-exact."""
+    from .operators.dedup import (
+        editdist_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    cand = lsh_candidate_pairs(minhash_signatures(shingles(corpus, distinct=False)))
+    return editdist_verify(corpus, cand, threshold=0.8)

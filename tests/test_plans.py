@@ -214,3 +214,16 @@ def test_overlap_mix_plan_is_equi_join(spark):
     plan = _plan(mix_overlay_clips(base, ovl, on="pair_id", digest=True))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_editdist_verify_plan_is_pure_codegen(spark):
+    """q90's verify stage must be zero-Python (F.levenshtein is a JVM
+    built-in) and its joins equi-joins — no nested-loop shapes."""
+    from datasmith_spark.operators.dedup import editdist_verify
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string")
+    cand = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    plan = _plan(editdist_verify(docs, cand))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

@@ -408,3 +408,47 @@ def test_png_rows_flow_through_image_features(spark):
         0, 256, size=(row.height, row.width, 3), dtype=np.uint8
     ).astype(np.float64)
     assert row.mean_r == img[..., 0].mean() and row.mean_b == img[..., 2].mean()
+
+
+def test_editdist_verify_hand_case(spark):
+    """Hand-built candidate pairs: identical texts score 1.0, a one-edit
+    pair scores 1 - 1/len exactly, a dissimilar pair is filtered, and the
+    both-empty pair hits the max(...,1) guard instead of dividing by 0."""
+    from datasmith_spark.operators.dedup import editdist_verify
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "hello worlds"),
+         (4, "something else"), (5, ""), (6, "")],
+        "doc_id bigint, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (5, 6)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.edit_sim
+        for r in editdist_verify(docs, cand, threshold=0.8).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == round(1.0 - 1.0 / 12.0, 4)
+    assert (1, 4) not in got
+    assert got[(5, 6)] == 1.0  # 0 edits / max(0,0,1)
+
+
+def test_editdist_catches_planted_near_dups(spark, corpus, planted):
+    """The q90 chain over the planted corpus: exact clones score 1.0 and
+    every suffix-appended near-dup that the LSH bands surface verifies
+    above the 0.8 threshold (a 15-char suffix on ~200+-char docs)."""
+    from datasmith_spark.operators.dedup import (
+        editdist_verify, lsh_candidate_pairs, minhash_signatures, shingles,
+    )
+
+    cand = lsh_candidate_pairs(minhash_signatures(shingles(corpus)))
+    ver = {
+        (r.doc_a, r.doc_b): r.edit_sim
+        for r in editdist_verify(corpus, cand, threshold=0.8).collect()
+    }
+    exact = [(i, i + 100000) for i in planted]
+    near = [(i, i + 200000) for i in planted]
+    assert all(ver.get(p) == 1.0 for p in exact)
+    caught = [ver[p] for p in near if p in ver]
+    assert len(caught) >= 0.95 * len(near) and min(caught) >= 0.8
