@@ -4059,3 +4059,52 @@ def q90_editdist_neardup(spark, sf_dir):
     corpus = _corpus(spark, sf_dir)
     cand = lsh_candidate_pairs(minhash_signatures(shingles(corpus, distinct=False)))
     return editdist_verify(corpus, cand, threshold=0.8)
+
+
+@register(
+    "q91_pps_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             CAST(greatest(length(text), 1) AS INT) AS w,
+             (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)::DOUBLE
+                / 4294967296.0) / greatest(length(text), 1)::DOUBLE AS key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, w,
+             row_number() OVER (PARTITION BY lang ORDER BY key ASC, doc_id ASC) AS rk
+      FROM keyed
+    )
+    SELECT lang, doc_id, w, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 20
+    """,
+)
+def q91_pps_weighted_sample(spark, sf_dir):
+    """Per-language weighted sample, 20 docs each, inclusion probability
+    ~ proportional to text length — sequential Poisson sampling
+    [Ohlsson 1998]: rank by key u/w and keep the k smallest. The ln-free
+    order-sampling variant is chosen deliberately: the A-ES exponential
+    key (u^(1/w)) needs libm `pow`, whose last-ulp behavior differs
+    between engines, while this key is md5 + two correctly-rounded IEEE
+    divisions — bit-identical in Spark and DuckDB, so the sample itself
+    (not a digest of it) is the value check. The companion to q45's
+    UNIFORM stratified sample: "sample docs ∝ tokens / clips ∝ duration"
+    is how a training-data pipeline balances token budget, not row count.
+
+    Scale (operators/sampling.py pps_sample): unlike q45, the skew story
+    is IMPLEMENTED, not documented — a broadcast per-group threshold
+    t_g = 4k/sum_w prefilters each stratum to ~4k expected survivors
+    map-side BEFORE the window shuffle, and any deficient group (< k
+    survivors) falls back to the exact window over that group alone, so
+    the result is value-equal to the plain one-window form (which is what
+    the oracle runs) by construction. At sf0.01's 500-row strata the
+    fallback path does fire for the small languages — the oracle check
+    covers both branches."""
+    from .operators.sampling import pps_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.greatest(F.length("text"), F.lit(1)).alias("w")
+    )
+    return pps_sample(
+        docs, k=20, group_col="lang", weight_col="w", id_col="doc_id"
+    ).select("lang", "doc_id", "w", "rk")
