@@ -4108,3 +4108,55 @@ def q91_pps_weighted_sample(spark, sf_dir):
     return pps_sample(
         docs, k=20, group_col="lang", weight_col="w", id_col="doc_id"
     ).select("lang", "doc_id", "w", "rk")
+
+
+@register(
+    "q92_asof_attribution",
+    """
+    SELECT c.user_id, c.event_id AS click_id,
+           extract(epoch FROM c.ts) AS click_ep,
+           v.event_id AS view_id,
+           extract(epoch FROM v.ts) AS view_ep,
+           v.value AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def q92_asof_attribution(spark, sf_dir):
+    """As-of (point-in-time) join: attribute each click to the latest
+    view by the same user at-or-before it — the operator Spark lacks
+    natively (DuckDB/kdb/Pandas have ASOF) and whose naive SQL rewrite is
+    a per-key range cross-product. Runs the BUCKETED form
+    (operators/asof.py asof_join_bucketed): windows inside (user, day)
+    partitions — bounded by bucket width no matter how hot the key — plus
+    a tiny per-bucket carry table that closes matches across boundaries,
+    value-equal to the plain union+window form (pinned in pytest). The
+    oracle is DuckDB's native ASOF LEFT JOIN — a fully independent
+    implementation of the same inclusive semantics.
+
+    At 10^12 events: one shuffle per side keyed (user, bucket); no range
+    join, no cross product; the carry stage aggregates to one row per
+    (user, bucket) before its window, so the skew ceiling is bucket
+    width, tunable orthogonally to key heat."""
+    from .operators.asof import asof_join_bucketed
+
+    e = _t(spark, sf_dir, "events")
+    ep = lambda c: F.col(c).cast("timestamp").cast("double")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join_bucketed(
+        clicks, views, on="user_id", ts="ts",
+        right_cols=["event_id", "value"], tiebreak="event_id",
+        bucket_sec=86400,
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        ep("ts").alias("click_ep"),
+        F.col("r_event_id").alias("view_id"),
+        F.col("r_ts").cast("timestamp").cast("double").alias("view_ep"),
+        F.col("r_value").alias("view_value"),
+    )

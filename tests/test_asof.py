@@ -1,0 +1,102 @@
+"""As-of join (operators/asof.py, q92)."""
+
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _ts(m):
+    return datetime(2024, 1, 1) + timedelta(minutes=m)
+
+
+@pytest.fixture(scope="module")
+def hand(spark):
+    ddl = "user_id bigint, ts timestamp, event_id bigint, value double"
+    left = spark.createDataFrame(
+        [
+            (1, _ts(10), 100, 0.0),   # matches v2 (ts 5)
+            (1, _ts(5), 101, 0.0),    # equal ts -> inclusive, matches v2
+            (1, _ts(1), 102, 0.0),    # before all views -> null
+            (2, _ts(60 * 24 * 3), 103, 0.0),  # 2 buckets later -> carry
+            (3, _ts(30), 104, 0.0),   # user with no views at all -> null
+        ],
+        ddl,
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(2), 200, 1.5),
+            (1, _ts(5), 201, 2.5),    # equal-ts tie with 202
+            (1, _ts(5), 202, 3.5),    # tiebreak: max event_id wins
+            (2, _ts(20), 203, 4.5),   # day 0; left is day 3
+        ],
+        ddl,
+    )
+    return left, right
+
+
+def test_asof_hand_semantics(spark, hand):
+    from datasmith_spark.operators.asof import asof_join
+
+    left, right = hand
+    out = {
+        r.event_id: (r.r_event_id, r.r_value)
+        for r in asof_join(
+            left, right, "user_id", "ts", ["event_id", "value"], tiebreak="event_id"
+        ).collect()
+    }
+    assert out[100] == (202, 3.5)   # latest at-or-before, tie resolved max
+    assert out[101] == (202, 3.5)   # inclusive equal-ts match
+    assert out[102] == (None, None)
+    assert out[103] == (203, 4.5)
+    assert out[104] == (None, None)
+
+
+def test_bucketed_equals_plain(spark, hand):
+    """The skew-safe decomposition must be value-equal to the plain
+    union+window form — including cross-bucket carries and ties."""
+    from datasmith_spark.operators.asof import asof_join, asof_join_bucketed
+
+    left, right = hand
+    args = (left, right, "user_id", "ts", ["event_id", "value"])
+    plain = asof_join(*args, tiebreak="event_id").collect()
+    for bucket in (3600, 86400):
+        fast = asof_join_bucketed(
+            *args, tiebreak="event_id", bucket_sec=bucket
+        ).collect()
+        assert sorted(map(str, fast)) == sorted(map(str, plain)), bucket
+
+
+def test_bucketed_equals_plain_on_events(spark):
+    """Same equality over the real sf0.001 events table (hot users, many
+    buckets, unmatched clicks)."""
+    from datasmith_spark.operators.asof import asof_join, asof_join_bucketed
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    args = (clicks, views, "user_id", "ts", ["event_id", "value"])
+    plain = asof_join(*args, tiebreak="event_id").collect()
+    fast = asof_join_bucketed(*args, tiebreak="event_id", bucket_sec=6 * 3600).collect()
+    assert len(plain) == clicks.count()
+    assert sorted(map(str, fast)) == sorted(map(str, plain))
+
+
+def test_asof_plan_has_no_cross_product(spark, hand):
+    from datasmith_spark.operators.asof import asof_join_bucketed
+
+    left, right = hand
+    plan = asof_join_bucketed(
+        left, right, "user_id", "ts", ["event_id", "value"], tiebreak="event_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_registry_has_q92(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q92_asof_attribution" in QUERIES and "q92_asof_attribution" in ORACLE_SQL
