@@ -120,6 +120,54 @@ def asof_join(
     return out
 
 
+def interval_point_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    on: str,
+    start: str,
+    end: str,
+    point_ts: str,
+    bucket_sec: int = 1800,
+    prefix: str = "p_",
+) -> DataFrame:
+    """Interval-containment join: every (interval, point) pair with the
+    same key where start <= point_ts <= end (inclusive both ends).
+
+    The naive `ON key = key AND ts BETWEEN start AND end` plans the range
+    predicate as a post-filter on the per-key equi-join — quadratic on a
+    hot key. Bucket-explode instead: each interval explodes to the time
+    buckets it covers (`F.sequence` — ceil(len/W)+1 rows, bounded because
+    interval length is bounded), each point maps to exactly ONE bucket,
+    and the join is a plain equi-join on (key, bucket) with the exact
+    range check as the join residual. Every qualifying pair appears
+    exactly once (the point's single bucket), so no dedup pass is needed.
+    Partition width is (key, bucket), so key heat is capped by bucket
+    width — the same skew lever as asof_join_bucketed."""
+    ep = lambda c: F.col(c).cast("timestamp").cast("double")
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(ep(start) / bucket_sec), F.floor(ep(end) / bucket_sec)
+            )
+        ),
+    )
+    pcarry = [c for c in points.columns if c != on]
+    pt = points.select(
+        on,
+        F.floor(ep(point_ts) / bucket_sec).alias("_b"),
+        *[F.col(c).alias(prefix + c) for c in pcarry],
+    )
+    return (
+        iv.join(pt, [on, "_b"])
+        .filter(
+            (F.col(prefix + point_ts) >= F.col(start))
+            & (F.col(prefix + point_ts) <= F.col(end))
+        )
+        .drop("_b")
+    )
+
+
 def asof_join_bucketed(
     left: DataFrame,
     right: DataFrame,

@@ -4160,3 +4160,136 @@ def q92_asof_attribution(spark, sf_dir):
         F.col("r_ts").cast("timestamp").cast("double").alias("view_ep"),
         F.col("r_value").alias("view_value"),
     )
+
+
+@register(
+    "q93_interval_point_join",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id AS view_id, ts AS vstart,
+             ts + to_minutes(CAST(ceil(value) AS BIGINT)) AS vend
+      FROM events WHERE event_type = 'view'
+    ),
+    pt AS (
+      SELECT user_id, event_id AS click_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT i.user_id, i.view_id,
+           extract(epoch FROM i.vstart) AS view_ep,
+           p.click_id,
+           extract(epoch FROM p.cts) AS click_ep
+    FROM iv i
+    JOIN pt p
+      ON i.user_id = p.user_id
+     AND p.cts >= i.vstart AND p.cts <= i.vend
+    """,
+)
+def q93_interval_point_join(spark, sf_dir):
+    """Interval-containment (range) join: every view event opens an
+    attribution window [ts, ts + ceil(value) minutes]; emit every click
+    by the same user inside it (inclusive both ends). The second
+    temporal-join class Spark has no native plan for — Catalyst plans
+    `ON key AND ts BETWEEN lo AND hi` as a per-key equi-join with the
+    range as a post-filter, quadratic on a hot key.
+
+    Runs operators/asof.py interval_point_join: intervals bucket-explode
+    (≤ ceil(490 min / 30 min)+1 = 18 rows each, bounded because window
+    length is bounded), points map to exactly ONE bucket, plain equi-join
+    on (user, bucket) + exact residual — each qualifying pair produced
+    exactly once, no dedup pass. The oracle is DuckDB's own range join
+    (IEJoin), a fully independent implementation of the same semantics.
+
+    At 10^12 events: shuffle keyed (user, bucket) so per-partition width
+    is capped by bucket width regardless of user heat; explode factor is
+    window/bucket, tunable. The range predicate itself never reaches a
+    join condition — it is a residual filter on an equi-join."""
+    from .operators.asof import interval_point_join
+
+    e = _t(spark, sf_dir, "events")
+    ep = lambda c: F.col(c).cast("timestamp").cast("double")
+    iv = (
+        e.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("vstart"),
+            F.expr(
+                "ts + make_interval(0, 0, 0, 0, 0, CAST(ceil(value) AS INT), 0)"
+            ).alias("vend"),
+        )
+    )
+    pt = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    out = interval_point_join(
+        iv, pt, on="user_id", start="vstart", end="vend", point_ts="cts",
+        bucket_sec=1800,
+    )
+    return out.select(
+        "user_id",
+        "view_id",
+        ep("vstart").alias("view_ep"),
+        F.col("p_click_id").alias("click_id"),
+        F.col("p_cts").cast("timestamp").cast("double").alias("click_ep"),
+    )
+
+
+@register(
+    "q94_funnel_stages",
+    """
+    WITH t0 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t1 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN t0 ON e.user_id = t0.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts >= t0.t AND e.ts <= t0.t + to_seconds(259200)
+      GROUP BY e.user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= t1.t AND e.ts <= t1.t + to_seconds(259200)
+      GROUP BY e.user_id
+    )
+    SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage, count(*) AS users FROM t0
+    UNION ALL
+    SELECT CAST(1 AS INT), 'click', count(*) FROM t1
+    UNION ALL
+    SELECT CAST(2 AS INT), 'purchase', count(*) FROM t2
+    """,
+)
+def q94_funnel_stages(spark, sf_dir):
+    """Ordered funnel: users whose first view is followed by a click
+    within 3 days, then a purchase within 3 days of that click —
+    earliest-chaining semantics (ClickHouse windowFunnel's shape).
+    Runs operators/funnel.py funnel_stages: each step is a conditional
+    min-window over the SAME user partition, so the whole funnel is ONE
+    shuffle (exchange reused across the chained window selects) + a
+    rollup on the already-partitioned key; no joins at all. The oracle
+    re-derives each stage with chained filtered aggregates in DuckDB —
+    a structurally different plan (3 joins) computing the same values.
+
+    At 10^12 events: one shuffle keyed by user; per-partition width is
+    per-user event count. The oracle's join-chain shape (what a SQL user
+    would write) re-shuffles per stage — the operator exists precisely
+    to collapse k stages into one exchange."""
+    from .operators.funnel import funnel_stages
+
+    e = _t(spark, sf_dir, "events")
+    return funnel_stages(
+        e,
+        user_col="user_id",
+        ts_col="ts",
+        steps=[
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        window_sec=259200,
+    )

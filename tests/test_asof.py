@@ -100,3 +100,94 @@ def test_registry_has_q92(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q92_asof_attribution" in QUERIES and "q92_asof_attribution" in ORACLE_SQL
+
+
+def test_interval_point_hand_semantics(spark):
+    """Boundary inclusivity at both ends, multi-bucket intervals, a point
+    in a bucket the interval covers but outside the exact range, and
+    key separation."""
+    from datasmith_spark.operators.asof import interval_point_join
+
+    iv = spark.createDataFrame(
+        [
+            (1, 10, _ts(0), _ts(90)),     # spans 4 buckets at 1800s
+            (1, 11, _ts(120), _ts(125)),  # short, same bucket
+            (2, 12, _ts(0), _ts(90)),     # other key, same window
+        ],
+        "user_id bigint, iv_id bigint, s timestamp, e timestamp",
+    )
+    pt = spark.createDataFrame(
+        [
+            (1, 20, _ts(0)),    # == start: inclusive
+            (1, 21, _ts(90)),   # == end: inclusive
+            (1, 22, _ts(91)),   # bucket covered (60..90 bucket) but > end
+            (1, 23, _ts(50)),   # mid-window
+            (1, 24, _ts(122)),  # inside the short interval
+            (2, 25, _ts(50)),   # key 2 only
+        ],
+        "user_id bigint, p_id bigint, t timestamp",
+    )
+    got = sorted(
+        (r.iv_id, r.p_p_id)
+        for r in interval_point_join(
+            iv, pt, on="user_id", start="s", end="e", point_ts="t",
+            bucket_sec=1800,
+        ).collect()
+    )
+    assert got == [(10, 20), (10, 21), (10, 23), (11, 24), (12, 25)]
+
+
+def test_interval_point_equals_naive_on_events(spark):
+    """Bucket-explode form == the naive range join over real sf0.001
+    events (each pair exactly once, no dups, no misses)."""
+    from datasmith_spark.operators.asof import interval_point_join
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    iv = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("iv_id"),
+        F.col("ts").alias("s"),
+        F.expr(
+            "ts + make_interval(0, 0, 0, 0, 0, CAST(ceil(value) AS INT), 0)"
+        ).alias("e"),
+    )
+    pt = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("t")
+    )
+    fast = sorted(
+        (r.iv_id, r.p_p_id)
+        for r in interval_point_join(
+            iv, pt, on="user_id", start="s", end="e", point_ts="t",
+            bucket_sec=1800,
+        ).collect()
+    )
+    naive = sorted(
+        (r.iv_id, r.p_id)
+        for r in iv.join(pt, "user_id")
+        .filter((F.col("t") >= F.col("s")) & (F.col("t") <= F.col("e")))
+        .collect()
+    )
+    assert fast == naive and len(fast) == len(set(fast))
+
+
+def test_interval_point_plan_is_equi_join(spark):
+    """The range predicate must be a residual on a hash equi-join, never
+    a nested-loop/cartesian plan."""
+    from datasmith_spark.operators.asof import interval_point_join
+
+    iv = spark.createDataFrame(
+        [(1, _ts(0), _ts(90))], "user_id bigint, s timestamp, e timestamp"
+    )
+    pt = spark.createDataFrame([(1, _ts(5))], "user_id bigint, t timestamp")
+    plan = interval_point_join(
+        iv, pt, on="user_id", start="s", end="e", point_ts="t"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_registry_has_q93(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q93_interval_point_join" in QUERIES and "q93_interval_point_join" in ORACLE_SQL
