@@ -1,0 +1,89 @@
+"""Ordered-funnel analysis — how many users complete step 1, then step 2
+within a window of their step-1 time, then step 3 within a window of
+step 2, and so on.
+
+The published shape (ClickHouse `windowFunnel`, Amplitude/Mixpanel
+funnels) with EARLIEST-chaining semantics: t1 = min ts of a step-1
+event; t_k = min ts of a step-k event in [t_{k-1}, t_{k-1} + window].
+Deterministic and SQL-expressible (the q94 oracle re-derives it with
+chained filtered aggregates in DuckDB). Earliest-chaining is greedy,
+not maximal — a user who COULD complete the funnel starting from a
+later step-1 event but not from the earliest one counts as stalled;
+that is the standard analytics-product semantics and is what the
+oracle pins.
+
+Spark shape: every step is a conditional `min(when(pred, ts))` window
+over the SAME user partition, so Catalyst plans ONE shuffle (exchange
+reuse across the chained window selects), then per-user rollup on the
+already-partitioned key and a global stage count. No joins, no
+cross-products; per-partition width is the per-user event count
+(bounded in any real event table; a pathological single-user table
+degrades to one partition, the same ceiling every per-entity funnel
+has).
+
+Reference ancestry: the reference has no funnel operator; this extends
+the sessionize/attribution family (q16, q92) the same way rollup_manifest
+extends plain aggregation. Public semantics: ClickHouse windowFunnel
+docs; Srivastava et al., "Mining Sequential Patterns" (ordered-event
+matching with time constraints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_stages(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: list[tuple[str, Column]],
+    window_sec: int,
+) -> DataFrame:
+    """Count users reaching each funnel stage.
+
+    steps: ordered [(stage_name, event predicate Column), ...]. Step 1
+    matches anywhere; step k>1 must occur in [t_{k-1}, t_{k-1}+window_sec]
+    (inclusive both ends). Returns (stage string, users bigint), one row
+    per stage, in funnel order via a stage_idx column the caller may drop.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    w = Window.partitionBy(user_col)
+    ts = F.col(ts_col).cast("timestamp")
+    df = events
+    prev = None
+    for i, (_, pred) in enumerate(steps):
+        if prev is None:
+            cond = pred
+        else:
+            hi = F.col(prev) + F.expr(
+                f"make_interval(0, 0, 0, 0, 0, 0, {int(window_sec)})"
+            )
+            cond = pred & (ts >= F.col(prev)) & (ts <= hi)
+        df = df.withColumn(f"_t{i}", F.min(F.when(cond, ts)).over(w))
+        prev = f"_t{i}"
+    per_user = df.groupBy(user_col).agg(
+        *[F.first(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))]
+    )
+    counts = per_user.agg(
+        *[
+            F.count(F.col(f"_t{i}")).alias(f"_c{i}")
+            for i in range(len(steps))
+        ]
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col(f"_c{i}").alias("users"),
+            )
+            for i, (name, _) in enumerate(steps)
+        ]
+    )
+    return (
+        counts.select(F.explode(stages).alias("s"))
+        .select("s.stage_idx", "s.stage", "s.users")
+    )

@@ -1,0 +1,89 @@
+"""Ordered funnel (operators/funnel.py, q94)."""
+
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _ts(m):
+    return datetime(2024, 1, 1) + timedelta(minutes=m)
+
+
+def _steps():
+    return [
+        ("view", F.col("et") == "view"),
+        ("click", F.col("et") == "click"),
+        ("purchase", F.col("et") == "purchase"),
+    ]
+
+
+@pytest.fixture(scope="module")
+def hand(spark):
+    rows = [
+        # u1: full funnel inside windows
+        (1, _ts(0), "view"), (1, _ts(10), "click"), (1, _ts(20), "purchase"),
+        # u2: click outside the 1h window
+        (2, _ts(0), "view"), (2, _ts(120), "click"),
+        # u3: click strictly BEFORE the first view never counts
+        (3, _ts(0), "click"), (3, _ts(10), "view"),
+        # u4: no view at all -> reaches nothing
+        (4, _ts(0), "click"), (4, _ts(5), "purchase"),
+        # u5: stages 1-2; purchase outside window of the click
+        (5, _ts(0), "view"), (5, _ts(30), "click"), (5, _ts(30 + 120), "purchase"),
+        # u6: greedy earliest-chaining pin — the click IS within 1h of the
+        # SECOND view but not of the first; earliest semantics stall at view
+        (6, _ts(0), "view"), (6, _ts(50), "view"), (6, _ts(90), "click"),
+    ]
+    return spark.createDataFrame(rows, "user_id bigint, ts timestamp, et string")
+
+
+def test_funnel_hand_semantics(spark, hand):
+    from datasmith_spark.operators.funnel import funnel_stages
+
+    out = {
+        r.stage: (r.stage_idx, r.users)
+        for r in funnel_stages(hand, "user_id", "ts", _steps(), 3600).collect()
+    }
+    assert out == {"view": (0, 5), "click": (1, 2), "purchase": (2, 1)}
+
+
+def test_funnel_boundary_inclusive(spark):
+    """Step k at exactly t_{k-1} + window (and at exactly t_{k-1}) counts."""
+    from datasmith_spark.operators.funnel import funnel_stages
+
+    df = spark.createDataFrame(
+        [
+            (1, _ts(0), "view"), (1, _ts(60), "click"),   # == +window
+            (2, _ts(0), "view"), (2, _ts(0), "click"),    # same instant
+            (3, _ts(0), "view"), (3, _ts(61), "click"),   # one past
+        ],
+        "user_id bigint, ts timestamp, et string",
+    )
+    out = {
+        r.stage: r.users
+        for r in funnel_stages(df, "user_id", "ts", _steps()[:2], 3600).collect()
+    }
+    assert out == {"view": 3, "click": 2}
+
+
+def test_funnel_plan_one_shuffle_no_joins(spark, hand):
+    """All k stages must share ONE user-keyed exchange; no join nodes."""
+    from datasmith_spark.operators.funnel import funnel_stages
+
+    plan = (
+        funnel_stages(hand, "user_id", "ts", _steps(), 3600)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # one hash exchange for the user partition + the single-partition
+    # global rollup; chained window selects must NOT add exchanges
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges <= 1, plan
+
+
+def test_registry_has_q94(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q94_funnel_stages" in QUERIES and "q94_funnel_stages" in ORACLE_SQL
