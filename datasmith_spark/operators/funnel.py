@@ -87,3 +87,43 @@ def funnel_stages(
         counts.select(F.explode(stages).alias("s"))
         .select("s.stage_idx", "s.stage", "s.users")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    offset_days: int = 7,
+) -> DataFrame:
+    """Cohort-retention matrix: users are cohorted by their first active
+    DAY; retention at offset k = distinct users of that cohort active in
+    day-window [k*offset_days, (k+1)*offset_days). Output: (cohort_day
+    date, offset_k int, users bigint).
+
+    All arithmetic is DATE/integer (datediff of dates, integer-exact in
+    every engine) — no epoch doubles anywhere, so the q95 oracle is
+    value-exact by construction.
+
+    Shape: cohort day via min-window over the user partition (shuffle 1),
+    then distinct (user, cohort, k) and the rollup share the second
+    exchange. No joins. At 10^12 events the distinct is the wide stage;
+    its key includes user_col, so it inherits the user-grain uniformity
+    (no aggregate hot key can form: a user contributes ≤ span/offset_days
+    distinct rows)."""
+    d = F.col(ts_col).cast("timestamp").cast("date")
+    df = (
+        events.select(F.col(user_col).alias("_u"), d.alias("_d"))
+        .withColumn("_c", F.min("_d").over(Window.partitionBy("_u")))
+    )
+    return (
+        df.select(
+            "_u",
+            "_c",
+            F.floor(F.datediff(F.col("_d"), F.col("_c")) / offset_days)
+            .cast("int")
+            .alias("_k"),
+        )
+        .distinct()
+        .groupBy(F.col("_c").alias("cohort_day"), F.col("_k").alias("offset_k"))
+        .agg(F.count(F.lit(1)).alias("users"))
+    )

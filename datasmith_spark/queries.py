@@ -4293,3 +4293,35 @@ def q94_funnel_stages(spark, sf_dir):
         ],
         window_sec=259200,
     )
+
+
+@register(
+    "q95_cohort_retention",
+    """
+    WITH firstd AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS c FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, f.c,
+             CAST(floor(date_diff('day', f.c, CAST(e.ts AS DATE)) / 7.0) AS INT) AS k
+      FROM events e JOIN firstd f ON e.user_id = f.user_id
+    )
+    SELECT CAST(c AS VARCHAR) AS cohort_day, k AS offset_k, count(*) AS users
+    FROM act GROUP BY 1, 2
+    """,
+)
+def q95_cohort_retention(spark, sf_dir):
+    """Cohort-retention matrix: cohort = user's first active day;
+    retention at week-offset k = distinct cohort users active in day
+    window [7k, 7k+7). Runs operators/funnel.py cohort_retention — all
+    DATE/integer arithmetic (no epoch doubles), min-window + shared
+    distinct/rollup exchange, zero joins; the oracle re-derives it the
+    SQL-user way (aggregate + join + distinct), a structurally different
+    plan with the same values."""
+    from .operators.funnel import cohort_retention
+
+    out = cohort_retention(
+        _t(spark, sf_dir, "events"), user_col="user_id", ts_col="ts",
+        offset_days=7,
+    )
+    return out.withColumn("cohort_day", F.col("cohort_day").cast("string"))

@@ -87,3 +87,46 @@ def test_registry_has_q94(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q94_funnel_stages" in QUERIES and "q94_funnel_stages" in ORACLE_SQL
+
+
+def test_cohort_retention_hand(spark):
+    """Cohorts by first active day; weekly offsets; distinct users per
+    cell; a user active twice in one window counts once."""
+    from datasmith_spark.operators.funnel import cohort_retention
+
+    rows = [
+        # u1: first day 1; active day 1 (k0), day 9 and day 10 (both k1)
+        (1, _ts(0)), (1, _ts(8 * 1440)), (1, _ts(9 * 1440)),
+        # u2: first day 1; only k0
+        (2, _ts(10)),
+        # u3: first day 3 (different cohort); k0 and k2 (day 18)
+        (3, _ts(2 * 1440)), (3, _ts(17 * 1440)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = sorted(
+        (str(r.cohort_day), r.offset_k, r.users)
+        for r in cohort_retention(df, "user_id", "ts", offset_days=7).collect()
+    )
+    assert got == [
+        ("2024-01-01", 0, 2),
+        ("2024-01-01", 1, 1),
+        ("2024-01-03", 0, 1),
+        ("2024-01-03", 2, 1),
+    ]
+
+
+def test_cohort_retention_plan_no_joins(spark):
+    from datasmith_spark.operators.funnel import cohort_retention
+
+    df = spark.createDataFrame([(1, _ts(0))], "user_id bigint, ts timestamp")
+    plan = (
+        cohort_retention(df, "user_id", "ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_registry_has_q95(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q95_cohort_retention" in QUERIES and "q95_cohort_retention" in ORACLE_SQL
