@@ -168,6 +168,53 @@ def interval_point_join(
     )
 
 
+def gapfill_locf(
+    obs: DataFrame,
+    on: str,
+    ts: str,
+    value_cols: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Regularize an irregular per-key time series to a DAILY grid with
+    last-observation-carried-forward — the feature-engineering step that
+    turns event logs into fixed-step model inputs.
+
+    Three stages, all reusing existing shapes: (1) collapse to one row
+    per (key, day) — latest by (ts, tiebreak) via a single max-struct
+    aggregate (no window, map-side partials); (2) per-key day grid
+    [first obs day, last obs day] via sequence+explode (bounded by the
+    table's time span); (3) `asof_join` of grid onto the daily table on
+    integer-free DATE ordering. Every grid day ≥ the key's first obs day,
+    so the output is total (no nulls).
+
+    Output: (on, day date, <value_cols...>) — one row per key per day.
+
+    At 10^12 events: stage 1 is the wide stage and keys on (key, day) —
+    heat-capped like every bucketed op here; the grid explode emits
+    span-days rows per key (bounded, known); the as-of is one more
+    (key)-keyed exchange. DuckDB oracle: generate_series + native ASOF."""
+    d = F.col(ts).cast("timestamp").cast("date")
+    daily = (
+        obs.groupBy(on, d.alias("_d"))
+        .agg(
+            F.max(
+                F.struct(F.col(ts), F.col(tiebreak), *[F.col(c) for c in value_cols])
+            ).alias("_m")
+        )
+        .select(on, "_d", *[F.col(f"_m.{c}").alias(c) for c in value_cols])
+    )
+    span = daily.groupBy(on).agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    grid = span.select(
+        on, F.explode(F.expr("sequence(_lo, _hi, interval 1 day)")).alias("_d")
+    )
+    out = asof_join(grid, daily, on=on, ts="_d", right_cols=value_cols, prefix="r_")
+    return out.select(
+        on,
+        F.col("_d").alias("day"),
+        *[F.col("r_" + c).alias(c) for c in value_cols],
+    )
+
+
 def asof_join_bucketed(
     left: DataFrame,
     right: DataFrame,

@@ -4325,3 +4325,49 @@ def q95_cohort_retention(spark, sf_dir):
         offset_days=7,
     )
     return out.withColumn("cohort_day", F.col("cohort_day").cast("string"))
+
+
+@register(
+    "q96_gapfill_locf",
+    """
+    WITH daily AS (
+      SELECT user_id, d, value FROM (
+        SELECT user_id, CAST(ts AS DATE) AS d, value,
+               row_number() OVER (
+                 PARTITION BY user_id, CAST(ts AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ),
+    span AS (
+      SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM span
+    )
+    SELECT g.user_id, CAST(g.d AS VARCHAR) AS day, o.value
+    FROM grid g
+    ASOF LEFT JOIN daily o ON g.user_id = o.user_id AND g.d >= o.d
+    """,
+)
+def q96_gapfill_locf(spark, sf_dir):
+    """Gap-fill to a regular daily grid with last-observation-carried-
+    forward over each user's purchase history — irregular log → fixed-
+    step series, the standard featurization before any sequence model.
+    Runs operators/asof.py gapfill_locf (max-struct daily collapse →
+    sequence/explode grid → asof_join composition). Same-day ties break
+    by latest (ts, event_id), pinned by the oracle's row_number ORDER BY.
+    The oracle is generate_series + DuckDB's native ASOF — an independent
+    engine implementation of the whole semantics."""
+    from .operators.asof import gapfill_locf
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    out = gapfill_locf(
+        e.select("user_id", "ts", "event_id", "value"),
+        on="user_id", ts="ts", value_cols=["value"], tiebreak="event_id",
+    )
+    return out.withColumn("day", F.col("day").cast("string"))

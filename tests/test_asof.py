@@ -191,3 +191,66 @@ def test_registry_has_q93(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q93_interval_point_join" in QUERIES and "q93_interval_point_join" in ORACLE_SQL
+
+
+def test_gapfill_locf_hand(spark):
+    """Gaps fill with the carried value; same-day ties pick the latest
+    (ts, event_id); per-user span is [first obs day, last obs day]."""
+    from datasmith_spark.operators.asof import gapfill_locf
+
+    rows = [
+        # u1: day1 twice (tie -> later ts wins), gap day2-3, day4
+        (1, _ts(10), 100, 1.0),
+        (1, _ts(40), 101, 2.0),          # same day, later ts -> wins day 1
+        (1, _ts(3 * 1440 + 5), 102, 9.0),  # day 4
+        # u2: single day -> single row
+        (2, _ts(1440 + 7), 200, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_id bigint, value double")
+    got = sorted(
+        (r.user_id, str(r.day), r.value)
+        for r in gapfill_locf(
+            df, on="user_id", ts="ts", value_cols=["value"], tiebreak="event_id"
+        ).collect()
+    )
+    assert got == [
+        (1, "2024-01-01", 2.0),
+        (1, "2024-01-02", 2.0),
+        (1, "2024-01-03", 2.0),
+        (1, "2024-01-04", 9.0),
+        (2, "2024-01-02", 5.0),
+    ]
+
+
+def test_gapfill_equal_ts_tiebreak_by_id(spark):
+    """At the exact same timestamp, max event_id wins."""
+    from datasmith_spark.operators.asof import gapfill_locf
+
+    df = spark.createDataFrame(
+        [(1, _ts(0), 7, 1.0), (1, _ts(0), 9, 2.0), (1, _ts(0), 8, 3.0)],
+        "user_id bigint, ts timestamp, event_id bigint, value double",
+    )
+    out = gapfill_locf(
+        df, on="user_id", ts="ts", value_cols=["value"], tiebreak="event_id"
+    ).collect()
+    assert len(out) == 1 and out[0].value == 2.0
+
+
+def test_gapfill_plan_no_cross_product(spark):
+    from datasmith_spark.operators.asof import gapfill_locf
+
+    df = spark.createDataFrame(
+        [(1, _ts(0), 7, 1.0)],
+        "user_id bigint, ts timestamp, event_id bigint, value double",
+    )
+    plan = gapfill_locf(
+        df, on="user_id", ts="ts", value_cols=["value"], tiebreak="event_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_registry_has_q96(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q96_gapfill_locf" in QUERIES and "q96_gapfill_locf" in ORACLE_SQL
