@@ -396,3 +396,70 @@ def langid_model_from_counts(rows, smooth: float = 1.0) -> "object":
             counts[li[r["lang"]], r["bucket"]] += r["n"]
     logprob = np.log(counts / counts.sum(axis=1, keepdims=True))
     return LangIdModel(logprob, tuple(LANGS))
+
+
+def pmi_collocations(
+    docs: DataFrame, min_count: int = 5, k: int = 50
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information —
+    PMI(w1,w2) = log( N * c(w1,w2) / (c(w1) * c(w2)) ) over lowercase
+    alphabetic word bigrams [Church & Hanks 1990].
+
+    The log is monotone, so the RANKING uses the exact rational
+    N*c12/(c1*c2): three BIGINT counts, two BIGINT products, ONE double
+    division — correctly rounded IEEE, bit-identical in any engine, so
+    the q97 oracle compares the score itself, no epsilon. (At 10^12
+    tokens the products near int64 range; shift to double products
+    there — ordering error is then 1-ulp class, irrelevant for top-k.)
+
+    Shape: tokenize + self-zip (slice/arrays_zip, JVM codegen), ONE
+    explode, then three count aggregates; unigram counts join back onto
+    the bigram table via two broadcast-able joins when the vocabulary is
+    bounded — here plain equi-joins keyed on a word, the classic
+    word-count skew profile ("the") which the min_count prefilter does
+    NOT cap, so at web scale run the c1/c2 attach AFTER the min_count
+    filter (done below: only surviving bigrams join) and let AQE handle
+    the residual head."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+    )
+    t = docs.select(toks.alias("_t"))
+    uni = (
+        t.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.size("_t") - 1
+    big = (
+        t.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_t", 1, F.greatest(n, F.lit(0))).alias("w1"),
+                    F.slice("_t", 2, F.greatest(n, F.lit(0))).alias("w2"),
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    n_total = (
+        t.select(F.greatest(n, F.lit(0)).alias("_n"))
+        .agg(F.sum("_n").alias("n_total"))
+    )
+    scored = (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1", "w2", "c12", "c1", "c2",
+            ((F.col("n_total") * F.col("c12")).cast("double")
+             / (F.col("c1") * F.col("c2")).cast("double")).alias("lift"),
+        )
+    )
+    # total order (lift, w1, w2) -> deterministic cutoff; orderBy+limit
+    # plans TakeOrderedAndProject (per-partition heaps, no global sort)
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)

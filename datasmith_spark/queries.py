@@ -4371,3 +4371,53 @@ def q96_gapfill_locf(spark, sf_dir):
         on="user_id", ts="ts", value_cols=["value"], tiebreak="event_id",
     )
     return out.withColumn("day", F.col("day").cast("string"))
+
+
+@register(
+    "q97_pmi_collocations",
+    """
+    WITH tk AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w
+    ),
+    bigrows AS (
+      SELECT z FROM (SELECT unnest(list_zip(t, t[2:])) AS z FROM tk)
+      WHERE z[2] IS NOT NULL
+    ),
+    big AS (
+      SELECT z[1] AS w1, z[2] AS w2, count(*) AS c12
+      FROM bigrows GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    tot AS (SELECT sum(greatest(len(t) - 1, 0)) AS n_total FROM tk)
+    SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+           CAST(t.n_total * b.c12 AS DOUBLE)
+             / CAST(u1.c * u2.c AS DOUBLE) AS lift
+    FROM big b
+    JOIN uni u1 ON u1.w = b.w1
+    JOIN uni u2 ON u2.w = b.w2
+    CROSS JOIN tot t
+    ORDER BY lift DESC, b.w1 ASC, b.w2 ASC
+    LIMIT 50
+    """,
+)
+def q97_pmi_collocations(spark, sf_dir):
+    """Top-50 bigram collocations by PMI lift [Church & Hanks 1990] over
+    the documents corpus — the vocabulary/phrase-mining pass of a text
+    curation pipeline. The monotone-log trick makes this oracle-exact:
+    rank by the rational N*c12/(c1*c2) (BIGINT products, one IEEE
+    division) instead of calling log, so Spark and DuckDB produce
+    bit-identical scores and the cutoff is pinned by the total order
+    (lift, w1, w2). Runs operators/text_analysis.py pmi_collocations:
+    tokenize + arrays_zip self-pairing in codegen, one explode, counts,
+    unigram attach AFTER the min-count filter (so the 'the'-head skew
+    joins only surviving bigrams), TakeOrderedAndProject top-k."""
+    from .operators.text_analysis import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, k=50
+    )

@@ -211,3 +211,48 @@ class TestLangidTrainCounts:
                 assert m_dist.predict_one(t) == m_serial.predict_one(t)
                 hits += m_dist.predict_one(t)[0] == lang
         assert hits >= 0.9 * 10 * len(LANGS)
+
+
+def test_pmi_collocations_hand(spark):
+    """Hand-checkable corpus: 'new york' always adjacent (high lift),
+    'the' everywhere (low lift); counts and the exact rational score."""
+    from datasmith_spark.operators.text_analysis import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "New York! the city; the place the") ,
+            ("b", "new york, the harbor the bay the"),
+            ("c", "the new york the marathon the x"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        (r.w1, r.w2): (r.c12, r.c1, r.c2, r.lift)
+        for r in pmi_collocations(docs, min_count=3, k=10).collect()
+    }
+    # tokens/doc: 7 each -> 6 bigrams each -> N = 18
+    # c(new)=3 c(york)=3 c(new,york)=3 -> lift = 18*3/(3*3) = 6.0
+    assert out[("new", "york")] == (3, 3, 3, 6.0)
+    # 'the x' etc below min_count are gone; every surviving pair has c12>=3
+    assert all(v[0] >= 3 for v in out.values())
+
+
+def test_pmi_tokenizer_strips_nonalpha_and_case(spark):
+    from datasmith_spark.operators.text_analysis import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [("a", "Ab-Ba!! ab:ba? AB ba")], "doc_id string, text string"
+    )
+    # tokens: ab ba ab ba ab ba -> bigrams (ab,ba)x3, (ba,ab)x2, N=5
+    out = {
+        (r.w1, r.w2): (r.c12, r.lift)
+        for r in pmi_collocations(docs, min_count=2, k=10).collect()
+    }
+    assert out[("ab", "ba")] == (3, 5 * 3 / (3 * 3))
+    assert out[("ba", "ab")] == (2, 5 * 2 / (3 * 3))
+
+
+def test_registry_has_q97(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q97_pmi_collocations" in QUERIES and "q97_pmi_collocations" in ORACLE_SQL
