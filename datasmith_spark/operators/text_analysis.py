@@ -463,3 +463,54 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(k)
+
+
+def inverted_index(
+    docs: DataFrame, shard_log2: int = 0, max_df: int | None = None
+) -> DataFrame:
+    """Posting-list construction — the retrieval-index build step: one
+    row per term (per posting shard) with document frequency, total term
+    frequency and the doc_id-sorted posting list as 'doc_id:tf' strings.
+
+    shard_log2 is the hot-term defense: a web-scale stopword's posting
+    list is df-sized and would concentrate in ONE reducer row; with
+    shard_log2 = s each term's postings split across 2^s deterministic
+    shards keyed by crc32(doc_id), so per-row (and per-reducer-group)
+    width drops 2^s-fold and the consumer merges shards (their union is
+    exactly the unsharded list — pinned in pytest). max_df drops
+    stopword-class terms outright (standard IR practice).
+
+    Two shuffles: (term, doc) tf counts, then (term, shard) list agg;
+    sort_array on the collected structs keeps ordering engine-side."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+    )
+    tf = (
+        docs.select(F.col("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    shard = (
+        (F.crc32(F.col("doc_id").cast("string")) % (2 ** shard_log2)).cast("int")
+        if shard_log2 > 0
+        else F.lit(0).cast("int")
+    )
+    idx = (
+        tf.withColumn("shard", shard)
+        .groupBy("term", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("tf_total"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("doc_id", "tf"))),
+                lambda s: F.concat_ws(":", s.doc_id, s.tf),
+            ).alias("postings"),
+        )
+    )
+    if max_df is not None:
+        # per-TERM df (sum over shards) via a second tiny agg + join
+        termdf = idx.groupBy("term").agg(F.sum("df").alias("_tdf"))
+        idx = idx.join(
+            F.broadcast(termdf.filter(F.col("_tdf") <= max_df)), "term"
+        ).drop("_tdf")
+    return idx

@@ -4421,3 +4421,34 @@ def q97_pmi_collocations(spark, sf_dir):
     return pmi_collocations(
         _t(spark, sf_dir, "documents"), min_count=5, k=50
     )
+
+
+@register(
+    "q98_inverted_index",
+    """
+    WITH tf AS (
+      SELECT term, doc_id, count(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+      ) GROUP BY term, doc_id
+    )
+    SELECT term, CAST(0 AS INT) AS shard,
+           count(*) AS df,
+           CAST(sum(tf) AS BIGINT) AS tf_total,
+           list(doc_id || ':' || tf ORDER BY doc_id) AS postings
+    FROM tf GROUP BY term
+    """,
+)
+def q98_inverted_index(spark, sf_dir):
+    """Inverted-index (posting list) construction: one row per term with
+    document frequency, corpus term frequency and the doc_id-sorted
+    posting list as 'doc:tf' strings — the retrieval-index build step of
+    an eval/dedup stack. Runs operators/text_analysis.py inverted_index
+    (shard_log2=0 here; the 2^s posting-shard hot-term defense is pinned
+    union-equal to the unsharded index in pytest). Two shuffles: (term,
+    doc) tf, then per-term list agg with engine-side sort_array."""
+    from .operators.text_analysis import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents"))

@@ -256,3 +256,52 @@ def test_registry_has_q97(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q97_pmi_collocations" in QUERIES and "q97_pmi_collocations" in ORACLE_SQL
+
+
+def test_inverted_index_hand(spark):
+    from datasmith_spark.operators.text_analysis import inverted_index
+
+    docs = spark.createDataFrame(
+        [(2, "b a b"), (1, "a b a"), (3, "c!c")],
+        "doc_id bigint, text string",
+    )
+    out = {r.term: (r.df, r.tf_total, list(r.postings))
+           for r in inverted_index(docs).collect()}
+    assert out["a"] == (2, 3, ["1:2", "2:1"])     # sorted by doc_id
+    assert out["b"] == (2, 3, ["1:1", "2:2"])
+    assert out["c"] == (1, 2, ["3:2"])            # punctuation split
+
+
+def test_inverted_index_shards_union_to_unsharded(spark):
+    """The 2^s posting-shard hot-term defense must lose nothing: merging
+    shards reproduces the unsharded index exactly."""
+    from datasmith_spark.operators.text_analysis import inverted_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    flat = {r.term: (r.df, r.tf_total, sorted(r.postings))
+            for r in inverted_index(docs, shard_log2=0).collect()}
+    merged = {}
+    for r in inverted_index(docs, shard_log2=2).collect():
+        d = merged.setdefault(r.term, [0, 0, []])
+        d[0] += r.df
+        d[1] += r.tf_total
+        d[2].extend(r.postings)
+    merged = {t: (d[0], d[1], sorted(d[2])) for t, d in merged.items()}
+    assert merged == flat
+
+
+def test_inverted_index_max_df_drops_stopword_class(spark):
+    from datasmith_spark.operators.text_analysis import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "the zebra" if i == 0 else "the") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    out = {r.term for r in inverted_index(docs, max_df=2).collect()}
+    assert out == {"zebra"}
+
+
+def test_registry_has_q98(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q98_inverted_index" in QUERIES and "q98_inverted_index" in ORACLE_SQL
