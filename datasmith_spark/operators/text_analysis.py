@@ -514,3 +514,42 @@ def inverted_index(
             F.broadcast(termdf.filter(F.col("_tdf") <= max_df)), "term"
         ).drop("_tdf")
     return idx
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by tf-idf — the keyword-extraction pass.
+    Same log-free trick as pmi_collocations: idf = log(N/df) is monotone
+    in the rational N/df, so rank by score = tf * N / df (two BIGINTs,
+    one IEEE division — bit-identical across engines); ties break by
+    term asc, making the per-doc cutoff total-ordered and oracle-exact.
+
+    Shape: (term, doc) tf counts, per-term df agg, df attach back on the
+    tf table (term-keyed equi-join; AQE handles the stopword head), N by
+    broadcast, then a row_number window inside each doc partition —
+    bounded by per-doc vocabulary, no global sort."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+    )
+    tf = (
+        docs.select(F.col("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term", "tf", "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double")
+             / F.col("df").cast("double")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+    )

@@ -4452,3 +4452,40 @@ def q98_inverted_index(spark, sf_dir):
     from .operators.text_analysis import inverted_index
 
     return inverted_index(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q99_tfidf_top_terms",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+      ) GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dft.df AS DOUBLE) AS score
+      FROM tf JOIN dft USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, rk FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def q99_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 keywords by tf-idf — rank by the rational
+    tf*N/df (log-free, bit-identical across engines; see q97) with the
+    per-doc cutoff pinned by the (score desc, term asc) total order.
+    Runs operators/text_analysis.py tfidf_top_terms: tf counts, df agg,
+    term-keyed attach, broadcast N, row_number inside each doc partition
+    (bounded by per-doc vocabulary — no global sort anywhere)."""
+    from .operators.text_analysis import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)

@@ -305,3 +305,45 @@ def test_registry_has_q98(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q98_inverted_index" in QUERIES and "q98_inverted_index" in ORACLE_SQL
+
+
+def test_tfidf_top_terms_hand(spark):
+    """Rarer terms outrank common ones at equal tf; k cutoff and the
+    term-asc tiebreak are deterministic."""
+    from datasmith_spark.operators.text_analysis import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple zebra common"),
+            (2, "common zebra"),
+            (3, "common"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # N=3; df: apple=1, zebra=2, common=3
+    out = {(r.doc_id, r.rk): (r.term, r.score)
+           for r in tfidf_top_terms(docs, k=2).collect()}
+    assert out[(1, 1)] == ("apple", 2 * 3 / 1)   # tf=2, df=1
+    assert out[(1, 2)] == ("zebra", 1 * 3 / 2)
+    assert out[(2, 1)] == ("zebra", 1 * 3 / 2)
+    assert out[(2, 2)] == ("common", 1 * 3 / 3)
+    assert out[(3, 1)] == ("common", 1.0)
+    assert (3, 2) not in out                      # only one term in doc 3
+
+
+def test_tfidf_tiebreak_term_asc(spark):
+    from datasmith_spark.operators.text_analysis import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "b a"), (2, "a b")], "doc_id bigint, text string"
+    )
+    out = {(r.doc_id, r.rk): r.term for r in tfidf_top_terms(docs, k=2).collect()}
+    # identical scores everywhere -> term asc decides
+    assert out[(1, 1)] == "a" and out[(1, 2)] == "b"
+    assert out[(2, 1)] == "a" and out[(2, 2)] == "b"
+
+
+def test_registry_has_q99(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q99_tfidf_top_terms" in QUERIES and "q99_tfidf_top_terms" in ORACLE_SQL
