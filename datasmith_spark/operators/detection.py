@@ -95,3 +95,50 @@ def detect_changepoints(
     """Per-user changepoints with the selected strategy; rounded delta_pct."""
     out = get_detection_method(method)(events.select("user_id", "ts", "event_id", "value"), threshold)
     return out.withColumn("delta_pct", F.round("delta_pct", 6))
+
+
+def rolling_zscore_flags(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    cents_col: str,
+    window: int = 10,
+    min_n: int = 5,
+    z: int = 2,
+) -> DataFrame:
+    """Rolling z-score anomaly flags with ALL-INTEGER arithmetic.
+
+    For each row, over the trailing `window` rows of the same key
+    (ordered by ts, id — a total order, so deterministic), flag when
+    the value deviates more than z population-stddevs from the trailing
+    mean. The float-free trick: with n, S = sum, SS = sum of squares
+    (all BIGINT over integer cents), (x - S/n)^2 > z^2 * var_pop
+    multiplies through by n^2 to (n*x - S)^2 > z^2 * (n*SS - S^2) —
+    exact 64-bit integer compares, so the q101 oracle re-derives the
+    decision bit-for-bit (no epsilon, no summation-order term).
+
+    Output: one row per input row with n_prev and the flag.
+
+    Shape: ONE window over the key partition (single shuffle); per-
+    partition width = per-key row count. Overflow headroom: |cents| <
+    2^26 and window < 2^7 keeps n*SS < 2^60."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-window, -1)
+    )
+    x = F.col(cents_col)
+    n = F.count(x).over(w)
+    s = F.sum(x).over(w)
+    ss = F.sum(x * x).over(w)
+    dev = n * x - s
+    flag = (n >= min_n) & (dev * dev > F.lit(z * z) * (n * ss - s * s))
+    return events.select(
+        key_col,
+        id_col,
+        ts_col,
+        cents_col,
+        n.alias("n_prev"),
+        F.coalesce(flag, F.lit(False)).alias("flagged"),
+    )

@@ -4489,3 +4489,108 @@ def q99_tfidf_top_terms(spark, sf_dir):
     from .operators.text_analysis import tfidf_top_terms
 
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+_Q100_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q100_pivot_daily_matrix",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+    """
+    + ",\n    ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS {t}_n,\n"
+        f"    CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))"
+        f" FILTER (WHERE event_type = '{t}'), 0) AS BIGINT) AS {t}_cents"
+        for t in _Q100_TYPES
+    )
+    + """
+    FROM events GROUP BY 1
+    """,
+)
+def q100_pivot_daily_matrix(spark, sf_dir):
+    """Pivot/crosstab: the wide daily activity matrix (one row per day,
+    one (count, exact-cents sum) column pair per event type) — Spark's
+    native `groupBy().pivot(col, values).agg(...)` with the value list
+    PINNED so the output schema is static (an unpinned pivot runs a
+    distinct-scan job and the schema floats with the data — wrong for a
+    production table). Money sums in integer cents (round(value*100) as
+    BIGINT) so no float-summation-order term anywhere; the oracle is the
+    FILTER-aggregate form, value-identical by construction.
+
+    At 10^12 events: one shuffle on day; the pivot is map-side partial
+    (each task emits one partial row per day) so reducer width is
+    days × types, independent of row count."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    out = (
+        e.select(
+            F.col("ts").cast("timestamp").cast("date").cast("string").alias("day"),
+            "event_type",
+            cents.alias("_cents"),
+        )
+        .groupBy("day")
+        .pivot("event_type", _Q100_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("_cents"), F.lit(0)).cast("bigint").alias("cents"),
+        )
+    )
+    # spark names pivot agg columns '<value>_<alias>' already
+    return out
+
+
+@register(
+    "q101_rolling_zscore_flags",
+    """
+    WITH p AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wstats AS (
+      SELECT user_id, event_id, ts, cents,
+             count(cents) OVER tw AS n_prev,
+             sum(cents)   OVER tw AS s,
+             sum(cents * cents) OVER tw AS ss
+      FROM p
+      WINDOW tw AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           extract(epoch FROM ts) AS ep,
+           cents,
+           CAST(n_prev AS BIGINT) AS n_prev,
+           coalesce(n_prev >= 5 AND
+             (n_prev * cents - s) * (n_prev * cents - s)
+               > 4 * (n_prev * ss - s * s), FALSE) AS flagged
+    FROM wstats
+    """,
+)
+def q101_rolling_zscore_flags(spark, sf_dir):
+    """Rolling z-score anomaly detection over each user's purchase
+    stream: flag a purchase > 2 trailing-window population-stddevs from
+    the trailing-10 mean. Runs operators/detection.py
+    rolling_zscore_flags — the float-free construction: integer cents,
+    BIGINT (n, S, SS) window sums, and the z-test multiplied through by
+    n^2 to (n*x-S)^2 > 4(n*SS-S^2), so the oracle reproduces every flag
+    bit-for-bit with no epsilon and no float-summation-order caveat.
+    ONE user-keyed window shuffle; total order (ts, event_id) pins the
+    frame."""
+    from .operators.detection import rolling_zscore_flags
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    out = rolling_zscore_flags(
+        p, key_col="user_id", ts_col="ts", id_col="event_id",
+        cents_col="cents", window=10, min_n=5, z=2,
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.col("ts").cast("timestamp").cast("double").alias("ep"),
+        "cents", "n_prev", "flagged",
+    )

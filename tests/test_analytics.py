@@ -1,0 +1,94 @@
+"""Pivot matrix (q100) and rolling z-score flags (q101)."""
+
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+
+
+def _ts(m):
+    return datetime(2024, 1, 1) + timedelta(minutes=m)
+
+
+def test_rolling_zscore_hand(spark):
+    """Steady series never flags; a spike after warmup flags; fewer than
+    min_n trailing rows never flags (the warmup rows themselves)."""
+    from datasmith_spark.operators.detection import rolling_zscore_flags
+
+    rows = [(1, i, _ts(i), 100) for i in range(8)]       # steady 100c
+    rows.append((1, 8, _ts(8), 100_00))                  # spike
+    rows.append((1, 9, _ts(9), 100))                     # back to normal
+    rows += [(2, i, _ts(i), 100 + i) for i in range(4)]  # never reaches min_n
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, cents bigint"
+    )
+    out = {
+        (r.user_id, r.event_id): (r.n_prev, r.flagged)
+        for r in rolling_zscore_flags(
+            df, "user_id", "ts", "event_id", "cents", window=10, min_n=5, z=2
+        ).collect()
+    }
+    assert out[(1, 8)] == (8, True)          # zero-variance history, huge dev
+    for i in range(5):                        # warmup rows have n_prev < 5
+        assert out[(1, i)][1] is False
+    # the return-to-normal row: history now contains the spike, so the
+    # variance blows up and 100 is NOT 2 sigmas away -> unflagged
+    assert out[(1, 9)] == (9, False)
+    assert all(not v[1] for k, v in out.items() if k[0] == 2)
+
+
+def test_rolling_zscore_exact_boundary_unflagged(spark):
+    """(n*x - S)^2 == 4*(n*SS - S^2) exactly -> strict > does not flag.
+    History [90, 110] (n=2, S=200, SS=20200): boundary x solves
+    (2x-200)^2 = 4*(2*20200-40000) = 1600 -> x = 120 or 80."""
+    from datasmith_spark.operators.detection import rolling_zscore_flags
+
+    rows = [(1, 0, _ts(0), 90), (1, 1, _ts(1), 110), (1, 2, _ts(2), 120)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, cents bigint"
+    )
+    out = {
+        r.event_id: r.flagged
+        for r in rolling_zscore_flags(
+            df, "user_id", "ts", "event_id", "cents", window=10, min_n=2, z=2
+        ).collect()
+    }
+    assert out[2] is False
+
+
+def test_pivot_matrix_missing_cells_are_zero(spark):
+    from datasmith_spark.queries import QUERIES
+
+    rows = QUERIES["q100_pivot_daily_matrix"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "pivot produced no rows"
+    cols = set(rows[0].asDict())
+    for t in ("click", "error", "purchase", "signup", "view"):
+        assert {f"{t}_n", f"{t}_cents"} <= cols
+    for r in rows:
+        d = r.asDict()
+        for t in ("click", "error", "purchase", "signup", "view"):
+            assert d[f"{t}_n"] is not None and d[f"{t}_cents"] is not None
+            # empty cell => count 0 AND cents 0 (coalesced, not null)
+            if d[f"{t}_n"] == 0:
+                assert d[f"{t}_cents"] == 0
+
+
+def test_zscore_plan_single_window_shuffle(spark):
+    from datasmith_spark.operators.detection import rolling_zscore_flags
+
+    df = spark.createDataFrame(
+        [(1, 0, _ts(0), 90)],
+        "user_id bigint, event_id bigint, ts timestamp, cents bigint",
+    )
+    plan = rolling_zscore_flags(
+        df, "user_id", "ts", "event_id", "cents"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_registry_has_q100_q101(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    for name in ("q100_pivot_daily_matrix", "q101_rolling_zscore_flags"):
+        assert name in QUERIES and name in ORACLE_SQL
