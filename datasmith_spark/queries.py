@@ -4594,3 +4594,54 @@ def q101_rolling_zscore_flags(spark, sf_dir):
         F.col("ts").cast("timestamp").cast("double").alias("ep"),
         "cents", "n_prev", "flagged",
     )
+
+
+@register(
+    "q102_pareto_skyline",
+    """
+    WITH m AS (
+      SELECT user_id,
+             CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+               FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS spend_cents,
+             CAST(-count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS neg_errors
+      FROM events GROUP BY user_id
+    )
+    SELECT p.user_id, p.spend_cents, -p.neg_errors AS n_errors FROM m p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m q
+      WHERE q.spend_cents >= p.spend_cents AND q.neg_errors >= p.neg_errors
+        AND (q.spend_cents > p.spend_cents OR q.neg_errors > p.neg_errors)
+    )
+    """,
+)
+def q102_pareto_skyline(spark, sf_dir):
+    """Pareto skyline: users on the non-dominated frontier of (total
+    purchase cents, fewest error events — maximize (spend, -errors)) —
+    the selection shape used to
+    pick pareto-optimal sources/configs for a training mix. Runs
+    operators/skyline.py skyline2d, the sort-sweep-as-two-windows form
+    (bucketed local frontier + tiny global pass — no self-join); the
+    oracle is the literal quadratic NOT-EXISTS dominance definition in
+    DuckDB, a maximally independent restatement. Integer metrics keep
+    both engines bit-identical."""
+    from .operators.skyline import skyline2d
+
+    e = _t(spark, sf_dir, "events")
+    m = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("spend_cents"),
+        (-F.count(F.when(F.col("event_type") == "error", F.lit(1))))
+        .cast("bigint")
+        .alias("neg_errors"),
+    )
+    sky = skyline2d(m, x="spend_cents", y="neg_errors", id_col="user_id")
+    return sky.select(
+        "user_id", "spend_cents", (-F.col("neg_errors")).alias("n_errors")
+    )

@@ -92,3 +92,59 @@ def test_registry_has_q100_q101(spark):
 
     for name in ("q100_pivot_daily_matrix", "q101_rolling_zscore_flags"):
         assert name in QUERIES and name in ORACLE_SQL
+
+
+def test_skyline_hand(spark):
+    """Frontier keeps staircase points, drops dominated interior, keeps
+    duplicate frontier points (neither dominates the other)."""
+    from datasmith_spark.operators.skyline import skyline2d
+
+    pts = [
+        (1, 10, 1), (2, 8, 5), (3, 8, 5),   # 2 and 3 are duplicates, both kept
+        (4, 5, 9),
+        (5, 8, 4),                           # same x as 2/3, lower y -> dominated
+        (6, 7, 5),                           # dominated by (8,5)
+        (7, 10, 0),                          # same max-x, lower y than 1 -> dominated
+    ]
+    df = spark.createDataFrame(pts, "id bigint, x bigint, y bigint")
+    got = sorted(r.id for r in skyline2d(df, "x", "y").collect())
+    assert got == [1, 2, 3, 4]
+
+
+def test_skyline_bucketed_equals_plain(spark):
+    """Phase-1 bucketing must never lose a frontier point."""
+    from datasmith_spark.operators.skyline import skyline2d
+
+    # deterministic pseudo-random lattice
+    pts = [(i, (i * 37) % 101, (i * 61) % 97) for i in range(300)]
+    df = spark.createDataFrame(pts, "id bigint, x bigint, y bigint")
+    plain = sorted(r.id for r in skyline2d(df, "x", "y", id_col=None).collect())
+    bucketed = sorted(
+        r.id for r in skyline2d(df, "x", "y", id_col="id", n_buckets=16).collect()
+    )
+    assert bucketed == plain and plain
+
+
+def test_skyline_negative_metric(spark):
+    """Minimize-via-negation works (the -1 range trick holds for
+    negative integers)."""
+    from datasmith_spark.operators.skyline import skyline2d
+
+    pts = [(1, 10, -2), (2, 9, -1), (3, 9, -5), (4, 11, -9)]
+    df = spark.createDataFrame(pts, "id bigint, x bigint, y bigint")
+    got = sorted(r.id for r in skyline2d(df, "x", "y", id_col="id").collect())
+    assert got == [1, 2, 4]
+
+
+def test_skyline_plan_no_joins(spark):
+    from datasmith_spark.operators.skyline import skyline2d
+
+    df = spark.createDataFrame([(1, 1, 1)], "id bigint, x bigint, y bigint")
+    plan = skyline2d(df, "x", "y", id_col="id")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_registry_has_q102(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q102_pareto_skyline" in QUERIES and "q102_pareto_skyline" in ORACLE_SQL
