@@ -142,3 +142,48 @@ def rolling_zscore_flags(
         n.alias("n_prev"),
         F.coalesce(flag, F.lit(False)).alias("flagged"),
     )
+
+
+def group_ols_trend(
+    df: DataFrame, key_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group closed-form OLS slope/intercept over INTEGER (x, y) —
+    drift detection for per-entity metrics (spend trend, quality trend)
+    without any float accumulation.
+
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2); every sum is a BIGINT
+    aggregate (exact, order-independent), the numerator/denominator are
+    emitted as exact BIGINTs, and slope/intercept are each ONE IEEE
+    division of exact integers — bit-identical across engines, so the
+    q103 oracle compares the regression itself, no epsilon. Groups with
+    n < 2 or zero x-variance are dropped (no slope exists).
+
+    One shuffle (the groupBy); map-side partial aggregation applies.
+    Overflow headroom documented in q103; for |y| ~ 2^26-cents-scale and
+    group sizes into the tens of thousands, stay in int64; beyond that
+    promote the sums to DECIMAL(38,0)."""
+    x, y = F.col(x_col), F.col(y_col)
+    agg = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        agg.withColumn("num", num.cast("bigint"))
+        .withColumn("den", den.cast("bigint"))
+        .filter((F.col("n") >= 2) & (F.col("den") != 0))
+        .select(
+            key_col, "n", "num", "den",
+            (F.col("num").cast("double") / F.col("den").cast("double"))
+            .alias("slope"),
+            (
+                (F.col("sy") * F.col("den") - F.col("num") * F.col("sx"))
+                .cast("double")
+                / (F.col("n") * F.col("den")).cast("double")
+            ).alias("intercept"),
+        )
+    )

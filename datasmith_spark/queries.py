@@ -4645,3 +4645,49 @@ def q102_pareto_skyline(spark, sf_dir):
     return sky.select(
         "user_id", "spend_cents", (-F.col("neg_errors")).alias("n_errors")
     )
+
+
+@register(
+    "q103_ols_spend_trend",
+    """
+    WITH p AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase'
+    ),
+    agg AS (
+      SELECT user_id, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM p GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS den,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
+             / CAST(n * (n * sxx - sx * sx) AS DOUBLE) AS intercept
+    FROM agg WHERE n >= 2 AND n * sxx - sx * sx != 0
+    """,
+)
+def q103_ols_spend_trend(spark, sf_dir):
+    """Per-user spend-trend regression: OLS slope/intercept of purchase
+    cents against day index — the drift-detection primitive (is this
+    entity's metric rising or falling?). Runs operators/detection.py
+    group_ols_trend, the all-integer closed form: BIGINT sums (exact,
+    order-independent — no float-summation-order caveat), exact BIGINT
+    numerator/denominator in the output, and ONE IEEE division each for
+    slope/intercept, so the oracle reproduces the regression
+    bit-for-bit. One groupBy shuffle with map-side partials."""
+    from .operators.detection import group_ols_trend
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("timestamp").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("bigint").alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    return group_ols_trend(p, key_col="user_id", x_col="x", y_col="y")

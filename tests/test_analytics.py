@@ -148,3 +148,29 @@ def test_registry_has_q102(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q102_pareto_skyline" in QUERIES and "q102_pareto_skyline" in ORACLE_SQL
+
+
+def test_ols_trend_hand_exact_line(spark):
+    """Perfect line y = 3x + 7 recovers slope 3, intercept 7 exactly;
+    a constant-x group is dropped (no variance); n=1 dropped."""
+    from datasmith_spark.operators.detection import group_ols_trend
+
+    rows = (
+        [(1, x, 3 * x + 7) for x in (0, 2, 5, 9)]
+        + [(2, 4, 10), (2, 4, 20)]   # zero x-variance
+        + [(3, 1, 5)]                # n=1
+        + [(4, 0, 0), (4, 10, 5)]    # slope 1/2 exactly
+    )
+    df = spark.createDataFrame(rows, "k bigint, x bigint, y bigint")
+    out = {r.k: r for r in group_ols_trend(df, "k", "x", "y").collect()}
+    assert set(out) == {1, 4}
+    assert out[1].slope == 3.0 and out[1].intercept == 7.0
+    assert out[4].slope == 0.5 and out[4].intercept == 0.0
+    # exact integer num/den are the value-checked artifact
+    assert out[4].num / out[4].den == 0.5
+
+
+def test_registry_has_q103(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q103_ols_spend_trend" in QUERIES and "q103_ols_spend_trend" in ORACLE_SQL
