@@ -127,3 +127,80 @@ def cohort_retention(
         .groupBy(F.col("_c").alias("cohort_day"), F.col("_k").alias("offset_k"))
         .agg(F.count(F.lit(1)).alias("users"))
     )
+
+
+def event_paths(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    max_len: int = 8,
+    k: int = 20,
+) -> DataFrame:
+    """User-journey path mining: each user's first `max_len` event types
+    in (ts, id) order joined into a '>' path string, then the top-k most
+    common paths (count desc, path asc — total order, deterministic
+    cutoff).
+
+    Shape: row_number inside the user partition (shuffle 1, width =
+    per-user events), prefix filter, sort_array over (rn, type) structs
+    so the path order is engine-side and deterministic (collect_list
+    alone is arrival-ordered — wrong), path rollup (shuffle 2, but the
+    key space is at most |types|^max_len and in practice tiny), then
+    TakeOrderedAndProject."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pref = (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_len)
+    )
+    paths = (
+        pref.groupBy(user_col)
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_rn", type_col))),
+                    lambda s: s[type_col],
+                ),
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return paths.orderBy(F.col("n_users").desc(), F.col("path").asc()).limit(k)
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: counts n(src→dst) via a lag window in (ts, id) order,
+    row-marginal n(src), and p = n_ij / n_i as ONE IEEE division of
+    exact BIGINTs (bit-identical across engines; see q97's trick).
+
+    One user-keyed window shuffle + a tiny (src,dst) rollup; the
+    marginal attaches by a broadcast-able |types|-row join."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = (
+        events.withColumn("_src", F.lag(type_col).over(w))
+        .filter(F.col("_src").isNotNull())
+        .groupBy(F.col("_src").alias("src"), F.col(type_col).alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    marg = pairs.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return (
+        pairs.join(F.broadcast(marg), "src")
+        .select(
+            "src", "dst", "n", "n_src",
+            (F.col("n").cast("double") / F.col("n_src").cast("double")).alias("prob"),
+        )
+    )

@@ -4691,3 +4691,73 @@ def q103_ols_spend_trend(spark, sf_dir):
         F.round(F.col("value") * 100).cast("bigint").alias("y"),
     )
     return group_ols_trend(p, key_col="user_id", x_col="x", y_col="y")
+
+
+@register(
+    "q104_event_paths",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ordered WHERE rn <= 8 GROUP BY user_id
+    )
+    SELECT path, count(*) AS n_users FROM paths GROUP BY path
+    ORDER BY n_users DESC, path ASC LIMIT 20
+    """,
+)
+def q104_event_paths(spark, sf_dir):
+    """User-journey path mining: each user's first 8 event types in
+    (ts, event_id) order as a '>' path, top-20 paths by frequency with
+    the (count desc, path asc) total order pinning the cutoff. Runs
+    operators/funnel.py event_paths — row_number inside the user
+    partition, sort_array over (rn, type) structs for an engine-side
+    deterministic path order (bare collect_list is arrival-ordered —
+    a real distributed-correctness trap), tiny path rollup, then
+    TakeOrderedAndProject."""
+    from .operators.funnel import event_paths
+
+    return event_paths(
+        _t(spark, sf_dir, "events"),
+        user_col="user_id", ts_col="ts", id_col="event_id",
+        type_col="event_type", max_len=8, k=20,
+    )
+
+
+@register(
+    "q105_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS dst,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS src
+      FROM events
+    ),
+    pairs AS (
+      SELECT src, dst, count(*) AS n FROM seq WHERE src IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    marg AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_src FROM pairs GROUP BY src)
+    SELECT p.src, p.dst, p.n, m.n_src,
+           CAST(p.n AS DOUBLE) / CAST(m.n_src AS DOUBLE) AS prob
+    FROM pairs p JOIN marg m ON p.src = m.src
+    """,
+)
+def q105_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user behavior: n(src→dst)
+    via lag() in (ts, event_id) order, row marginals, and transition
+    probability as ONE IEEE division of exact BIGINTs (bit-identical
+    across engines). Runs operators/funnel.py markov_transitions — one
+    user-keyed window shuffle, |types|^2 rollup, broadcast marginal
+    attach."""
+    from .operators.funnel import markov_transitions
+
+    return markov_transitions(
+        _t(spark, sf_dir, "events"),
+        user_col="user_id", ts_col="ts", id_col="event_id",
+        type_col="event_type",
+    )

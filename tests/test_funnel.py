@@ -130,3 +130,64 @@ def test_registry_has_q95(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q95_cohort_retention" in QUERIES and "q95_cohort_retention" in ORACLE_SQL
+
+
+def test_event_paths_hand(spark):
+    """Path order follows (ts, id) not arrival order; truncation at
+    max_len; top-k tiebreak path-asc."""
+    from datasmith_spark.operators.funnel import event_paths
+
+    rows = [
+        # u1 inserted out of ts order on purpose
+        (1, _ts(20), 3, "purchase"),
+        (1, _ts(0), 1, "view"),
+        (1, _ts(10), 2, "click"),
+        (2, _ts(0), 1, "view"), (2, _ts(5), 2, "click"), (2, _ts(9), 3, "purchase"),
+        (3, _ts(0), 1, "view"), (3, _ts(1), 2, "error"),
+        (4, _ts(0), 1, "view"), (4, _ts(1), 2, "error"),
+        (5, _ts(0), 1, "signup"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_id bigint, event_type string")
+    got = [(r.path, r.n_users) for r in event_paths(
+        df, "user_id", "ts", "event_id", "event_type", max_len=8, k=10
+    ).collect()]
+    # u1's rows arrive out of ts order but the path is ts-ordered, so u1
+    # and u2 share a path; ties order path-asc
+    assert got == [
+        ("view>click>purchase", 2),
+        ("view>error", 2),
+        ("signup", 1),
+    ]
+
+
+def test_event_paths_truncates_at_max_len(spark):
+    from datasmith_spark.operators.funnel import event_paths
+
+    rows = [(1, _ts(i), i, "view") for i in range(5)]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_id bigint, event_type string")
+    got = event_paths(df, "user_id", "ts", "event_id", "event_type", max_len=3, k=5).collect()
+    assert [(r.path, r.n_users) for r in got] == [("view>view>view", 1)]
+
+
+def test_markov_transitions_hand(spark):
+    from datasmith_spark.operators.funnel import markov_transitions
+
+    rows = [
+        (1, _ts(0), 1, "a"), (1, _ts(1), 2, "b"), (1, _ts(2), 3, "a"),
+        (2, _ts(0), 1, "a"), (2, _ts(1), 2, "b"), (2, _ts(2), 3, "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_id bigint, event_type string")
+    out = {(r.src, r.dst): (r.n, r.n_src, r.prob)
+           for r in markov_transitions(df, "user_id", "ts", "event_id", "event_type").collect()}
+    # transitions: u1 a>b b>a ; u2 a>b b>b
+    assert out[("a", "b")] == (2, 2, 1.0)
+    assert out[("b", "a")] == (1, 2, 0.5)
+    assert out[("b", "b")] == (1, 2, 0.5)
+    assert ("a", "a") not in out
+
+
+def test_registry_has_q104_q105(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    for name in ("q104_event_paths", "q105_markov_transitions"):
+        assert name in QUERIES and name in ORACLE_SQL
