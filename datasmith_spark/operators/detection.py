@@ -187,3 +187,39 @@ def group_ols_trend(
             ).alias("intercept"),
         )
     )
+
+
+def group_trimmed_mean(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    id_col: str,
+    trim_pct: int = 10,
+) -> DataFrame:
+    """Two-sided trimmed mean per group over INTEGER values — the
+    robust-location statistic (outlier-resistant per-entity average)
+    with EXACT trim bounds: rank rows by (value, id) (a total order, so
+    deterministic under duplicates), drop floor(n*trim_pct/100) rows at
+    each end, emit the kept BIGINT sum/count and the mean as ONE IEEE
+    division — bit-identical across engines, no float accumulation.
+
+    One window shuffle; the rollup reuses the same key partitioning."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(val_col).asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(key_col)
+    t = (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .withColumn("_cut", F.floor(F.col("_n") * trim_pct / 100))
+    )
+    kept = t.filter(
+        (F.col("_rk") > F.col("_cut")) & (F.col("_rk") <= F.col("_n") - F.col("_cut"))
+    )
+    return kept.groupBy(key_col).agg(
+        F.first("_n").alias("n"),
+        F.count(F.lit(1)).alias("kept_n"),
+        F.sum(val_col).cast("bigint").alias("kept_sum"),
+        (F.sum(val_col).cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("tmean"),
+    )

@@ -4761,3 +4761,47 @@ def q105_markov_transitions(spark, sf_dir):
         user_col="user_id", ts_col="ts", id_col="event_id",
         type_col="event_type",
     )
+
+
+@register(
+    "q106_trimmed_mean_spend",
+    """
+    WITH p AS (
+      SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY cents ASC, event_id ASC) AS rk,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM p
+    ),
+    k AS (
+      SELECT user_id, n, cents FROM (
+        SELECT *, CAST(floor(n * 10 / 100.0) AS BIGINT) AS cut FROM r
+      ) WHERE rk > cut AND rk <= n - cut
+    )
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n, count(*) AS kept_n,
+           CAST(sum(cents) AS BIGINT) AS kept_sum,
+           CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS tmean
+    FROM k GROUP BY user_id
+    """,
+)
+def q106_trimmed_mean_spend(spark, sf_dir):
+    """10% two-sided trimmed mean of purchase cents per user — the
+    robust per-entity average. Runs operators/detection.py
+    group_trimmed_mean: exact trim bounds from a (value, id)-total-order
+    row_number (deterministic under duplicate values), BIGINT kept sum,
+    mean as ONE IEEE division — oracle reproduces it bit-for-bit. One
+    window shuffle; the rollup reuses the key partitioning."""
+    from .operators.detection import group_trimmed_mean
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return group_trimmed_mean(
+        p, key_col="user_id", val_col="cents", id_col="event_id", trim_pct=10
+    )

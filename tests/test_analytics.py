@@ -174,3 +174,24 @@ def test_registry_has_q103(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q103_ols_spend_trend" in QUERIES and "q103_ols_spend_trend" in ORACLE_SQL
+
+
+def test_trimmed_mean_hand(spark):
+    """Outliers at both ends drop; small groups (cut=0) keep everything;
+    duplicate values are deterministic via the id tiebreak."""
+    from datasmith_spark.operators.detection import group_trimmed_mean
+
+    rows = [(1, i, v) for i, v in enumerate([3, 1, 2, 9, 8, 7, 4, 5, 6, 1000])]
+    rows += [(2, i, v) for i, v in enumerate([10, 20, 30, 40])]  # n=4 -> cut 0
+    df = spark.createDataFrame(rows, "k bigint, event_id bigint, v bigint")
+    out = {r.k: (r.n, r.kept_n, r.kept_sum, r.tmean)
+           for r in group_trimmed_mean(df, "k", "v", "event_id", trim_pct=10).collect()}
+    # group 1: sorted [1..9,1000], cut=1 -> keep 2..9: sum 44, mean 5.5
+    assert out[1] == (10, 8, 44, 5.5)
+    assert out[2] == (4, 4, 100, 25.0)
+
+
+def test_registry_has_q106(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q106_trimmed_mean_spend" in QUERIES and "q106_trimmed_mean_spend" in ORACLE_SQL
