@@ -4805,3 +4805,35 @@ def q106_trimmed_mean_spend(spark, sf_dir):
     return group_trimmed_mean(
         p, key_col="user_id", val_col="cents", id_col="event_id", trim_pct=10
     )
+
+
+@register(
+    "q107_cube_doc_stats",
+    """
+    SELECT lang, source,
+           CAST(GROUPING(lang, source) AS INT) AS gid,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+)
+def q107_cube_doc_stats(spark, sf_dir):
+    """CUBE (all grouping sets) over (lang, source): per-cell, per-lang,
+    per-source and grand-total document counts and exact char sums in
+    one pass — the multidimensional manifest a curation dashboard reads.
+    Native `df.cube()` with `grouping_id()` disambiguating rollup NULLs
+    from data NULLs (both engines use the same bit convention: MSB =
+    first cube column, 1 = aggregated). Spark plans a single Expand +
+    one aggregate exchange — the cells share one shuffle rather than
+    4 separate groupBys."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select("lang", "source", "gid", "n_docs", "sum_chars")
+    )

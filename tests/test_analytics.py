@@ -195,3 +195,38 @@ def test_registry_has_q106(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q106_trimmed_mean_spend" in QUERIES and "q106_trimmed_mean_spend" in ORACLE_SQL
+
+
+def test_cube_gid_and_totals(spark):
+    from datasmith_spark.queries import QUERIES
+
+    rows = QUERIES["q107_cube_doc_stats"](spark, "/root/testdata/sf0.001").collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    # gid 0: full cells; 1: per-lang (source aggregated); 2: per-source; 3: total
+    assert set(by_gid) == {0, 1, 2, 3}
+    total = by_gid[3][0]
+    assert total.lang is None and total.source is None
+    for gid in (0, 1, 2):
+        assert sum(r.n_docs for r in by_gid[gid]) == total.n_docs
+        assert sum(r.sum_chars for r in by_gid[gid]) == total.sum_chars
+    assert all(r.lang is not None and r.source is None for r in by_gid[1])
+    assert all(r.lang is None and r.source is not None for r in by_gid[2])
+
+
+def test_cube_plan_single_expand_single_exchange(spark):
+    from datasmith_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["q107_cube_doc_stats"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Expand") >= 1 and "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_registry_has_q107(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q107_cube_doc_stats" in QUERIES and "q107_cube_doc_stats" in ORACLE_SQL
