@@ -4837,3 +4837,48 @@ def q107_cube_doc_stats(spark, sf_dir):
         )
         .select("lang", "source", "gid", "n_docs", "sum_chars")
     )
+
+
+@register(
+    "q108_small_order_parts",
+    """
+    WITH small AS (
+      SELECT l_partkey, l_extendedprice FROM lineitem l1
+      WHERE 5 * CAST(l_quantity AS BIGINT)
+              * (SELECT count(*) FROM lineitem l2
+                 WHERE l2.l_partkey = l1.l_partkey)
+            < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2
+               WHERE l2.l_partkey = l1.l_partkey)
+    )
+    SELECT l_partkey, count(*) AS n_small,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS small_cents
+    FROM small GROUP BY l_partkey
+    """,
+)
+def q108_small_order_parts(spark, sf_dir):
+    """Correlated-scalar-subquery decorrelation (TPC-H Q17's shape):
+    lineitems whose quantity is below 20% of their part's average
+    quantity. The oracle states the semantics the SQL-user way — two
+    correlated scalar subqueries per row; the Spark side is the
+    EXPLICITLY decorrelated single-pass plan: per-part (sum, count)
+    window over ONE partkey shuffle, then the avg test as the integer
+    cross-multiplication 5*qty*n < S (l_quantity is integral; no
+    division, no float — bit-exact parity), then a rollup on the same
+    key. At 10^12 rows the naive correlated form is a per-row re-scan;
+    the window form is one exchange."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("l_partkey")
+    flagged = (
+        li.withColumn("_s", F.sum("q").over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("q") * 5 * F.col("_n") < F.col("_s"))
+    )
+    return flagged.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.sum("cents").cast("bigint").alias("small_cents"),
+    )

@@ -230,3 +230,39 @@ def test_registry_has_q107(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q107_cube_doc_stats" in QUERIES and "q107_cube_doc_stats" in ORACLE_SQL
+
+
+def test_small_order_parts_hand(spark, tmp_path):
+    """Decorrelated window test == the literal per-part average rule."""
+    import pyspark.sql.functions as F  # noqa: F811
+    from datasmith_spark.queries import QUERIES
+
+    rows = [
+        # part 1: qties 1, 10, 10, 10 -> avg 7.75; 0.2*avg = 1.55 -> only qty 1 small
+        (1, 1.0, 10.00), (1, 10.0, 20.00), (1, 10.0, 30.00), (1, 10.0, 40.00),
+        # part 2: all equal -> nothing strictly below 0.2*avg
+        (2, 5.0, 10.00), (2, 5.0, 10.00),
+    ]
+    df = spark.createDataFrame(rows, "l_partkey bigint, l_quantity double, l_extendedprice double")
+    p = str(tmp_path / "lineitem.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    out = {r.l_partkey: (r.n_small, r.small_cents)
+           for r in QUERIES["q108_small_order_parts"](spark, str(tmp_path)).collect()}
+    assert out == {1: (1, 1000)}
+
+
+def test_small_order_parts_plan_no_joins(spark):
+    from datasmith_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["q108_small_order_parts"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_registry_has_q108(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q108_small_order_parts" in QUERIES and "q108_small_order_parts" in ORACLE_SQL
