@@ -4882,3 +4882,74 @@ def q108_small_order_parts(spark, sf_dir):
         F.count(F.lit(1)).alias("n_small"),
         F.sum("cents").cast("bigint").alias("small_cents"),
     )
+
+
+_Q109_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+@register(
+    "q109_profile_events",
+    "\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS "column", count(*) AS n,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+           count(DISTINCT {c}) AS n_distinct
+    FROM events"""
+        for c in _Q109_COLS
+    ),
+)
+def q109_profile_events(spark, sf_dir):
+    """Table profile: per-column row/null/exact-distinct counts over the
+    events table — the data-quality audit published beside every
+    ingestion run. Runs operators/profile.py profile_table: ONE
+    aggregate pass for all columns (struct-array explode fans the single
+    result row out to one row per column), vs the oracle's
+    one-scan-per-column UNION ALL restatement. Exact distincts plan as
+    a single Expand+exchange; the operator's exact=False flips to HLL++
+    for 10^12-row tables (documented; kept exact here because sketches
+    never value-match across engines)."""
+    from .operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "events").select(*_Q109_COLS))
+
+
+def _q110_sql() -> str:
+    from .operators.layout import zorder_key_sql
+
+    z = zorder_key_sql(
+        "CAST(user_id AS BIGINT)",
+        "CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)",
+    )
+    return f"""
+    SELECT event_id, CAST({z} AS BIGINT) AS zkey,
+           CAST({z} >> 22 AS BIGINT) AS zbucket
+    FROM events
+    """
+
+
+@register("q110_zorder_keys", None)
+def q110_zorder_keys(spark, sf_dir):
+    """Z-order (Morton) clustering keys over (user_id, day) — the layout
+    pass behind multi-dimensional scan pruning (Delta/Iceberg Z-ORDER):
+    sorting files by the interleaved code keeps BOTH dimensions local,
+    so min/max file stats prune user-predicates AND time-predicates.
+    Runs operators/layout.py zorder_key, the magic-mask bit spread in
+    native Column ops (whole-stage codegen, shuffle-free); the oracle
+    emits the IDENTICAL expression as SQL text (zorder_key_sql) — the
+    key is value-checked bit-for-bit. zbucket (top 10 bits) is the
+    coarse file-assignment id zorder_layout range-partitions by."""
+    from .operators.layout import zorder_key
+
+    e = _t(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("timestamp").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("bigint")
+    z = zorder_key(F.col("user_id").cast("bigint"), day)
+    return e.select(
+        "event_id",
+        z.cast("bigint").alias("zkey"),
+        F.shiftright(z, 22).cast("bigint").alias("zbucket"),
+    )
+
+
+ORACLE_SQL["q110_zorder_keys"] = _q110_sql()

@@ -266,3 +266,61 @@ def test_registry_has_q108(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q108_small_order_parts" in QUERIES and "q108_small_order_parts" in ORACLE_SQL
+
+
+def test_profile_table_hand(spark):
+    from datasmith_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        "x bigint, s string",
+    )
+    out = {r.column: (r.n, r.n_null, r.n_distinct)
+           for r in profile_table(df).collect()}
+    assert out == {"x": (4, 1, 2), "s": (4, 1, 2)}
+
+
+def test_zorder_key_hand_values(spark):
+    """Known Morton codes: (3,1)->7, (0,0)->0, (65535,0)->0x55555555,
+    (0,65535)->0xAAAAAAAA; inputs mask to 16 bits."""
+    from datasmith_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(3, 1), (0, 0), (65535, 0), (0, 65535), (65536 + 3, 1)],
+        "x bigint, y bigint",
+    )
+    got = [r.z for r in df.select(
+        zorder_key(F.col("x"), F.col("y")).alias("z")).collect()]
+    assert got == [7, 0, 0x55555555, 0xAAAAAAAA, 7]
+
+
+def test_zorder_layout_files_cover_compact_ranges(spark):
+    """After zorder_layout, zkey ranges of the output partitions do not
+    overlap (range partition + in-partition sort)."""
+    from datasmith_spark.operators.layout import zorder_layout
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("x"),
+        F.datediff(
+            F.col("ts").cast("timestamp").cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        ).cast("bigint").alias("y"),
+    )
+    out = zorder_layout(e, "x", "y", n_files=8)
+    parts = out.select("zkey").rdd.glom().map(
+        lambda rows: (rows[0].zkey, rows[-1].zkey, all(
+            rows[i].zkey <= rows[i + 1].zkey for i in range(len(rows) - 1)
+        )) if rows else None
+    ).collect()
+    parts = [p for p in parts if p]
+    assert all(sorted_ok for _, _, sorted_ok in parts)
+    spans = sorted((lo, hi) for lo, hi, _ in parts)
+    assert all(spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1))
+
+
+def test_registry_has_q109_q110(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    for name in ("q109_profile_events", "q110_zorder_keys"):
+        assert name in QUERIES and name in ORACLE_SQL
