@@ -223,3 +223,44 @@ def group_trimmed_mean(
         (F.sum(val_col).cast("double") / F.count(F.lit(1)).cast("double"))
         .alias("tmean"),
     )
+
+
+def group_weighted_median(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    weight_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact weighted median per group over INTEGER values and weights:
+    the smallest value whose running weight (in (value, id) order)
+    reaches half the group's total — lower weighted median, the
+    integer-exact convention (2*cum >= total, no float midpoint), so
+    the q111 oracle reproduces it bit-for-bit.
+
+    One window shuffle: cumulative weight + total weight over the key
+    partition, then min-filter on the crossing row. The same shape
+    scales as every per-key window here (width = per-key rows)."""
+    wc = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(val_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(key_col)
+    t = (
+        df.withColumn("_cum", F.sum(weight_col).over(wc))
+        .withColumn("_tot", F.sum(weight_col).over(wt))
+        .filter(2 * F.col("_cum") >= F.col("_tot"))
+    )
+    return (
+        t.groupBy(key_col)
+        .agg(
+            F.min(F.struct(F.col(val_col), F.col(id_col))).alias("_m"),
+            F.first("_tot").alias("w_total"),
+        )
+        .select(
+            key_col,
+            F.col(f"_m.{val_col}").alias("wmedian"),
+            F.col("w_total"),
+        )
+    )

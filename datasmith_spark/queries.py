@@ -4953,3 +4953,114 @@ def q110_zorder_keys(spark, sf_dir):
 
 
 ORACLE_SQL["q110_zorder_keys"] = _q110_sql()
+
+
+@register(
+    "q111_weighted_median_price",
+    """
+    WITH li AS (
+      SELECT l_suppkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey * 16 + l_linenumber AS rid
+      FROM lineitem
+    ),
+    c AS (
+      SELECT l_suppkey, cents, rid,
+             sum(w) OVER (PARTITION BY l_suppkey
+                          ORDER BY cents ASC, rid ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY l_suppkey) AS tot
+      FROM li
+    )
+    SELECT l_suppkey, min(cents) AS wmedian,
+           CAST(min(tot) AS BIGINT) AS w_total
+    FROM c WHERE 2 * cum >= tot GROUP BY l_suppkey
+    """,
+)
+def q111_weighted_median_price(spark, sf_dir):
+    """Exact weighted median of line price (cents) per supplier,
+    weighted by quantity — the robust per-entity price point. Runs
+    operators/detection.py group_weighted_median: lower-weighted-median
+    convention (first value whose 2*cumulative-weight >= total — all
+    BIGINT, no float midpoint), (value, id) total order so duplicates
+    are deterministic; one window shuffle + same-key rollup. The oracle
+    restates it with running-sum windows in DuckDB, bit-for-bit."""
+    from .operators.detection import group_weighted_median
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias("rid"),
+    )
+    return group_weighted_median(
+        li, key_col="l_suppkey", val_col="cents", weight_col="w", id_col="rid"
+    )
+
+
+@register(
+    "q112_rfm_segments",
+    """
+    WITH m AS (
+      SELECT user_id,
+             CAST(date_diff('day', max(CAST(ts AS DATE)), DATE '2024-01-31')
+                  AS BIGINT) AS r_days,
+             count(*) AS f_n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    q AS (
+      SELECT user_id, r_days, f_n, m_cents,
+        CAST(floor((row_number() OVER (ORDER BY r_days ASC, user_id ASC) - 1) * 4.0
+             / count(*) OVER ()) AS INT) + 1 AS r_q,
+        CAST(floor((row_number() OVER (ORDER BY f_n DESC, user_id ASC) - 1) * 4.0
+             / count(*) OVER ()) AS INT) + 1 AS f_q,
+        CAST(floor((row_number() OVER (ORDER BY m_cents DESC, user_id ASC) - 1) * 4.0
+             / count(*) OVER ()) AS INT) + 1 AS m_q
+      FROM m
+    )
+    SELECT user_id, r_days, f_n, m_cents, r_q, f_q, m_q,
+           r_q * 100 + f_q * 10 + m_q AS segment
+    FROM q
+    """,
+)
+def q112_rfm_segments(spark, sf_dir):
+    """RFM segmentation: per-user recency (days from last purchase to
+    the corpus anchor date), frequency and exact monetary cents, each
+    quartiled by EXACT RANK ARITHMETIC — q = (rank-1)*4 div n + 1 over
+    a (metric, user_id) total order — instead of ntile, so the bucket
+    assignment is pure integer math, identical in any engine AND
+    computable distributed (rank + broadcast n; ntile's remainder-first
+    semantics needs a single frame). Best quartile = 1 (most recent /
+    most frequent / highest spend). Segment code = r*100+f*10+m.
+
+    Scale note: the quartile windows run at ENTITY grain (one row per
+    user), 3 orders of magnitude below event grain; at 10^9 entities
+    swap row_number for a range-partitioned sort + partition-offset
+    rank (same integer formula)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    m = e.groupBy("user_id").agg(
+        F.datediff(
+            F.lit("2024-01-31").cast("date"),
+            F.max(F.col("ts").cast("timestamp").cast("date")),
+        ).cast("bigint").alias("r_days"),
+        F.count(F.lit(1)).alias("f_n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint").alias("m_cents"),
+    )
+    n = Window.partitionBy()
+
+    def quart(order):
+        rk = F.row_number().over(Window.orderBy(*order))
+        return F.floor((rk - 1) * 4 / F.count(F.lit(1)).over(n)).cast("int") + 1
+
+    out = m.select(
+        "user_id", "r_days", "f_n", "m_cents",
+        quart([F.col("r_days").asc(), F.col("user_id").asc()]).alias("r_q"),
+        quart([F.col("f_n").desc(), F.col("user_id").asc()]).alias("f_q"),
+        quart([F.col("m_cents").desc(), F.col("user_id").asc()]).alias("m_q"),
+    )
+    return out.withColumn(
+        "segment", F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")
+    )

@@ -324,3 +324,46 @@ def test_registry_has_q109_q110(spark):
 
     for name in ("q109_profile_events", "q110_zorder_keys"):
         assert name in QUERIES and name in ORACLE_SQL
+
+
+def test_weighted_median_hand(spark):
+    """Lower weighted median: first value whose running weight reaches
+    half the total; ties deterministic via id order."""
+    from datasmith_spark.operators.detection import group_weighted_median
+
+    rows = [
+        # group 1: values 1(w1), 2(w1), 3(w10) -> total 12, crossing at 3
+        (1, 1, 1, 1), (1, 2, 1, 2), (1, 3, 10, 3),
+        # group 2: values 5(w2), 7(w2) -> total 4, 2*2 >= 4 -> median 5
+        (2, 5, 2, 1), (2, 7, 2, 2),
+        # group 3: single row
+        (3, 42, 9, 1),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, v bigint, w bigint, rid bigint")
+    out = {r.k: (r.wmedian, r.w_total)
+           for r in group_weighted_median(df, "k", "v", "w", "rid").collect()}
+    assert out == {1: (3, 12), 2: (5, 4), 3: (42, 9)}
+
+
+def test_rfm_quartiles_balanced(spark):
+    from datasmith_spark.queries import QUERIES
+
+    rows = QUERIES["q112_rfm_segments"](spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    assert n > 0
+    for qcol in ("r_q", "f_q", "m_q"):
+        vals = [r[qcol] for r in rows]
+        assert set(vals) <= {1, 2, 3, 4}
+        # exact-rank quartiles are balanced within 1
+        from collections import Counter
+        c = Counter(vals)
+        assert max(c.values()) - min(c.values()) <= 1, (qcol, c)
+    segs = {r.segment for r in rows}
+    assert all(111 <= s <= 444 for s in segs)
+
+
+def test_registry_has_q111_q112(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    for name in ("q111_weighted_median_price", "q112_rfm_segments"):
+        assert name in QUERIES and name in ORACLE_SQL
