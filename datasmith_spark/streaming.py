@@ -519,3 +519,70 @@ def stream_store_dedup(
     return B.anti_join_via_bloom(
         stream, store_d, col, m_bits, k, filter_df=filt
     )
+
+
+def stream_zscore_flags(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    window: int = 10,
+    min_n: int = 5,
+    z: int = 2,
+    max_files_per_trigger: int | None = 1,
+):
+    """Continuous rolling z-score anomaly flags — the q101 detector
+    lifted onto a stream with applyInPandasWithState.
+
+    Per-key state is ONLY the trailing `window` integer cents values
+    (bounded: window x 8 bytes per live key — the state profile that
+    survives 10^12-event streams); each arriving event is flagged with
+    the SAME all-integer test as the batch operator ((n*x-S)^2 >
+    z^2(n*SS-S^2)) and then pushed into the deque. Within a micro-batch
+    events sort by (ts, event_id), so given per-key in-order arrival
+    across triggers (the Kafka partition-by-key guarantee this source
+    models), the emitted flags are VALUE-EQUAL to the batch operator
+    over the concatenated input — pinned in tests. Late/out-of-order
+    events are evaluated against the state as-of arrival (best effort),
+    the honest semantics for an alerting operator."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    s = reader.parquet(input_dir)
+
+    out_schema = (
+        "user_id bigint, event_id bigint, cents bigint, n_prev bigint, "
+        "flagged boolean"
+    )
+    state_schema = "hist array<bigint>"
+    zz = z * z
+
+    def func(key, pdfs, state: GroupState):
+        (user_id,) = key
+        hist = [int(v) for v in state.get[0]] if state.exists else []
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ev, cents in zip(pdf["event_id"], pdf["cents"]):
+                x, n = int(cents), len(hist)
+                if n >= min_n:
+                    s_ = sum(hist)
+                    ss = sum(v * v for v in hist)
+                    dev = n * x - s_
+                    fl = dev * dev > zz * (n * ss - s_ * s_)
+                else:
+                    fl = False
+                rows.append((user_id, int(ev), x, n, bool(fl)))
+                hist.append(x)
+                if len(hist) > window:
+                    hist.pop(0)
+        state.update((hist,))
+        yield pd.DataFrame(
+            rows, columns=["user_id", "event_id", "cents", "n_prev", "flagged"]
+        )
+
+    return s.groupBy("user_id").applyInPandasWithState(
+        func, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -661,3 +661,59 @@ def test_stream_store_dedup_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
     # only odd signatures survive
     assert all(int(h.split("-")[1]) % 2 == 1 for _, h in got)
+
+
+def test_stream_zscore_flags_matches_batch(spark, tmp_path):
+    """The q101 rolling z-score detector lifted onto a stream: with
+    per-key in-order arrival (time-sliced files, one per trigger) the
+    streamed flags are value-equal to the batch operator over the
+    concatenated input, and the spike is actually flagged."""
+    import time as _time
+    from datetime import datetime, timedelta
+
+    from datasmith_spark.operators.detection import rolling_zscore_flags
+    from datasmith_spark.streaming import stream_zscore_flags
+
+    ddl = "user_id bigint, event_id bigint, ts timestamp, cents bigint"
+    base = datetime(2024, 1, 1)
+    rows = []
+    for u in (1, 2):
+        for i in range(18):
+            cents = 100 + (i % 3) if not (u == 1 and i == 12) else 99_999
+            rows.append((u, i, base + timedelta(minutes=i), cents))
+    # three time slices -> three in-order micro-batches
+    inp = tmp_path / "z_in"
+    inp.mkdir()
+    for si, lo in enumerate((0, 6, 12)):
+        sl = [r for r in rows if lo <= r[1] < lo + 6]
+        spark.createDataFrame(sl, ddl).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / f"slice-{si}"))
+        _time.sleep(1.1)  # distinct mtimes -> deterministic trigger order
+
+    q = (
+        stream_zscore_flags(
+            spark, f"{inp}/slice-*", ddl, window=10, min_n=5, z=2,
+            max_files_per_trigger=1,
+        )
+        .writeStream.format("memory")
+        .queryName("zscore_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r.user_id, r.event_id, r.cents, r.n_prev, r.flagged)
+        for r in spark.table("zscore_stream").collect()
+    )
+    batch = spark.createDataFrame(rows, ddl)
+    want = sorted(
+        (r.user_id, r.event_id, r.cents, r.n_prev, r.flagged)
+        for r in rolling_zscore_flags(
+            batch, "user_id", "ts", "event_id", "cents",
+            window=10, min_n=5, z=2,
+        ).collect()
+    )
+    assert got == want
+    assert (1, 12, 99_999, 10, True) in got      # the spike fires
+    assert sum(1 for *_, fl in got if fl) == 1    # and nothing else does
