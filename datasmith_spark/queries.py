@@ -5064,3 +5064,97 @@ def q112_rfm_segments(spark, sf_dir):
     return out.withColumn(
         "segment", F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")
     )
+
+
+@register(
+    "q113_priority_late_orders",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND CAST(l.l_shipdate AS DATE)
+              > CAST(o.o_orderdate AS DATE) + INTERVAL 90 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q113_priority_late_orders(spark, sf_dir):
+    """EXISTS semi-join (TPC-H Q4's shape): orders with at least one
+    lineitem shipped more than 90 days after the order date, counted by
+    priority. The oracle states the correlated EXISTS; the Spark side is
+    the explicit LEFT SEMI join with the cross-side date predicate as a
+    join residual — each order emitted at most once regardless of how
+    many late lines it has (the semantics a rewrite through a plain
+    join + distinct would pay a dedup for). DATE arithmetic only —
+    integer-exact in both engines."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_orderdate").cast("timestamp").cast("date").alias("_od"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_shipdate").cast("timestamp").cast("date").alias("_sd"),
+    )
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["_sd"] > F.date_add(o["_od"], 90)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "q114_returned_revenue_star",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           count(*) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_bp
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_bp DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q114_returned_revenue_star(spark, sf_dir):
+    """Star join (TPC-H Q10's shape): lost revenue from returned items
+    per customer — fact table filtered map-side (returnflag pushed to
+    the parquet scan), then a three-dimension join chain where customer
+    and nation take explicit broadcast hints (bounded dims) and the
+    orders join is the one real shuffle. Revenue is EXACT integer
+    basis-point-cents: cents * (100 - discount_pct), both factors
+    integers recovered by round() — no float product anywhere, so the
+    oracle matches bit-for-bit. Top-20 by the (revenue, custkey) total
+    order via TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("_bp"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("_bp").cast("bigint").alias("revenue_bp"),
+    )
+    return agg.orderBy(
+        F.col("revenue_bp").desc(), F.col("c_custkey").asc()
+    ).limit(20)

@@ -367,3 +367,39 @@ def test_registry_has_q111_q112(spark):
 
     for name in ("q111_weighted_median_price", "q112_rfm_segments"):
         assert name in QUERIES and name in ORACLE_SQL
+
+
+def test_q113_semi_join_plan_and_once_semantics(spark):
+    from datasmith_spark.queries import QUERIES
+
+    df = QUERIES["q113_priority_late_orders"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # each order counted at most once: totals never exceed order counts
+    import pyspark.sql.functions as F  # noqa: F811
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    per_prio = {r.o_orderpriority: r.n
+                for r in o.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()}
+    for r in df.collect():
+        assert r.n_orders <= per_prio[r.o_orderpriority]
+
+
+def test_q114_star_join_broadcasts_dims(spark):
+    from datasmith_spark.queries import QUERIES
+
+    df = QUERIES["q114_returned_revenue_star"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan        # customer + nation
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "PushedFilters" in plan or "Filter" in plan       # returnflag pushed
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    assert all(rows[i].revenue_bp >= rows[i + 1].revenue_bp for i in range(len(rows) - 1))
+
+
+def test_registry_has_q113_q114(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    for name in ("q113_priority_late_orders", "q114_returned_revenue_star"):
+        assert name in QUERIES and name in ORACLE_SQL
