@@ -5158,3 +5158,61 @@ def q114_returned_revenue_star(spark, sf_dir):
     return agg.orderBy(
         F.col("revenue_bp").desc(), F.col("c_custkey").asc()
     ).limit(20)
+
+
+_Q115_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register(
+    "q115_referential_audit",
+    "\n    UNION ALL\n".join(
+        f"""
+    SELECT '{child}.{fk}' AS edge, count(*) AS n_child,
+           CAST(count(*) FILTER (WHERE {fk} IS NULL) AS BIGINT) AS n_null_fk,
+           CAST(count(*) FILTER (
+             WHERE {fk} IS NOT NULL AND {fk} NOT IN
+               (SELECT {pk} FROM {parent})) AS BIGINT) AS n_orphan
+    FROM {child}"""
+        for child, fk, parent, pk in _Q115_EDGES
+    ),
+)
+def q115_referential_audit(spark, sf_dir):
+    """Referential-integrity audit: for every FK edge of the warehouse
+    schema, the child row count, null-FK count and ORPHAN count (FK
+    values with no parent) in one result — the cross-table half of the
+    q109 profile every ingestion gate runs. Each edge is a left-anti
+    join against the parent's key projection (broadcast for the bounded
+    dims, shuffle for orders at scale) — the oracle states the same
+    audit as NOT IN subqueries. All counts exact integers."""
+    out = None
+    for child, fk, parent, pk in _Q115_EDGES:
+        c = _t(spark, sf_dir, child)
+        p = _t(spark, sf_dir, parent).select(pk)
+        orphan = (
+            c.filter(F.col(fk).isNotNull())
+            .join(p, c[fk] == p[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphan"))
+        )
+        base = c.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col(fk).isNull().cast("bigint")).cast("bigint")
+            .alias("n_null_fk"),
+        )
+        row = (
+            base.crossJoin(F.broadcast(orphan))
+            .select(
+                F.lit(f"{child}.{fk}").alias("edge"),
+                "n_child",
+                "n_null_fk",
+                F.col("n_orphan").cast("bigint").alias("n_orphan"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

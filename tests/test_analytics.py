@@ -403,3 +403,39 @@ def test_registry_has_q113_q114(spark):
 
     for name in ("q113_priority_late_orders", "q114_returned_revenue_star"):
         assert name in QUERIES and name in ORACLE_SQL
+
+
+def test_referential_audit_detects_planted_orphans(spark, tmp_path):
+    """Plant an orphan and a null FK in a miniature warehouse and check
+    the audit counts them (and only them)."""
+    from datasmith_spark.queries import QUERIES
+
+    sf = tmp_path
+    spark.createDataFrame([(1, "r")], "r_regionkey bigint, r_name string") \
+        .write.parquet(str(sf / "region.parquet"))
+    spark.createDataFrame(
+        [(1, 1), (2, 99), (3, None)],  # 99 -> orphan, None -> null FK
+        "n_nationkey bigint, n_regionkey bigint",
+    ).write.parquet(str(sf / "nation.parquet"))
+    spark.createDataFrame([(1, 1)], "c_custkey bigint, c_nationkey bigint") \
+        .write.parquet(str(sf / "customer.parquet"))
+    spark.createDataFrame([(1, 1)], "o_orderkey bigint, o_custkey bigint") \
+        .write.parquet(str(sf / "orders.parquet"))
+    spark.createDataFrame([(1,)], "p_partkey bigint").write.parquet(str(sf / "part.parquet"))
+    spark.createDataFrame([(1,)], "s_suppkey bigint").write.parquet(str(sf / "supplier.parquet"))
+    spark.createDataFrame(
+        [(1, 1, 1)], "l_orderkey bigint, l_partkey bigint, l_suppkey bigint"
+    ).write.parquet(str(sf / "lineitem.parquet"))
+
+    out = {r.edge: (r.n_child, r.n_null_fk, r.n_orphan)
+           for r in QUERIES["q115_referential_audit"](spark, str(sf)).collect()}
+    assert out["nation.n_regionkey"] == (3, 1, 1)
+    for edge, v in out.items():
+        if edge != "nation.n_regionkey":
+            assert v[1] == 0 and v[2] == 0, (edge, v)
+
+
+def test_registry_has_q115(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q115_referential_audit" in QUERIES and "q115_referential_audit" in ORACLE_SQL
