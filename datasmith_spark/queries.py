@@ -5216,3 +5216,76 @@ def q115_referential_audit(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "q116_basket_pairs",
+    """
+    WITH basket AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+      FROM events
+    ),
+    nb AS (
+      SELECT count(*) AS n_baskets
+      FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    ),
+    pairs AS (
+      SELECT a.event_type AS item_a, b.event_type AS item_b, count(*) AS n
+      FROM basket a
+      JOIN basket b ON a.user_id = b.user_id AND a.d = b.d
+                   AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, n, nb.n_baskets,
+           CAST(n AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE) AS support
+    FROM pairs CROSS JOIN nb
+    """,
+)
+def q116_basket_pairs(spark, sf_dir):
+    """Market-basket pair mining: co-occurring event types per (user,
+    day) basket, with exact support = pair count / basket count (ONE
+    IEEE division of BIGINTs). The Spark side avoids the oracle's
+    basket self-join entirely: collect_set per basket (native), then
+    the ordered pairs explode from the sorted item array inside
+    codegen (flatten of an indexed transform — |items|^2/2 rows per
+    basket, bounded by the type vocabulary, NOT by basket event
+    count). One distinct-shuffle + a tiny pair rollup; at 10^12
+    events the basket table is (entities x days) grain, and per-basket
+    pair fanout is capped by vocabulary size — the reason pairwise
+    itemset mining is tractable where a row self-join is not."""
+    e = _t(spark, sf_dir, "events")
+    basket = (
+        e.select(
+            "user_id",
+            F.col("ts").cast("timestamp").cast("date").alias("d"),
+            "event_type",
+        )
+        .groupBy("user_id", "d")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("items"))
+    )
+    n_baskets = basket.agg(F.count(F.lit(1)).alias("n_baskets"))
+    items = F.col("items")
+    idx = F.sequence(F.lit(0), F.size(items) - 2)
+    pairs_col = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(items, i + 2, F.size(items)),
+                lambda y: F.struct(
+                    F.element_at(items, i + 1).alias("item_a"),
+                    y.alias("item_b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        basket.filter(F.size(items) >= 2)
+        .select(F.explode(pairs_col).alias("p"))
+        .groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.crossJoin(F.broadcast(n_baskets)).select(
+        "item_a", "item_b", "n", "n_baskets",
+        (F.col("n").cast("double") / F.col("n_baskets").cast("double"))
+        .alias("support"),
+    )

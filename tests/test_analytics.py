@@ -439,3 +439,39 @@ def test_registry_has_q115(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q115_referential_audit" in QUERIES and "q115_referential_audit" in ORACLE_SQL
+
+
+def test_basket_pairs_hand(spark, tmp_path):
+    """Each unordered pair counted once per basket regardless of event
+    multiplicity; support = pair baskets / all baskets."""
+    from datetime import datetime, timedelta
+
+    from datasmith_spark.queries import QUERIES
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        # basket (u1, day1): a a b  -> pair (a,b) once despite dup a
+        (1, 1, base, "a"), (1, 2, base + timedelta(minutes=1), "a"),
+        (1, 3, base + timedelta(minutes=2), "b"),
+        # basket (u1, day2): a only -> no pair
+        (1, 4, base + timedelta(days=1), "a"),
+        # basket (u2, day1): a b c -> 3 pairs
+        (2, 5, base, "c"), (2, 6, base, "a"), (2, 7, base, "b"),
+    ]
+    spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {(r.item_a, r.item_b): (r.n, r.n_baskets, r.support)
+           for r in QUERIES["q116_basket_pairs"](spark, str(tmp_path)).collect()}
+    assert out[("a", "b")] == (2, 3, 2 / 3)
+    assert out[("a", "c")] == (1, 3, 1 / 3)
+    assert out[("b", "c")] == (1, 3, 1 / 3)
+    assert len(out) == 3
+    # pairs are ordered item_a < item_b (each counted once)
+    assert all(a < b for a, b in out)
+
+
+def test_registry_has_q116(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q116_basket_pairs" in QUERIES and "q116_basket_pairs" in ORACLE_SQL
