@@ -5289,3 +5289,63 @@ def q116_basket_pairs(spark, sf_dir):
         (F.col("n").cast("double") / F.col("n_baskets").cast("double"))
         .alias("support"),
     )
+
+
+@register(
+    "q117_source_novelty",
+    """
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    first_claim AS (
+      SELECT fp, min(doc_id) AS first_doc FROM fp GROUP BY fp
+    ),
+    claimed AS (
+      SELECT f.source, count(*) AS n_first
+      FROM fp f JOIN first_claim c
+        ON f.fp = c.fp AND f.doc_id = c.first_doc
+      GROUP BY f.source
+    ),
+    tot AS (SELECT source, count(*) AS n_docs FROM fp GROUP BY source)
+    SELECT t.source, t.n_docs, coalesce(c.n_first, 0) AS n_first,
+           CAST(coalesce(c.n_first, 0) AS DOUBLE) / CAST(t.n_docs AS DOUBLE)
+             AS novelty_rate
+    FROM tot t LEFT JOIN claimed c ON t.source = c.source
+    """,
+)
+def q117_source_novelty(spark, sf_dir):
+    """Source-novelty attribution — the curation-ROI report: for each
+    ingestion source, how many of its documents are the FIRST claim on
+    their content fingerprint (min doc_id per md5 of normalized text —
+    the q20 exact-dedup key), i.e. how much unique content the source
+    actually contributes vs re-crawls. One min-struct aggregate per
+    fingerprint (map-side partials; no window, no self-join: the
+    argmin row is recovered as max(struct(-doc_id, source)) so the
+    attribution rides the SAME aggregate) + a source rollup; novelty
+    rate is ONE IEEE division of exact BIGINTs."""
+    from .operators.text_analysis import fingerprint_col
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", fingerprint_col(F.col("text")).alias("fp")
+    )
+    first = (
+        d.groupBy("fp")
+        .agg(F.max(F.struct((-F.col("doc_id")).alias("_neg"), F.col("source"))).alias("_m"))
+        .select(F.col("_m.source").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_first"))
+    )
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tot.join(first, "source", "left")
+        .select(
+            "source", "n_docs",
+            F.coalesce(F.col("n_first"), F.lit(0)).cast("bigint").alias("n_first"),
+            (
+                F.coalesce(F.col("n_first"), F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("novelty_rate"),
+        )
+    )

@@ -475,3 +475,28 @@ def test_registry_has_q116(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q116_basket_pairs" in QUERIES and "q116_basket_pairs" in ORACLE_SQL
+
+
+def test_source_novelty_hand(spark, tmp_path):
+    """First claim on a duplicate fingerprint goes to the min doc_id's
+    source; whitespace/case variants share a fingerprint."""
+    from datasmith_spark.queries import QUERIES
+
+    rows = [
+        (1, "srcA", "Hello  World"),
+        (2, "srcB", "hello world"),      # dup of doc 1 -> srcA claims it
+        (3, "srcB", "fresh content"),
+        (4, "srcB", "fresh   CONTENT"),  # dup of doc 3 -> srcB claims it
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, source string, text string") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: (r.n_docs, r.n_first, r.novelty_rate)
+           for r in QUERIES["q117_source_novelty"](spark, str(tmp_path)).collect()}
+    assert out["srcA"] == (1, 1, 1.0)
+    assert out["srcB"] == (3, 1, 1 / 3)
+
+
+def test_registry_has_q117(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q117_source_novelty" in QUERIES and "q117_source_novelty" in ORACLE_SQL
