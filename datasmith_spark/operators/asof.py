@@ -80,17 +80,25 @@ def asof_join(
     right_cols: list[str],
     tiebreak: str | None = None,
     prefix: str = "r_",
+    direction: str = "backward",
     _extra_part: list[str] | None = None,
 ) -> DataFrame:
     """Union+window as-of join. Output: every left row with `prefix+ts`
-    and `prefix+c` for c in right_cols from the latest right row at-or-
-    before it (nulls when none). `tiebreak` names a right column that
-    breaks equal-ts ties deterministically (max wins)."""
+    and `prefix+c` for c in right_cols from the matched right row
+    (nulls when none). direction="backward" (default) matches the
+    LATEST right at-or-before the left ts; direction="forward" matches
+    the EARLIEST right at-or-after it — the time-to-next-event shape —
+    by simply flipping the scan order (same single shuffle, same
+    inclusive semantics). `tiebreak` names a right column that breaks
+    equal-ts ties deterministically (max wins in both directions)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     u, lcarry, rcarry = _union_frame(left, right, on, ts, right_cols, prefix, _extra_part)
     # _side AFTER ts (rights sort before lefts at equal ts -> inclusive),
     # tiebreak LAST (orders equal-ts rights among themselves; max wins
     # because last() takes the latest row in sort order)
-    order = [F.col("_ts").asc(), F.col("_side").asc()]
+    ts_ord = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    order = [ts_ord, F.col("_side").asc()]
     if tiebreak is not None:
         order.append(F.col(prefix + tiebreak).asc())
     w = (

@@ -5349,3 +5349,54 @@ def q117_source_novelty(spark, sf_dir):
             ).alias("novelty_rate"),
         )
     )
+
+
+@register(
+    "q118_time_to_purchase",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.event_id AS click_id,
+           extract(epoch FROM c.ts) AS click_ep,
+           (SELECT p.event_id FROM p
+             WHERE p.user_id = c.user_id AND p.ts >= c.ts
+             ORDER BY p.ts ASC, p.event_id DESC LIMIT 1) AS purchase_id,
+           extract(epoch FROM (
+             SELECT min(p.ts) FROM p
+              WHERE p.user_id = c.user_id AND p.ts >= c.ts)) AS purchase_ep
+    FROM c
+    """,
+)
+def q118_time_to_purchase(spark, sf_dir):
+    """FORWARD as-of join: attach to each click the EARLIEST purchase by
+    the same user at-or-after it — the time-to-conversion primitive
+    (the mirror of q92's attribution). Runs operators/asof.py asof_join
+    with direction='forward': the same single union+window shuffle with
+    the scan order flipped; equal-ts ties break max-event_id (pinned by
+    the oracle's ORDER BY ts ASC, event_id DESC LIMIT 1). The oracle
+    states the semantics as correlated earliest-at-or-after subqueries
+    — per-row rescans a 10^12-row engine cannot afford, which is the
+    point of the operator."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    ep = lambda c: F.col(c).cast("timestamp").cast("double")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", ts="ts",
+        right_cols=["event_id"], tiebreak="event_id", direction="forward",
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        ep("ts").alias("click_ep"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("r_ts").cast("timestamp").cast("double").alias("purchase_ep"),
+    )

@@ -254,3 +254,59 @@ def test_registry_has_q96(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q96_gapfill_locf" in QUERIES and "q96_gapfill_locf" in ORACLE_SQL
+
+
+def test_asof_forward_hand_semantics(spark, hand):
+    """direction='forward': earliest right at-or-after, inclusive, max
+    tiebreak at equal ts, null when no later right exists."""
+    from datasmith_spark.operators.asof import asof_join
+
+    left, right = hand
+    out = {
+        r.event_id: (r.r_event_id, r.r_value)
+        for r in asof_join(
+            left, right, "user_id", "ts", ["event_id", "value"],
+            tiebreak="event_id", direction="forward",
+        ).collect()
+    }
+    # left 100 @10min: rights at 2,5,5 -> all before -> null
+    assert out[100] == (None, None)
+    # left 101 @5min: equal-ts rights 201/202 -> inclusive, max id wins
+    assert out[101] == (202, 3.5)
+    # left 102 @1min: earliest right after is @2min
+    assert out[102] == (200, 1.5)
+    # left 103 @day3: user 2's only right was day 0 -> null
+    assert out[103] == (None, None)
+    assert out[104] == (None, None)
+
+
+def test_asof_forward_matches_reversed_backward(spark, hand):
+    """forward(t) == backward on negated epoch — a full consistency
+    check across every row of the real events table."""
+    from datasmith_spark.operators.asof import asof_join
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    fwd = {
+        r.event_id: r.r_event_id
+        for r in asof_join(
+            clicks, views, "user_id", "ts", ["event_id"],
+            tiebreak="event_id", direction="forward",
+        ).collect()
+    }
+    neg = lambda df: df.withColumn("nts", -F.col("ts").cast("timestamp").cast("double"))
+    bwd = {
+        r.event_id: r.r_event_id
+        for r in asof_join(
+            neg(clicks), neg(views), "user_id", "nts", ["event_id"],
+            tiebreak="event_id", direction="backward",
+        ).collect()
+    }
+    assert fwd == bwd and any(v is not None for v in fwd.values())
+
+
+def test_registry_has_q118(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q118_time_to_purchase" in QUERIES and "q118_time_to_purchase" in ORACLE_SQL
