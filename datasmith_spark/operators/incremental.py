@@ -248,3 +248,37 @@ def snapshot_diff(
         | F.col("h_new").isNull()
         | (F.col("h_old") != F.col("h_new"))
     )
+
+
+def rollup_partial(df: DataFrame, keys: list[str], val: str) -> DataFrame:
+    """Per-key MERGEABLE partial aggregate of an integer value column:
+    (n, s, mn, mx) — the materialized-rollup row format. Every field
+    merges associatively (counts/sums add, min/max combine), which is
+    what makes the rollup maintainable under late data without
+    recomputing history."""
+    v = F.col(val)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("bigint").alias("s"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    )
+
+
+def merge_rollups(parts: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Merge any number of rollup_partial tables into one: union + ONE
+    re-aggregate with the merge functions (sum of n, sum of s, min of
+    mn, max of mx). Incremental view maintenance for the distributive
+    aggregates: merging the materialized base with a late-delta partial
+    is VALUE-EQUAL to recomputing over base+delta rows (pinned by the
+    q119 oracle, which recomputes from scratch) — at 10^12 rows the
+    delta path touches only the affected key cells, never history."""
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(*keys).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )

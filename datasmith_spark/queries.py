@@ -5400,3 +5400,42 @@ def q118_time_to_purchase(spark, sf_dir):
         F.col("r_event_id").alias("purchase_id"),
         F.col("r_ts").cast("timestamp").cast("double").alias("purchase_ep"),
     )
+
+
+@register(
+    "q119_incremental_rollup",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mn,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mx
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q119_incremental_rollup(spark, sf_dir):
+    """Incremental view maintenance: the per-(day, type) rollup is NOT
+    computed over the full table — the events before day 25 play the
+    MATERIALIZED base (rollup_partial), the rest arrive as a late
+    delta partial, and merge_rollups combines them (sum of counts/sums,
+    min/max of min/max — one union + one re-aggregate). The oracle
+    recomputes the rollup from scratch over all rows, so the green row
+    PROVES base+delta maintenance == full recompute, the property that
+    lets a 10^12-row rollup absorb late data by touching only affected
+    cells. All-integer cents; mergeable-aggregate row format (n,s,mn,mx)
+    shared with operators/incremental.py."""
+    from .operators.incremental import merge_rollups, rollup_partial
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").cast("date").cast("string").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    cutoff = "2024-01-25"
+    base = rollup_partial(
+        e.filter(F.col("day") < cutoff), ["day", "event_type"], "cents"
+    )
+    delta = rollup_partial(
+        e.filter(F.col("day") >= cutoff), ["day", "event_type"], "cents"
+    )
+    return merge_rollups([base, delta], ["day", "event_type"])

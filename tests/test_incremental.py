@@ -330,3 +330,45 @@ class TestSnapshotDiff:
         # the join's output attributes are only key + hashes
         join_line = next(ln for ln in plan.splitlines() if "FullOuter" in ln)
         assert "text" not in join_line and "lang" not in join_line, join_line
+
+
+def test_merge_rollups_overlapping_and_disjoint_cells(spark):
+    """Merging partials == recomputing: overlapping cells add/min/max,
+    delta-only cells appear, base-only cells pass through."""
+    from datasmith_spark.operators.incremental import merge_rollups, rollup_partial
+
+    base_rows = [("d1", "a", 10), ("d1", "a", 20), ("d1", "b", 5)]
+    delta_rows = [("d1", "a", 1), ("d2", "a", 7)]
+    ddl = "day string, t string, v bigint"
+    base = rollup_partial(spark.createDataFrame(base_rows, ddl), ["day", "t"], "v")
+    delta = rollup_partial(spark.createDataFrame(delta_rows, ddl), ["day", "t"], "v")
+    merged = {(r.day, r.t): (r.n, r.s, r.mn, r.mx)
+              for r in merge_rollups([base, delta], ["day", "t"]).collect()}
+    full = {(r.day, r.t): (r.n, r.s, r.mn, r.mx)
+            for r in rollup_partial(
+                spark.createDataFrame(base_rows + delta_rows, ddl), ["day", "t"], "v"
+            ).collect()}
+    assert merged == full
+    assert merged[("d1", "a")] == (3, 31, 1, 20)
+    assert merged[("d2", "a")] == (1, 7, 7, 7)
+    assert merged[("d1", "b")] == (1, 5, 5, 5)
+
+
+def test_merge_rollups_three_way_associative(spark):
+    from datasmith_spark.operators.incremental import merge_rollups, rollup_partial
+
+    ddl = "day string, t string, v bigint"
+    parts = [
+        spark.createDataFrame([("d", "x", i * 10 + j) for j in range(3)], ddl)
+        for i in range(3)
+    ]
+    ps = [rollup_partial(p, ["day", "t"], "v") for p in parts]
+    a = merge_rollups([merge_rollups(ps[:2], ["day", "t"]), ps[2]], ["day", "t"]).collect()
+    b = merge_rollups(ps, ["day", "t"]).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_registry_has_q119(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q119_incremental_rollup" in QUERIES and "q119_incremental_rollup" in ORACLE_SQL
