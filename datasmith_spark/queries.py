@@ -5439,3 +5439,96 @@ def q119_incremental_rollup(spark, sf_dir):
         e.filter(F.col("day") >= cutoff), ["day", "event_type"], "cents"
     )
     return merge_rollups([base, delta], ["day", "event_type"])
+
+
+@register(
+    "q120_cluster_canonical",
+    rf"""
+    WITH RECURSIVE {_CORPUS_SQL},
+    {_MINHASH_SQL_BODY},
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.a AS doc_a, c.b AS doc_b, count(*) AS inter
+      FROM cand c
+      JOIN sh sa ON sa.id = c.a
+      JOIN sh sb ON sb.id = c.b AND sb.s = sa.s
+      GROUP BY c.a, c.b
+    ),
+    verified AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes za ON za.id = i.doc_a
+      JOIN sizes zb ON zb.id = i.doc_b
+      WHERE i.inter::DOUBLE / (za.sz + zb.sz - i.inter)::DOUBLE >= 0.6
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM verified WHERE doc_a != doc_b
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM verified WHERE doc_a != doc_b
+    ),
+    reach(id, lbl) AS (
+      SELECT u AS id, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+    ),
+    cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    ranked AS (
+      SELECT cc.cluster_id, cc.doc_id, length(co.text) AS n_chars,
+             row_number() OVER (PARTITION BY cc.cluster_id
+                                ORDER BY length(co.text) DESC, cc.doc_id ASC)
+               AS rk
+      FROM cc JOIN corpus co ON co.doc_id = cc.doc_id
+    )
+    SELECT r.cluster_id,
+           CAST(count(*) AS INT) AS n_members,
+           CAST(min(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS canonical_id,
+           CAST(min(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS canonical_chars
+    FROM ranked r GROUP BY r.cluster_id
+    """,
+)
+def q120_cluster_canonical(spark, sf_dir):
+    """Quality-aware canonical selection per duplicate cluster — the
+    half of the dedup decision q52 leaves implicit: instead of keeping
+    the min-id member, keep the HIGHEST-QUALITY copy (longest text,
+    doc_id tiebreak — a total order). Runs the q52 component machinery
+    (banded MinHash pairs → Hash-Min label propagation), then the
+    canonical rides ONE max-struct aggregate per cluster
+    (max(struct(n_chars, -doc_id)) — no window over the corpus). The
+    oracle re-derives everything: same recursive-CTE closure, then a
+    rank-1 window — a different algorithm agreeing on every cluster's
+    canonical."""
+    from pyspark import StorageLevel
+
+    from .operators.components import connected_components
+    from .operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    sh = shingles(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    pairs = jaccard_verify(sh, cand, threshold=0.6).localCheckpoint(eager=True)
+    sh.unpersist()
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    lens = corpus.select(
+        F.col("doc_id").alias("id"), F.length("text").cast("bigint").alias("n_chars")
+    )
+    return (
+        cc.join(lens, "id")
+        .groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_members"),
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("id")).alias("_neg"))
+            ).alias("_m"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            (-F.col("_m._neg")).cast("bigint").alias("canonical_id"),
+            F.col("_m.n_chars").cast("bigint").alias("canonical_chars"),
+        )
+    )

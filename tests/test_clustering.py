@@ -121,3 +121,41 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+def test_cluster_canonical_quality_argmax(spark):
+    """Canonical = longest text, min doc_id on ties — across a multi-hop
+    cluster (1-2, 2-3) and a pair cluster."""
+    import pyspark.sql.functions as F
+
+    from datasmith_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    lens = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 2)], "id bigint, n_chars bigint"
+    )
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    out = {
+        r.cluster_id: (r.n_members, r.canonical_id, r.canonical_chars)
+        for r in cc.join(lens, "id")
+        .groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_members"),
+            F.max(F.struct(F.col("n_chars"), (-F.col("id")).alias("_neg"))).alias("_m"),
+        )
+        .select(
+            "cluster_id", "n_members",
+            (-F.col("_m._neg")).alias("canonical_id"),
+            F.col("_m.n_chars").alias("canonical_chars"),
+        )
+        .collect()
+    }
+    assert out == {1: (3, 2, 9), 10: (2, 10, 4)}
+
+
+def test_registry_has_q120(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q120_cluster_canonical" in QUERIES and "q120_cluster_canonical" in ORACLE_SQL
