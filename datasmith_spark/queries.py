@@ -5516,6 +5516,86 @@ def q120_cluster_canonical(spark, sf_dir):
     lens = corpus.select(
         F.col("doc_id").alias("id"), F.length("text").cast("bigint").alias("n_chars")
     )
+    return _q120_canonical(cc, lens)
+
+
+@register(
+    "q121_mad_outliers",
+    """
+    WITH p AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    med AS (
+      SELECT user_id, min(cents) AS med FROM (
+        SELECT user_id, cents,
+               sum(1) OVER (PARTITION BY user_id
+                            ORDER BY cents ASC, event_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM p
+      ) WHERE 2 * cum >= n GROUP BY user_id
+    ),
+    dev AS (
+      SELECT p.user_id, p.event_id, p.cents, m.med,
+             abs(p.cents - m.med) AS d
+      FROM p JOIN med m ON p.user_id = m.user_id
+    ),
+    mad AS (
+      SELECT user_id, min(d) AS mad FROM (
+        SELECT user_id, d,
+               sum(1) OVER (PARTITION BY user_id
+                            ORDER BY d ASC, event_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM dev
+      ) WHERE 2 * cum >= n GROUP BY user_id
+    )
+    SELECT d.user_id, d.event_id, d.cents,
+           CAST(d.med AS BIGINT) AS med, CAST(a.mad AS BIGINT) AS mad,
+           (d.d > 3 * a.mad) AS outlier
+    FROM dev d JOIN mad a ON d.user_id = a.user_id
+    """,
+)
+def q121_mad_outliers(spark, sf_dir):
+    """MAD (median-absolute-deviation) outlier flags per user — the
+    ROBUST detector that, unlike the q101 z-score, a single extreme
+    value cannot mask (the classic breakdown-point argument). ALL
+    integer: lower median of cents (2*cum >= n — the q111 machinery
+    with unit weights), integer absolute deviations, lower median of
+    those, flag = dev > 3*MAD as an exact BIGINT compare. Two median
+    window passes + two same-key joins; the oracle re-derives every
+    flag bit-for-bit."""
+    from .operators.detection import group_weighted_median
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).withColumn("_w", F.lit(1))
+    med = group_weighted_median(
+        p, key_col="user_id", val_col="cents", weight_col="_w", id_col="event_id"
+    ).select("user_id", F.col("wmedian").alias("med"))
+    dev = p.join(med, "user_id").withColumn(
+        "d", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = group_weighted_median(
+        dev.withColumnRenamed("d", "dval"),
+        key_col="user_id", val_col="dval", weight_col="_w", id_col="event_id",
+    ).select("user_id", F.col("wmedian").alias("mad"))
+    return (
+        dev.join(mad, "user_id")
+        .select(
+            "user_id", "event_id", "cents",
+            F.col("med").cast("bigint").alias("med"),
+            F.col("mad").cast("bigint").alias("mad"),
+            (F.col("d") > 3 * F.col("mad")).alias("outlier"),
+        )
+    )
+
+
+def _q120_canonical(cc, lens):
     return (
         cc.join(lens, "id")
         .groupBy(F.col("component").alias("cluster_id"))

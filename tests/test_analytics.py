@@ -500,3 +500,38 @@ def test_registry_has_q117(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q117_source_novelty" in QUERIES and "q117_source_novelty" in ORACLE_SQL
+
+
+def test_mad_outliers_hand(spark, tmp_path):
+    """MAD is robust where the z-score window is masked: a single huge
+    value flags against the unmoved median; zero-MAD groups flag any
+    deviation; lower-median convention on even counts."""
+    from datetime import datetime
+
+    from datasmith_spark.queries import QUERIES
+
+    rows = [
+        # u1: [100]*6 + [99999]: med=100, devs [0..0, 99899], MAD=0
+        *[(1, i, datetime(2024, 1, 1), "purchase", (100 + 0) / 100) for i in range(6)],
+        (1, 6, datetime(2024, 1, 1), "purchase", 99999 / 100),
+        # u2: [10, 20, 30, 40]: lower med=20; devs [10,0,10,20] -> MAD=10
+        *[(2, i, datetime(2024, 1, 1), "purchase", v / 100)
+          for i, v in enumerate((10, 20, 30, 40))],
+    ]
+    spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string, value double"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {(r.user_id, r.event_id): (r.med, r.mad, r.outlier)
+           for r in QUERIES["q121_mad_outliers"](spark, str(tmp_path)).collect()}
+    assert out[(1, 6)] == (100, 0, True)
+    assert all(v == (100, 0, False) for k, v in out.items()
+               if k[0] == 1 and k[1] != 6)
+    # u2: dev > 30 flags nothing (max dev 20)
+    assert {v for k, v in out.items() if k[0] == 2} == {
+        (20, 10, False)}
+
+
+def test_registry_has_q121(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q121_mad_outliers" in QUERIES and "q121_mad_outliers" in ORACLE_SQL
