@@ -5595,6 +5595,89 @@ def q121_mad_outliers(spark, sf_dir):
     )
 
 
+@register(
+    "q122_percent_rank_scaling",
+    """
+    SELECT doc_id, lang, n_chars,
+           percent_rank() OVER (PARTITION BY lang
+                                ORDER BY n_chars ASC, doc_id ASC) AS pr
+    FROM documents
+    """,
+)
+def q122_percent_rank_scaling(spark, sf_dir):
+    """Per-group percent-rank feature scaling: each document's length
+    mapped to [0,1] within its language — the rank-based normalization
+    that survives heavy tails where min-max scaling saturates. Native
+    percent_rank over a (value, id) total order: (rank-1)/(n-1) is one
+    IEEE division of exact integers, and the tie-free total order makes
+    it engine-identical. One window shuffle at group grain."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    return d.select(
+        "doc_id", "lang", "n_chars", F.percent_rank().over(w).alias("pr")
+    )
+
+
+@register(
+    "q123_source_distribution_drift",
+    """
+    WITH s AS (
+      SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM s GROUP BY source),
+    g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS c_g FROM s GROUP BY lang),
+    ng AS (SELECT CAST(sum(c_g) AS BIGINT) AS n_g FROM g),
+    cells AS (
+      SELECT ns.source, g.lang, coalesce(s.c, 0) AS c_s, ns.n_s, g.c_g, ng.n_g
+      FROM ns CROSS JOIN g
+      LEFT JOIN s ON s.source = ns.source AND s.lang = g.lang
+      CROSS JOIN ng
+    )
+    SELECT source,
+           CAST(sum(abs(c_s * n_g - c_g * n_s)) AS BIGINT) AS l1_num,
+           CAST(min(n_s) * min(n_g) AS BIGINT) AS l1_den,
+           CAST(sum(abs(c_s * n_g - c_g * n_s)) AS DOUBLE)
+             / CAST(min(n_s) * min(n_g) AS DOUBLE) AS l1
+    FROM cells GROUP BY source
+    """,
+)
+def q123_source_distribution_drift(spark, sf_dir):
+    """Per-source distribution drift: L1 distance between each source's
+    language mix and the corpus-wide mix — the mix-monitoring alarm a
+    curation pipeline runs per ingest batch. The float trap is summing
+    |c_s/n_s - c_g/n_g| (different denominators, order-dependent); put
+    every term over the COMMON denominator n_s*n_g instead and the L1
+    numerator is an exact BIGINT sum of |c_s*n_g - c_g*n_s| — emitted
+    with the denominator, plus ONE IEEE division for the score. Tiny
+    aggregates throughout (|sources| x |langs| cells); missing cells
+    materialize as zeros via the dimension cross join."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    ns = s.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    g = s.groupBy("lang").agg(F.sum("c").cast("bigint").alias("c_g"))
+    ng = g.agg(F.sum("c_g").cast("bigint").alias("n_g"))
+    cells = (
+        ns.crossJoin(F.broadcast(g))
+        .join(s, ["source", "lang"], "left")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "source", "lang", "n_s", "c_g", "n_g",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c_s"),
+        )
+    )
+    term = F.abs(F.col("c_s") * F.col("n_g") - F.col("c_g") * F.col("n_s"))
+    return cells.groupBy("source").agg(
+        F.sum(term).cast("bigint").alias("l1_num"),
+        (F.min("n_s") * F.min("n_g")).cast("bigint").alias("l1_den"),
+        (
+            F.sum(term).cast("double")
+            / (F.min("n_s") * F.min("n_g")).cast("double")
+        ).alias("l1"),
+    )
+
+
 def _q120_canonical(cc, lens):
     return (
         cc.join(lens, "id")

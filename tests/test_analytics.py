@@ -535,3 +535,42 @@ def test_registry_has_q121(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q121_mad_outliers" in QUERIES and "q121_mad_outliers" in ORACLE_SQL
+
+
+def test_percent_rank_hand(spark, tmp_path):
+    from datasmith_spark.queries import QUERIES
+
+    rows = [(1, "en", 10), (2, "en", 20), (3, "en", 30), (4, "de", 5)]
+    spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars bigint") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r.pr
+           for r in QUERIES["q122_percent_rank_scaling"](spark, str(tmp_path)).collect()}
+    assert out == {1: 0.0, 2: 0.5, 3: 1.0, 4: 0.0}
+
+
+def test_distribution_drift_hand(spark, tmp_path):
+    """A source matching the global mix scores 0; a pure-lang source
+    scores the exact L1 to the mix, missing cells included."""
+    from datasmith_spark.queries import QUERIES
+
+    rows = (
+        [(i, "en", "balanced") for i in range(2)]
+        + [(10 + i, "de", "balanced") for i in range(2)]
+        + [(20 + i, "en", "pure_en") for i in range(4)]
+    )
+    spark.createDataFrame(rows, "doc_id bigint, lang string, source string") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: (r.l1_num, r.l1_den, r.l1)
+           for r in QUERIES["q123_source_distribution_drift"](spark, str(tmp_path)).collect()}
+    # global: en 6/8, de 2/8. balanced: en 1/2, de 1/2 ->
+    # L1 = |1/2-6/8| + |1/2-2/8| = 1/2; num = |2*8-6*4| + |2*8-2*4| = 16, den 32
+    assert out["balanced"] == (16, 32, 0.5)
+    # pure_en: en 1, de 0 -> L1 = 1/4 + 1/4 = 1/2; num = |4*8-6*4|+|0-2*4| = 16, den 32
+    assert out["pure_en"] == (16, 32, 0.5)
+
+
+def test_registry_has_q122_q123(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    for name in ("q122_percent_rank_scaling", "q123_source_distribution_drift"):
+        assert name in QUERIES and name in ORACLE_SQL
