@@ -34,6 +34,35 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def funnel_user_times(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: list[tuple[str, Column]],
+    window_sec: int,
+) -> DataFrame:
+    """Per-user earliest-chaining stage times: (user_col, _t0.._tk) —
+    the shared core of funnel_stages and the streaming lift's batch
+    oracle. Chained conditional min-windows over ONE user partition."""
+    w = Window.partitionBy(user_col)
+    ts = F.col(ts_col).cast("timestamp")
+    df = events
+    prev = None
+    for i, (_, pred) in enumerate(steps):
+        if prev is None:
+            cond = pred
+        else:
+            hi = F.col(prev) + F.expr(
+                f"make_interval(0, 0, 0, 0, 0, 0, {int(window_sec)})"
+            )
+            cond = pred & (ts >= F.col(prev)) & (ts <= hi)
+        df = df.withColumn(f"_t{i}", F.min(F.when(cond, ts)).over(w))
+        prev = f"_t{i}"
+    return df.groupBy(user_col).agg(
+        *[F.first(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))]
+    )
+
+
 def funnel_stages(
     events: DataFrame,
     user_col: str,
@@ -50,23 +79,7 @@ def funnel_stages(
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
-    w = Window.partitionBy(user_col)
-    ts = F.col(ts_col).cast("timestamp")
-    df = events
-    prev = None
-    for i, (_, pred) in enumerate(steps):
-        if prev is None:
-            cond = pred
-        else:
-            hi = F.col(prev) + F.expr(
-                f"make_interval(0, 0, 0, 0, 0, 0, {int(window_sec)})"
-            )
-            cond = pred & (ts >= F.col(prev)) & (ts <= hi)
-        df = df.withColumn(f"_t{i}", F.min(F.when(cond, ts)).over(w))
-        prev = f"_t{i}"
-    per_user = df.groupBy(user_col).agg(
-        *[F.first(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))]
-    )
+    per_user = funnel_user_times(events, user_col, ts_col, steps, window_sec)
     counts = per_user.agg(
         *[
             F.count(F.col(f"_t{i}")).alias(f"_c{i}")

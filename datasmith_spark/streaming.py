@@ -586,3 +586,72 @@ def stream_zscore_flags(
     return s.groupBy("user_id").applyInPandasWithState(
         func, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_funnel(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    step_types: list[str],
+    window_sec: int,
+    max_files_per_trigger: int | None = 1,
+):
+    """Continuous ordered-funnel tracking — q94's earliest-chaining
+    semantics lifted onto a stream with applyInPandasWithState.
+
+    Per-key state is ONLY the k stage timestamps reached so far (k
+    doubles per live user — bounded regardless of stream length). With
+    per-key in-order arrival, the greedy forward scan sets each stage
+    at the SAME instant the batch conditional-min-chain would (the
+    first qualifying event in ts order IS the min), so the emitted
+    stage-reached rows equal the batch funnel_user_times — pinned in
+    tests. Emits one append-mode row per newly reached stage:
+    (user_id, stage_idx, stage_ts). step_types must be distinct (an
+    event fills at most one stage here; a duplicate-type funnel would
+    let the batch min-chain reuse one event for two stages)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    s = reader.parquet(input_dir)
+
+    out_schema = "user_id bigint, stage_idx int, stage_ts timestamp"
+    state_schema = "times array<double>"
+    k = len(step_types)
+
+    def func(key, pdfs, state: GroupState):
+        (user_id,) = key
+        times: list[float | None] = (
+            [None if t is None else float(t) for t in state.get[0]]
+            if state.exists
+            else [None] * k
+        )
+        new_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for et, ts in zip(pdf["event_type"], pdf["ts"]):
+                tsec = ts.timestamp()
+                for i, want in enumerate(step_types):
+                    if times[i] is not None or et != want:
+                        continue
+                    if i == 0 or (
+                        times[i - 1] is not None
+                        and times[i - 1] <= tsec <= times[i - 1] + window_sec
+                    ):
+                        times[i] = tsec
+                        new_rows.append(
+                            (
+                                user_id,
+                                i,
+                                pd.Timestamp(int(round(tsec * 1e6)), unit="us"),
+                            )
+                        )
+                    break  # each event can only be its first unmatched type
+        state.update((times,))
+        yield pd.DataFrame(new_rows, columns=["user_id", "stage_idx", "stage_ts"])
+
+    return s.groupBy("user_id").applyInPandasWithState(
+        func, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

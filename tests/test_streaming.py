@@ -717,3 +717,72 @@ def test_stream_zscore_flags_matches_batch(spark, tmp_path):
     assert got == want
     assert (1, 12, 99_999, 10, True) in got      # the spike fires
     assert sum(1 for *_, fl in got if fl) == 1    # and nothing else does
+
+
+def test_stream_funnel_matches_batch(spark, tmp_path):
+    """Streaming earliest-chaining funnel == batch funnel_user_times
+    over the same events fed as three in-order micro-batches."""
+    import time as _time
+    from datetime import datetime, timedelta
+
+    from datasmith_spark.operators.funnel import funnel_user_times
+    from datasmith_spark.streaming import stream_funnel
+
+    ddl = "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    base = datetime(2024, 1, 1)
+    rows = [
+        # u1 full funnel across slices
+        (1, 1, base, "view"), (1, 2, base + timedelta(minutes=30), "click"),
+        (1, 3, base + timedelta(minutes=70), "purchase"),
+        # u2 click outside the 1h window of the first view
+        (2, 1, base, "view"), (2, 2, base + timedelta(minutes=90), "click"),
+        # u3 click before any view never fills stage 1
+        (3, 1, base, "click"), (3, 2, base + timedelta(minutes=10), "view"),
+        (3, 3, base + timedelta(minutes=20), "click"),
+        # u4 never starts
+        (4, 1, base, "purchase"),
+    ]
+    inp = tmp_path / "f_in"
+    inp.mkdir()
+    slices = [
+        [r for r in rows if r[2] < base + timedelta(minutes=25)],
+        [r for r in rows if base + timedelta(minutes=25) <= r[2] < base + timedelta(minutes=60)],
+        [r for r in rows if r[2] >= base + timedelta(minutes=60)],
+    ]
+    import time
+    for si, sl in enumerate(slices):
+        spark.createDataFrame(sl, ddl).coalesce(1).write.mode("overwrite") \
+            .parquet(str(inp / f"slice-{si}"))
+        time.sleep(1.1)
+
+    q = (
+        stream_funnel(
+            spark, f"{inp}/slice-*", ddl,
+            step_types=["view", "click", "purchase"], window_sec=3600,
+            max_files_per_trigger=1,
+        )
+        .writeStream.format("memory").queryName("funnel_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {}
+    for r in spark.table("funnel_stream").collect():
+        got.setdefault(r.user_id, {})[r.stage_idx] = r.stage_ts
+
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    batch = funnel_user_times(
+        spark.createDataFrame(rows, ddl), "user_id", "ts", steps, 3600
+    ).collect()
+    want = {}
+    for r in batch:
+        for i in range(3):
+            t = r[f"_t{i}"]
+            if t is not None:
+                want.setdefault(r.user_id, {})[i] = t
+    assert got == want
+    assert set(got[1]) == {0, 1, 2} and set(got[2]) == {0} and set(got[3]) == {0, 1}
+    assert 4 not in got
