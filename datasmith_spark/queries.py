@@ -461,6 +461,37 @@ def q16_sessionize(spark, sf_dir):
 
 # shared dedup corpus: base docs + exact copies + near-duplicate copies,
 # constructed identically on both engines
+
+_VERIFIED_PAIRS_CACHE: dict = {}
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-persisted verified MinHash near-dup pairs (the q22
+    computation) shared by q52 / q53 / q120 — the three cluster-consumer
+    queries previously each re-ran shingles -> minhash -> band ->
+    Jaccard-verify over the same corpus. Same app-bounded cache
+    discipline as _clips_post_decode; eager localCheckpoint truncates
+    the lineage so consumers replan from the materialized pair table."""
+    from pyspark import StorageLevel
+
+    from .operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    def build():
+        corpus = _corpus(spark, sf_dir)
+        sh = shingles(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+        cand = lsh_candidate_pairs(minhash_signatures(sh))
+        pairs = jaccard_verify(sh, cand, threshold=0.6).localCheckpoint(eager=True)
+        sh.unpersist()
+        return pairs
+
+    return _session_cached(_VERIFIED_PAIRS_CACHE, spark, sf_dir, build)
+
+
 _CORPUS_SQL = """
     corpus AS (
       SELECT doc_id, text FROM documents
@@ -2078,22 +2109,9 @@ def q52_dedup_clusters(spark, sf_dir):
     the Spark side's synchronous rounds, agreeing on the exact cluster
     assignment. At sf0.01 this yields 111 clusters over 335 docs with
     multi-hop merges (max cluster size 5 > any single pair)."""
-    from pyspark import StorageLevel
-
     from .operators.components import dedup_keep_set
-    from .operators.dedup import (
-        jaccard_verify,
-        lsh_candidate_pairs,
-        minhash_signatures,
-        shingles,
-    )
 
-    corpus = _corpus(spark, sf_dir)
-    sh = shingles(corpus).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = lsh_candidate_pairs(minhash_signatures(sh))
-    pairs = jaccard_verify(sh, cand, threshold=0.6).localCheckpoint(eager=True)
-    sh.unpersist()
-    return dedup_keep_set(pairs)
+    return dedup_keep_set(_verified_pairs(spark, sf_dir))
 
 
 @register(
@@ -2157,28 +2175,16 @@ def q53_leakage_safe_split(spark, sf_dir):
     the cluster table is small — it is O(clustered docs), so it is a plain
     hash join keyed by doc_id, and every downstream consumer partitions by
     split/group_key."""
-    from pyspark import StorageLevel
-
     from .operators.components import connected_components
-    from .operators.dedup import (
-        jaccard_verify,
-        lsh_candidate_pairs,
-        minhash_signatures,
-        shingles,
-    )
 
-    corpus = _corpus(spark, sf_dir)
-    sh = shingles(corpus).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = lsh_candidate_pairs(minhash_signatures(sh))
-    pairs = jaccard_verify(sh, cand, threshold=0.6).localCheckpoint(eager=True)
-    sh.unpersist()
+    pairs = _verified_pairs(spark, sf_dir)
     cc = connected_components(pairs, "doc_a", "doc_b").withColumnsRenamed(
         {"id": "doc_id", "component": "cluster_id"}
     )
     gk = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     h = F.md5(gk.cast("string"))
     return (
-        corpus.select("doc_id")
+        _corpus(spark, sf_dir).select("doc_id")
         .join(cc, "doc_id", "left")
         .select(
             "doc_id",
@@ -5497,23 +5503,11 @@ def q120_cluster_canonical(spark, sf_dir):
     oracle re-derives everything: same recursive-CTE closure, then a
     rank-1 window — a different algorithm agreeing on every cluster's
     canonical."""
-    from pyspark import StorageLevel
-
     from .operators.components import connected_components
-    from .operators.dedup import (
-        jaccard_verify,
-        lsh_candidate_pairs,
-        minhash_signatures,
-        shingles,
-    )
 
-    corpus = _corpus(spark, sf_dir)
-    sh = shingles(corpus).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = lsh_candidate_pairs(minhash_signatures(sh))
-    pairs = jaccard_verify(sh, cand, threshold=0.6).localCheckpoint(eager=True)
-    sh.unpersist()
+    pairs = _verified_pairs(spark, sf_dir)
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
-    lens = corpus.select(
+    lens = _corpus(spark, sf_dir).select(
         F.col("doc_id").alias("id"), F.length("text").cast("bigint").alias("n_chars")
     )
     return _q120_canonical(cc, lens)
