@@ -5672,6 +5672,126 @@ def q123_source_distribution_drift(spark, sf_dir):
     )
 
 
+@register(
+    "q124_interval_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts + to_minutes(CAST(ceil(value) AS BIGINT))) AS e
+      FROM events WHERE event_type = 'view'
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+               PARTITION BY user_id ORDER BY s ASC, e ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id
+                                   ORDER BY s ASC, e ASC
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    merged AS (
+      SELECT user_id, island, min(s) AS lo, max(e) AS hi
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(hi - lo) AS BIGINT) AS covered_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def q124_interval_coverage(spark, sf_dir):
+    """Interval-union coverage: total wall time each user is inside at
+    least one view window — the de-overlapped "active exposure"
+    metric (the union-of-intervals sweep every sessionizer/billing
+    system needs; q93's join counts pairs, this merges overlaps). The
+    classic island construction as TWO windows over ONE (user) sort:
+    new-island flag when start > max(all previous ends) (handles
+    nested intervals — a plain lag(end) would not), island id =
+    running sum of flags, then min/max per island. Exact microsecond
+    BIGINTs end to end (unix_micros / epoch_us — no float epochs), so
+    the oracle reproduces coverage bit-for-bit."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    iv = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        F.unix_micros(
+            F.expr(
+                "CAST(ts AS TIMESTAMP) + make_interval(0, 0, 0, 0, 0, CAST(ceil(value) AS INT), 0)"
+            )
+        ).alias("e"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("s").asc(), F.col("e").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        (F.col("s") > F.coalesce(F.max("e").over(w), F.lit(-1)))
+        .cast("int"),
+    )
+    wi = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("s").asc(), F.col("e").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(wi))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("lo"), F.max("e").alias("hi")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("hi") - F.col("lo")).cast("bigint").alias("covered_us"),
+    )
+
+
+@register(
+    "q125_k_anonymity_audit",
+    """
+    WITH q AS (
+      SELECT doc_id, lang, source,
+             CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket
+      FROM documents
+    ),
+    cls AS (
+      SELECT lang, source, len_bucket, count(*) AS class_size
+      FROM q GROUP BY 1, 2, 3
+    )
+    SELECT q.lang, q.source, q.len_bucket, cls.class_size,
+           (cls.class_size < 5) AS at_risk
+    FROM q JOIN cls USING (lang, source, len_bucket)
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def q125_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    length-bucket): each equivalence class's size and whether it falls
+    below k=5 — the re-identification screen a dataset release runs
+    before publishing metadata columns. One groupBy on the quasi-id
+    tuple; the at-risk flag is an exact integer compare. (The per-doc
+    risk table is this joined back by class — emitted here at class
+    grain to keep the artifact release-sized.)"""
+    d = _t(spark, sf_dir, "documents")
+    q = d.select(
+        "lang", "source",
+        F.floor(F.col("n_chars") / 100.0).cast("bigint").alias("len_bucket"),
+    )
+    cls = q.groupBy("lang", "source", "len_bucket").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return cls.select(
+        "lang", "source", "len_bucket", "class_size",
+        (F.col("class_size") < 5).alias("at_risk"),
+    )
+
+
 def _q120_canonical(cc, lens):
     return (
         cc.join(lens, "id")

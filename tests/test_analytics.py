@@ -574,3 +574,50 @@ def test_registry_has_q122_q123(spark):
 
     for name in ("q122_percent_rank_scaling", "q123_source_distribution_drift"):
         assert name in QUERIES and name in ORACLE_SQL
+
+
+def test_interval_coverage_hand(spark, tmp_path):
+    """Overlapping intervals merge, nested intervals do not split an
+    island (running-max, not lag), disjoint ones add islands; coverage
+    is exact microseconds."""
+    from datetime import datetime, timedelta
+
+    from datasmith_spark.queries import QUERIES
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        # u1: [0,10] + [5,8] nested + [7,15] overlap -> one island [0,15]
+        #     then [30,31] -> second island; value is ceil'd minutes
+        (1, 1, base, "view", 10.0),
+        (1, 2, base + timedelta(minutes=5), "view", 3.0),
+        (1, 3, base + timedelta(minutes=7), "view", 8.0),
+        (1, 4, base + timedelta(minutes=30), "view", 1.0),
+        # u2: single interval
+        (2, 5, base, "view", 2.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string, value double"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r.user_id: (r.n_islands, r.covered_us)
+           for r in QUERIES["q124_interval_coverage"](spark, str(tmp_path)).collect()}
+    assert out[1] == (2, (15 + 1) * 60 * 1_000_000)
+    assert out[2] == (1, 2 * 60 * 1_000_000)
+
+
+def test_k_anonymity_hand(spark, tmp_path):
+    from datasmith_spark.queries import QUERIES
+
+    rows = [(i, "en", "s0", 150) for i in range(6)] + [(10, "de", "s0", 950)]
+    spark.createDataFrame(rows, "doc_id bigint, lang string, source string, n_chars bigint") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    out = {(r.lang, r.source, r.len_bucket): (r.class_size, r.at_risk)
+           for r in QUERIES["q125_k_anonymity_audit"](spark, str(tmp_path)).collect()}
+    assert out[("en", "s0", 1)] == (6, False)
+    assert out[("de", "s0", 9)] == (1, True)
+
+
+def test_registry_has_q124_q125(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    for name in ("q124_interval_coverage", "q125_k_anonymity_audit"):
+        assert name in QUERIES and name in ORACLE_SQL
