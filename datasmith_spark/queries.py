@@ -5792,6 +5792,51 @@ def q125_k_anonymity_audit(spark, sf_dir):
     )
 
 
+@register(
+    "q126_gini_concentration",
+    """
+    WITH r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars ASC, doc_id ASC) AS rk
+      FROM documents
+    )
+    SELECT lang, count(*) AS n,
+           CAST(2 * sum(rk * n_chars) - (count(*) + 1) * sum(n_chars)
+                AS BIGINT) AS gini_num,
+           CAST(count(*) * sum(n_chars) AS BIGINT) AS gini_den,
+           CAST(2 * sum(rk * n_chars) - (count(*) + 1) * sum(n_chars) AS DOUBLE)
+             / CAST(count(*) * sum(n_chars) AS DOUBLE) AS gini
+    FROM r GROUP BY lang
+    """,
+)
+def q126_gini_concentration(spark, sf_dir):
+    """Exact Gini coefficient of document-length concentration per
+    language — the imbalance metric a mix designer watches (G=0: all
+    docs contribute equally; G→1: a few docs carry the corpus). The
+    rank formulation G = (2*Σ rank*x - (n+1)*Σx) / (n*Σx) over an
+    ascending (value, id) total order keeps EVERYTHING in BIGINT sums
+    — numerator and denominator are emitted exactly, plus ONE IEEE
+    division; no sorting of floats, no pair enumeration (the naive
+    mean-absolute-difference form is O(n^2)). One window shuffle at
+    group grain + the rollup on the same key."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    r = d.select("lang", "n_chars", F.row_number().over(w).alias("rk"))
+    num = 2 * F.sum(F.col("rk") * F.col("n_chars")) - (
+        F.count(F.lit(1)) + 1
+    ) * F.sum("n_chars")
+    den = F.count(F.lit(1)) * F.sum("n_chars")
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        num.cast("bigint").alias("gini_num"),
+        den.cast("bigint").alias("gini_den"),
+        (num.cast("double") / den.cast("double")).alias("gini"),
+    )
+
+
 def _q120_canonical(cc, lens):
     return (
         cc.join(lens, "id")

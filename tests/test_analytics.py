@@ -621,3 +621,30 @@ def test_registry_has_q124_q125(spark):
 
     for name in ("q124_interval_coverage", "q125_k_anonymity_audit"):
         assert name in QUERIES and name in ORACLE_SQL
+
+
+def test_gini_hand(spark, tmp_path):
+    """Equal masses -> 0; extreme concentration -> (n-1)/n; a known
+    mid case computes exactly."""
+    from datasmith_spark.queries import QUERIES
+
+    rows = (
+        [(i, "eq", 50) for i in range(4)]            # all equal -> 0
+        + [(10, "conc", 0), (11, "conc", 0), (12, "conc", 0), (13, "conc", 100)]
+        + [(20, "mid", 10), (21, "mid", 30)]          # G = 1/4 exactly
+    )
+    spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars bigint") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.lang: (r.n, r.gini_num, r.gini_den, r.gini)
+           for r in QUERIES["q126_gini_concentration"](spark, str(tmp_path)).collect()}
+    assert out["eq"][3] == 0.0
+    # all mass on the last of 4 -> G = (2*4*100 - 5*100) / (4*100) = 3/4
+    assert out["conc"] == (4, 300, 400, 0.75)
+    # [10, 30]: (2*(1*10+2*30) - 3*40) / (2*40) = 20/80 = 1/4
+    assert out["mid"] == (2, 20, 80, 0.25)
+
+
+def test_registry_has_q126(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q126_gini_concentration" in QUERIES and "q126_gini_concentration" in ORACLE_SQL
