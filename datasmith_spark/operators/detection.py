@@ -264,3 +264,42 @@ def group_weighted_median(
             F.col("w_total"),
         )
     )
+
+
+def group_auc(
+    df: DataFrame, group_col: str, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact ROC-AUC per group via the Mann-Whitney rank-sum identity —
+    the filter-evaluation metric (how well does `score_col` separate
+    `label_col`?) computed WITHOUT thresholds, curves, or floats:
+    with doubled midranks mr2 = 2*rank + ties - 1 (integers even at
+    tied scores), 2U = Σ_pos mr2 - n_pos*(n_pos+1) and
+    AUC = 2U / (2*n_pos*n_neg) — BIGINT numerator/denominator emitted
+    exactly plus ONE IEEE division. Groups with a single class are
+    dropped (AUC undefined). Ties get the standard 0.5 credit via
+    midranks. One window shuffle at group grain + same-key rollup."""
+    wr = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
+    wt = Window.partitionBy(group_col, score_col)
+    r = df.withColumn(
+        "_mr2",
+        2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1,
+    )
+    lab = F.col(label_col).cast("boolean")
+    agg = r.groupBy(group_col).agg(
+        F.sum(F.when(lab, F.col("_mr2")).otherwise(F.lit(0))).alias("_pos_mr2"),
+        F.sum(lab.cast("bigint")).alias("n_pos"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    num = F.col("_pos_mr2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    den = 2 * F.col("n_pos") * (F.col("_n") - F.col("n_pos"))
+    return (
+        agg.filter((F.col("n_pos") > 0) & (F.col("_n") - F.col("n_pos") > 0))
+        .select(
+            group_col,
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            (F.col("_n") - F.col("n_pos")).cast("bigint").alias("n_neg"),
+            num.cast("bigint").alias("auc_num"),
+            den.cast("bigint").alias("auc_den"),
+            (num.cast("double") / den.cast("double")).alias("auc"),
+        )
+    )

@@ -5837,6 +5837,65 @@ def q126_gini_concentration(spark, sf_dir):
     )
 
 
+@register(
+    "q127_quality_gate_auc",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang, text, length(text) AS n_chars,
+             regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    m AS (
+      SELECT lang, n_chars,
+             (len(w) >= 30 AND len(w) <= 1000
+              AND 3 * len(w) <= CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+              AND CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) <= 10 * len(w)
+              AND len(regexp_extract_all(text, '\b(the|a|and|of|to|in)\b')) >= 2
+              AND 20 * len(regexp_extract_all(text, '[^a-z0-9 ]')) <= n_chars
+              AND 2 * len(list_distinct(w)) >= len(w)) AS keep
+      FROM t
+    ),
+    r AS (
+      SELECT lang, keep,
+             2 * rank() OVER (PARTITION BY lang ORDER BY n_chars ASC)
+               + count(*) OVER (PARTITION BY lang, n_chars) - 1 AS mr2
+      FROM m
+    ),
+    agg AS (
+      SELECT lang,
+             sum(CASE WHEN keep THEN mr2 ELSE 0 END) AS pos_mr2,
+             sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_pos,
+             count(*) AS n
+      FROM r GROUP BY lang
+    )
+    SELECT lang, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n - n_pos AS BIGINT) AS n_neg,
+           CAST(pos_mr2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
+           CAST(2 * n_pos * (n - n_pos) AS BIGINT) AS auc_den,
+           CAST(pos_mr2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / CAST(2 * n_pos * (n - n_pos) AS DOUBLE) AS auc
+    FROM agg WHERE n_pos > 0 AND n - n_pos > 0
+    """,
+)
+def q127_quality_gate_auc(spark, sf_dir):
+    """Filter-evaluation AUC: per language, how well raw document
+    length separates the q42 Gopher quality gate's keep/drop decision —
+    the metric you compute before replacing an expensive gate with a
+    cheap proxy. Runs operators/detection.py group_auc, the exact
+    Mann-Whitney rank-sum form with doubled midranks (standard
+    0.5-credit tie handling kept in integers); BIGINT num/den emitted,
+    ONE division. Label from operators/text_analysis.py gopher_quality
+    (the q42 rule), score = n_chars."""
+    from .operators.detection import group_auc
+    from .operators.text_analysis import gopher_quality
+
+    d = _t(spark, sf_dir, "documents")
+    labeled = gopher_quality(d).select("doc_id", "keep").join(
+        d.select("doc_id", "lang", F.length("text").alias("n_chars")), "doc_id"
+    )
+    return group_auc(labeled, group_col="lang", score_col="n_chars", label_col="keep")
+
+
 def _q120_canonical(cc, lens):
     return (
         cc.join(lens, "id")

@@ -648,3 +648,40 @@ def test_registry_has_q126(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q126_gini_concentration" in QUERIES and "q126_gini_concentration" in ORACLE_SQL
+
+
+def test_group_auc_hand(spark):
+    """Perfect separation -> 1.0; anti-separation -> 0.0; all-tied
+    scores -> 0.5; single-class groups dropped."""
+    from datasmith_spark.operators.detection import group_auc
+
+    rows = (
+        [("perf", s, s >= 3) for s in (1, 2, 3, 4)]
+        + [("anti", s, s < 3) for s in (1, 2, 3, 4)]
+        + [("tied", 7, lab) for lab in (True, False, True, False)]
+        + [("onecls", s, True) for s in (1, 2)]
+    )
+    df = spark.createDataFrame(rows, "g string, score bigint, label boolean")
+    out = {r.g: (r.n_pos, r.n_neg, r.auc_num, r.auc_den, r.auc)
+           for r in group_auc(df, "g", "score", "label").collect()}
+    assert out["perf"] == (2, 2, 8, 8, 1.0)
+    assert out["anti"] == (2, 2, 0, 8, 0.0)
+    assert out["tied"][4] == 0.5
+    assert "onecls" not in out
+
+
+def test_group_auc_midrank_ties(spark):
+    """Known midrank case: scores [1,2,2,3], labels [F,T,F,T] ->
+    midranks [1,2.5,2.5,4]; U = (2.5+4) - 3 = 3.5 -> AUC = 3.5/4."""
+    from datasmith_spark.operators.detection import group_auc
+
+    rows = [("g", 1, False), ("g", 2, True), ("g", 2, False), ("g", 3, True)]
+    df = spark.createDataFrame(rows, "g string, score bigint, label boolean")
+    r = group_auc(df, "g", "score", "label").collect()[0]
+    assert (r.auc_num, r.auc_den, r.auc) == (7, 8, 0.875)
+
+
+def test_registry_has_q127(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q127_quality_gate_auc" in QUERIES and "q127_quality_gate_auc" in ORACLE_SQL
