@@ -5896,6 +5896,66 @@ def q127_quality_gate_auc(spark, sf_dir):
     return group_auc(labeled, group_col="lang", score_col="n_chars", label_col="keep")
 
 
+@register(
+    "q128_proxy_filter_f1",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang, text, length(text) AS n_chars,
+             regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    m AS (
+      SELECT lang,
+             (len(w) >= 30 AND len(w) <= 1000
+              AND 3 * len(w) <= CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+              AND CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) <= 10 * len(w)
+              AND len(regexp_extract_all(text, '\b(the|a|and|of|to|in)\b')) >= 2
+              AND 20 * len(regexp_extract_all(text, '[^a-z0-9 ]')) <= n_chars
+              AND 2 * len(list_distinct(w)) >= len(w)) AS gate,
+             (n_chars >= 150) AS proxy
+      FROM t
+    )
+    SELECT lang,
+           CAST(count(*) FILTER (WHERE gate AND proxy) AS BIGINT) AS tp,
+           CAST(count(*) FILTER (WHERE NOT gate AND proxy) AS BIGINT) AS fp,
+           CAST(count(*) FILTER (WHERE gate AND NOT proxy) AS BIGINT) AS fn,
+           CAST(count(*) FILTER (WHERE NOT gate AND NOT proxy) AS BIGINT) AS tn,
+           CAST(2 * count(*) FILTER (WHERE gate AND proxy) AS DOUBLE)
+             / CAST(2 * count(*) FILTER (WHERE gate AND proxy)
+                    + count(*) FILTER (WHERE NOT gate AND proxy)
+                    + count(*) FILTER (WHERE gate AND NOT proxy) AS DOUBLE) AS f1
+    FROM m GROUP BY lang
+    """,
+)
+def q128_proxy_filter_f1(spark, sf_dir):
+    """Proxy-filter evaluation: per-language confusion matrix and F1 of
+    the cheap length>=150 proxy against the q42 Gopher gate — the
+    measurement you run before swapping an expensive filter stage for a
+    scan-level predicate (the q127 AUC's thresholded companion, and the
+    same F1 machinery the pipeline's keep/drop contract is graded on).
+    F1 = 2TP/(2TP+FP+FN): integer counts, ONE IEEE division — exact.
+    One aggregate pass; the gate and proxy are both codegen'd column
+    expressions evaluated in the same scan."""
+    from .operators.text_analysis import gopher_quality
+
+    d = _t(spark, sf_dir, "documents")
+    lab = gopher_quality(d).select("doc_id", F.col("keep").alias("gate")).join(
+        d.select("doc_id", "lang", (F.length("text") >= 150).alias("proxy")),
+        "doc_id",
+    )
+    g, p = F.col("gate"), F.col("proxy")
+    tp = F.sum((g & p).cast("bigint"))
+    fp = F.sum(((~g) & p).cast("bigint"))
+    fn = F.sum((g & (~p)).cast("bigint"))
+    tn = F.sum(((~g) & (~p)).cast("bigint"))
+    return lab.groupBy("lang").agg(
+        tp.alias("tp"), fp.alias("fp"), fn.alias("fn"), tn.alias("tn"),
+        (
+            (2 * tp).cast("double") / (2 * tp + fp + fn).cast("double")
+        ).alias("f1"),
+    )
+
+
 def _q120_canonical(cc, lens):
     return (
         cc.join(lens, "id")

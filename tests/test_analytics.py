@@ -685,3 +685,21 @@ def test_registry_has_q127(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q127_quality_gate_auc" in QUERIES and "q127_quality_gate_auc" in ORACLE_SQL
+
+
+def test_proxy_f1_confusion_consistency(spark):
+    from datasmith_spark.queries import QUERIES
+
+    rows = QUERIES["q128_proxy_filter_f1"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.tp + r.fp + r.fn + r.tn > 0
+        if 2 * r.tp + r.fp + r.fn > 0:
+            assert abs(r.f1 - 2 * r.tp / (2 * r.tp + r.fp + r.fn)) == 0.0
+        assert 0.0 <= r.f1 <= 1.0
+
+
+def test_registry_has_q128(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q128_proxy_filter_f1" in QUERIES and "q128_proxy_filter_f1" in ORACLE_SQL
