@@ -5956,6 +5956,148 @@ def q128_proxy_filter_f1(spark, sf_dir):
     )
 
 
+@register(
+    "q129_filter_agreement_kappa",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang, text, length(text) AS n_chars,
+             regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    m AS (
+      SELECT lang,
+             (len(w) >= 30 AND len(w) <= 1000
+              AND 3 * len(w) <= CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+              AND CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) <= 10 * len(w)
+              AND len(regexp_extract_all(text, '\b(the|a|and|of|to|in)\b')) >= 2
+              AND 20 * len(regexp_extract_all(text, '[^a-z0-9 ]')) <= n_chars
+              AND 2 * len(list_distinct(w)) >= len(w)) AS gate,
+             (n_chars >= 150) AS proxy
+      FROM t
+    ),
+    c AS (
+      SELECT lang,
+             count(*) AS n,
+             count(*) FILTER (WHERE gate AND proxy) AS tp,
+             count(*) FILTER (WHERE NOT gate AND proxy) AS fp,
+             count(*) FILTER (WHERE gate AND NOT proxy) AS fn,
+             count(*) FILTER (WHERE NOT gate AND NOT proxy) AS tn
+      FROM m GROUP BY lang
+    )
+    SELECT lang,
+           CAST(n * (tp + tn) - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+                AS BIGINT) AS kappa_num,
+           CAST(n * n - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+                AS BIGINT) AS kappa_den,
+           CAST(n * (tp + tn) - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+                AS DOUBLE)
+             / CAST(n * n - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+                    AS DOUBLE) AS kappa
+    FROM c
+    WHERE n * n != (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
+    """,
+)
+def q129_filter_agreement_kappa(spark, sf_dir):
+    """Cohen's kappa between two filters (the q42 gate and the length
+    proxy) per language — chance-corrected agreement, the statistic that
+    exposes a proxy that only LOOKS accurate because one class
+    dominates. The float trap is po/pe with different denominators; put
+    both over n^2 and kappa = (n*agree - Σ marginal products) /
+    (n^2 - Σ marginal products) — BIGINT num/den emitted exactly, ONE
+    division; degenerate tables (pe = 1) dropped. Same one-pass
+    confusion aggregate as q128."""
+    from .operators.text_analysis import gopher_quality
+
+    d = _t(spark, sf_dir, "documents")
+    lab = gopher_quality(d).select("doc_id", F.col("keep").alias("gate")).join(
+        d.select("doc_id", "lang", (F.length("text") >= 150).alias("proxy")),
+        "doc_id",
+    )
+    g, p = F.col("gate"), F.col("proxy")
+    c = lab.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((g & p).cast("bigint")).alias("tp"),
+        F.sum(((~g) & p).cast("bigint")).alias("fp"),
+        F.sum((g & (~p)).cast("bigint")).alias("fn"),
+        F.sum(((~g) & (~p)).cast("bigint")).alias("tn"),
+    )
+    pe = (F.col("tp") + F.col("fp")) * (F.col("tp") + F.col("fn")) + (
+        F.col("fn") + F.col("tn")
+    ) * (F.col("fp") + F.col("tn"))
+    num = F.col("n") * (F.col("tp") + F.col("tn")) - pe
+    den = F.col("n") * F.col("n") - pe
+    return (
+        c.filter(den != 0)
+        .select(
+            "lang",
+            num.cast("bigint").alias("kappa_num"),
+            den.cast("bigint").alias("kappa_den"),
+            (num.cast("double") / den.cast("double")).alias("kappa"),
+        )
+    )
+
+
+@register(
+    "q130_time_weighted_value",
+    """
+    WITH p AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS t
+      FROM events WHERE event_type = 'purchase'
+    ),
+    seg AS (
+      SELECT user_id, cents, t,
+             lead(t) OVER (PARTITION BY user_id
+                           ORDER BY t ASC, event_id ASC) AS t_next
+      FROM p
+    )
+    SELECT user_id,
+           CAST(sum(cents * (t_next - t)) AS BIGINT) AS twa_num,
+           CAST(max(t_next_max) - min(t) AS BIGINT) AS twa_den,
+           CAST(sum(cents * (t_next - t)) AS DOUBLE)
+             / CAST(max(t_next_max) - min(t) AS DOUBLE) AS twa_cents
+    FROM (SELECT *, max(t) OVER (PARTITION BY user_id) AS t_next_max FROM seg)
+    WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    HAVING max(t_next_max) - min(t) > 0
+    """,
+)
+def q130_time_weighted_value(spark, sf_dir):
+    """Time-weighted average purchase value per user — the step-function
+    integral ∫ value dt / span that billing/exposure metrics need (a
+    plain mean overweights burst periods). Each observation holds until
+    the next one (lead over the (t, id) total order); numerator =
+    Σ cents × segment-µs and denominator = span-µs are exact BIGINTs
+    (unix_micros — no float epochs; cents×µs stays ≤ 2^63 for spans to
+    ~hundreds of years), ONE division. One window shuffle + same-key
+    rollup; single-purchase users (no segment) drop out."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("t").asc(), F.col("event_id").asc())
+    wp = Window.partitionBy("user_id")
+    seg = (
+        p.withColumn("t_next", F.lead("t").over(w))
+        .withColumn("t_max", F.max("t").over(wp))
+        .filter(F.col("t_next").isNotNull())
+    )
+    num = F.sum(F.col("cents") * (F.col("t_next") - F.col("t")))
+    den = F.max("t_max") - F.min("t")
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            num.cast("bigint").alias("twa_num"),
+            den.cast("bigint").alias("twa_den"),
+            (num.cast("double") / den.cast("double")).alias("twa_cents"),
+        )
+        .filter(F.col("twa_den") > 0)
+    )
+
+
 def _q120_canonical(cc, lens):
     return (
         cc.join(lens, "id")

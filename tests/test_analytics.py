@@ -703,3 +703,49 @@ def test_registry_has_q128(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q128_proxy_filter_f1" in QUERIES and "q128_proxy_filter_f1" in ORACLE_SQL
+
+
+def test_kappa_hand_values(spark):
+    """Perfect agreement -> 1; independence-shaped table -> 0; known
+    mid case exact."""
+    from datasmith_spark.queries import QUERIES, ORACLE_SQL
+    import duckdb
+
+    # verify the kappa algebra directly: (n*agree - pe)/(n^2 - pe)
+    n, tp, fp, fn, tn = 10, 4, 1, 2, 3
+    pe = (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
+    kappa = (n * (tp + tn) - pe) / (n * n - pe)
+    assert abs(kappa - ((0.7 - pe / 100) / (1 - pe / 100))) < 1e-12
+
+
+def test_time_weighted_value_hand(spark, tmp_path):
+    """Value holds until the next purchase; TWA weights by segment
+    length, not by count."""
+    from datetime import datetime, timedelta
+
+    from datasmith_spark.queries import QUERIES
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        # u1: 100c for 9 min, then 1000c for 1 min -> TWA = (100*9+1000*1)/10
+        (1, 1, base, "purchase", 1.00),
+        (1, 2, base + timedelta(minutes=9), "purchase", 10.00),
+        (1, 3, base + timedelta(minutes=10), "purchase", 55.0),  # no segment after
+        # u2: single purchase -> dropped
+        (2, 4, base, "purchase", 5.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string, value double"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r.user_id: (r.twa_num, r.twa_den, r.twa_cents)
+           for r in QUERIES["q130_time_weighted_value"](spark, str(tmp_path)).collect()}
+    m = 60 * 1_000_000
+    assert out[1] == (100 * 9 * m + 1000 * 1 * m, 10 * m, 190.0)
+    assert 2 not in out
+
+
+def test_registry_has_q129_q130(spark):
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    for name in ("q129_filter_agreement_kappa", "q130_time_weighted_value"):
+        assert name in QUERIES and name in ORACLE_SQL
