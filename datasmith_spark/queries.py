@@ -6115,3 +6115,191 @@ def _q120_canonical(cc, lens):
             F.col("_m.n_chars").cast("bigint").alias("canonical_chars"),
         )
     )
+
+
+@register(
+    "q131_activity_bitmap",
+    """
+    SELECT user_id,
+           bit_or(CAST(1 AS BIGINT) << (CAST(extract(day FROM ts) AS INT) - 1))
+             AS day_mask,
+           bit_count(bit_or(CAST(1 AS BIGINT)
+                            << (CAST(extract(day FROM ts) AS INT) - 1)))
+             AS n_active_days,
+           bit_or(CASE WHEN event_type = 'purchase'
+                       THEN CAST(1 AS BIGINT)
+                            << (CAST(extract(day FROM ts) AS INT) - 1)
+                       ELSE CAST(0 AS BIGINT) END) AS purchase_mask,
+           bit_count(bit_or(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(1 AS BIGINT)
+                                      << (CAST(extract(day FROM ts) AS INT) - 1)
+                                 ELSE CAST(0 AS BIGINT) END))
+             AS n_purchase_days
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q131_activity_bitmap(spark, sf_dir):
+    """Per-user day-of-month activity bitmaps — the roaring-bitmap-style
+    presence rollup behind retention/DAU systems, as a plain BIGINT
+    bitmask: bit (day-1) set iff the user had any event that calendar
+    day, one mask overall and one for purchases, cardinality via
+    bit_count. bit_or is commutative/associative, so the aggregate
+    map-side combines and two masks OR together under union — the
+    mergeability that lets 10^12 events roll up without a distinct.
+    All-integer outputs; day extraction pinned to the UTC session zone
+    both engines share."""
+    e = _t(spark, sf_dir, "events")
+    # shiftleft() in the Python DSL takes a literal bit count; the SQL form
+    # accepts a column expression
+    day_bit = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), day(CAST(ts AS TIMESTAMP)) - 1)"
+    )
+    p_bit = F.when(F.col("event_type") == "purchase", day_bit).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return e.groupBy("user_id").agg(
+        F.bit_or(day_bit).alias("day_mask"),
+        F.bit_count(F.bit_or(day_bit)).alias("n_active_days"),
+        F.bit_or(p_bit).alias("purchase_mask"),
+        F.bit_count(F.bit_or(p_bit)).alias("n_purchase_days"),
+    )
+
+
+@register(
+    "q132_scd2_intervals",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             CAST(floor(value / 25.0) AS BIGINT) AS tier
+      FROM events
+    ),
+    chg AS (
+      SELECT *,
+             CASE WHEN lag(tier) OVER (PARTITION BY user_id
+                                       ORDER BY t ASC, event_id ASC)
+                       IS DISTINCT FROM tier
+                  THEN 1 ELSE 0 END AS new_island
+      FROM t
+    ),
+    isl AS (
+      SELECT *,
+             sum(new_island) OVER (PARTITION BY user_id
+                                   ORDER BY t ASC, event_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS island
+      FROM chg
+    ),
+    grp AS (
+      SELECT user_id, island, min(tier) AS tier,
+             min(t) AS valid_from_us, count(*) AS n_events
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, tier, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY valid_from_us ASC) AS valid_to_us,
+           n_events
+    FROM grp
+    """,
+)
+def q132_scd2_intervals(spark, sf_dir):
+    """SCD Type-2 construction from a change log: compress each user's
+    event stream into validity intervals of its value tier
+    (floor(value/25)) — consecutive same-tier runs become one row with
+    [valid_from, valid_to) half-open bounds, the current run open
+    (valid_to NULL). The dimension-table build every warehouse needs
+    when upstream emits observations, not intervals. Gaps-and-islands:
+    lag-change flag -> running-sum island id -> per-island min/count ->
+    lead for the closing bound; all three windows share ONE (user_id)
+    partitioning so Spark plans a single sort+shuffle. Exact-µs
+    BIGINT epochs; ties broken on event_id."""
+    e = _t(spark, sf_dir, "events")
+    t = e.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.floor(F.col("value") / 25.0).cast("bigint").alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("t").asc(), F.col("event_id").asc())
+    chg = t.withColumn(
+        "new_island",
+        F.when(
+            F.lag("tier").over(w).eqNullSafe(F.col("tier")), F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    isl = chg.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    grp = isl.groupBy("user_id", "island").agg(
+        F.min("tier").alias("tier"),
+        F.min("t").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wl = Window.partitionBy("user_id").orderBy(F.col("valid_from_us").asc())
+    return grp.select(
+        "user_id", "tier", "valid_from_us",
+        F.lead("valid_from_us").over(wl).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+@register(
+    "q133_out_of_order_audit",
+    """
+    WITH a AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             max(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY event_id ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS seen_max
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN seen_max > t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(coalesce(max(CASE WHEN seen_max > t THEN seen_max - t END), 0)
+                AS BIGINT) AS max_late_us,
+           CAST(sum(CASE WHEN seen_max > t THEN seen_max - t ELSE 0 END)
+                AS BIGINT) AS sum_late_us,
+           CAST(sum(CASE WHEN seen_max - t > 60000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late_over_1m
+    FROM a
+    GROUP BY user_id
+    """,
+)
+def q133_out_of_order_audit(spark, sf_dir):
+    """Event-time disorder audit — the measurement that sizes a
+    streaming watermark: replay each user's stream in arrival order
+    (event_id, the monotone ingest sequence) and compare every event's
+    timestamp against the running max already seen; lateness =
+    seen_max - t when positive. Emits per user the late count, max/sum
+    lateness in exact µs, and how many would be dropped by a 1-minute
+    watermark — run this batch audit BEFORE picking the
+    withWatermark() delay in streaming.py. One window over one (user)
+    sort, exclusive upper bound so an event is never late against
+    itself; all-integer outputs."""
+    e = _t(spark, sf_dir, "events")
+    a = e.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    ).withColumn(
+        "seen_max",
+        F.max("t").over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("event_id").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    late = F.when(F.col("seen_max") > F.col("t"), F.col("seen_max") - F.col("t"))
+    return a.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(late.isNotNull().cast("int")).cast("bigint").alias("n_late"),
+        F.coalesce(F.max(late), F.lit(0)).cast("bigint").alias("max_late_us"),
+        F.sum(F.coalesce(late, F.lit(0))).cast("bigint").alias("sum_late_us"),
+        F.sum(F.coalesce((late > 60000000).cast("int"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_late_over_1m"),
+    )
