@@ -6303,3 +6303,155 @@ def q133_out_of_order_audit(spark, sf_dir):
         .cast("bigint")
         .alias("n_late_over_1m"),
     )
+
+
+@register(
+    "q134_equidepth_histogram",
+    """
+    WITH b AS (
+      SELECT lang, n_chars,
+             ntile(8) OVER (PARTITION BY lang
+                            ORDER BY n_chars ASC, doc_id ASC) AS bucket
+      FROM documents
+    )
+    SELECT lang, bucket,
+           CAST(min(n_chars) AS BIGINT) AS lo,
+           CAST(max(n_chars) AS BIGINT) AS hi,
+           count(*) AS n
+    FROM b GROUP BY lang, bucket
+    """,
+)
+def q134_equidepth_histogram(spark, sf_dir):
+    """Equi-depth histogram per language: 8 equal-count buckets over
+    document length with exact [lo, hi] boundaries — the statistics
+    object a cost-based optimizer or a range-partitioner builds
+    (equal-WIDTH histograms lie under skew; equal-DEPTH boundaries are
+    what rangepartitioning samples approximate). ntile is pinned to a
+    total order (n_chars, doc_id) so both engines assign identical
+    bucket membership; one window + one groupBy on the same key.
+    At 10^12 rows the same shape runs on a per-partition sample —
+    the boundaries here are the exact ground truth that validates it."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.select(
+        "lang", "n_chars",
+        F.ntile(8)
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.col("n_chars").asc(), F.col("doc_id").asc()
+            )
+        )
+        .alias("bucket"),
+    )
+    return b.groupBy("lang", "bucket").agg(
+        F.min("n_chars").cast("bigint").alias("lo"),
+        F.max("n_chars").cast("bigint").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q135_compaction_bins",
+    """
+    WITH files AS (
+      SELECT lang, source,
+             CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+             CAST(sum(n_chars) AS BIGINT) AS bytes,
+             count(*) AS n_docs
+      FROM documents GROUP BY 1, 2, 3
+    ),
+    ofs AS (
+      SELECT *,
+             CAST(coalesce(sum(bytes) OVER (
+                    ORDER BY lang ASC, source ASC, len_bucket ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_off
+      FROM files
+    )
+    SELECT CAST(floor(start_off / 50000.0) AS BIGINT) AS bin_id,
+           count(*) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+           CAST(sum(n_docs) AS BIGINT) AS bin_docs,
+           min(lang || '/' || source || '/' || CAST(len_bucket AS VARCHAR))
+             AS first_file,
+           max(lang || '/' || source || '/' || CAST(len_bucket AS VARCHAR))
+             AS last_file
+    FROM ofs GROUP BY 1
+    """,
+)
+def q135_compaction_bins(spark, sf_dir):
+    """Compaction planning — assign small files (here: the per
+    (lang, source, length-bucket) manifest entries with their byte
+    sizes) to target-sized rewrite bins by cumulative byte offset:
+    bin = start_offset / 50 KB over the key-sorted manifest. This is
+    the offset-chunking plan an Iceberg/Delta OPTIMIZE job executes
+    (deterministic, key-locality-preserving, one pass — unlike best-fit
+    packing it needs no sequential state, so the planner itself scales
+    to millions of files). Exact-integer window cumsum; the global sort
+    is over the MANIFEST (file grain), never the data."""
+    d = _t(spark, sf_dir, "documents")
+    files = d.groupBy(
+        "lang", "source",
+        F.floor(F.col("n_chars") / 100.0).cast("bigint").alias("len_bucket"),
+    ).agg(
+        F.sum("n_chars").cast("bigint").alias("bytes"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    w = Window.orderBy(
+        F.col("lang").asc(), F.col("source").asc(), F.col("len_bucket").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    ofs = files.withColumn(
+        "start_off", F.coalesce(F.sum("bytes").over(w), F.lit(0)).cast("bigint")
+    )
+    fkey = F.concat_ws(
+        "/", F.col("lang"), F.col("source"), F.col("len_bucket").cast("string")
+    )
+    return (
+        ofs.groupBy(F.floor(F.col("start_off") / 50000.0).cast("bigint").alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("bin_bytes"),
+            F.sum("n_docs").cast("bigint").alias("bin_docs"),
+            F.min(fkey).alias("first_file"),
+            F.max(fkey).alias("last_file"),
+        )
+    )
+
+
+@register(
+    "q136_l_diversity_audit",
+    """
+    WITH q AS (
+      SELECT lang, source,
+             CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+             substr(text, 1, 1) AS sensitive
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    )
+    SELECT lang, source, len_bucket,
+           count(*) AS class_size,
+           count(DISTINCT sensitive) AS l_distinct,
+           (count(DISTINCT sensitive) < 3) AS at_risk
+    FROM q GROUP BY 1, 2, 3
+    """,
+)
+def q136_l_diversity_audit(spark, sf_dir):
+    """l-diversity audit — the stronger release screen after q125's
+    k-anonymity: a class can be large (k-anonymous) yet expose its
+    members if the SENSITIVE attribute (here the document's leading
+    character as a stand-in label) is near-constant within it. Emits
+    per quasi-identifier class the size, the number of distinct
+    sensitive values, and the l<3 risk flag. One groupBy with a
+    distinct-count — map-side partials on (class, sensitive) first,
+    so the hot classes never funnel raw rows to one reducer."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    q = d.select(
+        "lang", "source",
+        F.floor(F.col("n_chars") / 100.0).cast("bigint").alias("len_bucket"),
+        F.substring("text", 1, 1).alias("sensitive"),
+    )
+    return q.groupBy("lang", "source", "len_bucket").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("sensitive").alias("l_distinct"),
+        (F.countDistinct("sensitive") < 3).alias("at_risk"),
+    )
