@@ -283,3 +283,137 @@ def cms_heavy_hitters(
     return est.filter(F.col("est_cnt") >= threshold).select(
         F.col("k").alias(key), "est_cnt", "true_cnt"
     )
+
+
+# ---------------------------------------------------------------------
+# HyperLogLog with value-checkable registers
+# ---------------------------------------------------------------------
+
+HLL_M = 16           # registers (p=4): bucket = first md5 hex digit
+_HLL_ALPHA_MILLI = 673  # alpha_16 = 0.673, scaled x1000 (integer math)
+_HLL_CAP = 40        # cap rho so 2^(CAP - rho) terms stay exact BIGINTs
+
+
+def hll_distinct(df: DataFrame, key: str, group: str, exact: bool = True) -> DataFrame:
+    """HyperLogLog [Flajolet et al. 2007] per group, built so the SKETCH
+    itself is value-checkable across engines (the same bar kmv_distinct
+    sets): bucket = first md5 hex digit (m=16 registers), rho = leading-
+    zero rank of the next 60 hash bits, register = max rho per bucket.
+
+    The estimate is exact-integer end to end: the harmonic sum is
+    Sigma 2^(40-min(rho,40)) over present registers plus 2^40 per empty
+    register (all exact BIGINTs), and est_milli = (673 * m^2 * 2^40) DIV
+    hsum — one integer division both engines reproduce bit-for-bit; the
+    small-range linear-counting branch (V empty registers, raw estimate
+    <= 2.5m) uses m*ln(m/V) rounded to milli-units. reg_digest is md5
+    over the sorted bucket:rho pairs — two engines agree on the estimate
+    BECAUSE they agree on every register.
+
+    Scale shape: groupBy(group, bucket).max(rho) map-side combines to
+    <= m rows per group per partition — the classic mergeable-register
+    property; no row ever carries more than (group, 1 hex char, 1 int).
+    n_exact (full distinct) is the accuracy exhibit; drop it at 10^12.
+    """
+    sel = df.filter(F.col(key).isNotNull()).select(
+        F.col(group).alias("g"), F.md5(F.col(key).cast("string")).alias("h")
+    )
+    v = F.conv(F.substring("h", 2, 15), 16, 10).cast("bigint")
+    rho = F.when(v == 0, F.lit(61)).otherwise(F.lit(61) - F.length(F.bin(v)))
+    regs = (
+        sel.select("g", F.substring("h", 1, 1).alias("bucket"), rho.alias("rho"))
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_CAP} - least(m_rho, {_HLL_CAP}))")
+    sk = regs.groupBy("g").agg(
+        F.count(F.lit(1)).cast("int").alias("n_registers"),
+        F.sum(term).alias("hsum_present"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(":", F.col("bucket"), F.col("m_rho").cast("string"))
+                    )
+                ),
+            )
+        ).alias("reg_digest"),
+    )
+    empty = F.lit(HLL_M) - F.col("n_registers")
+    hsum = F.col("hsum_present") + empty.cast("bigint") * F.lit(1 << _HLL_CAP)
+    raw_milli = F.expr(
+        f"CAST({_HLL_ALPHA_MILLI * HLL_M * HLL_M} AS BIGINT) "
+        f"* CAST({1 << _HLL_CAP} AS BIGINT) DIV hsum"
+    )
+    lc_milli = F.floor(
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / empty.cast("double")) * 1000
+    ).cast("bigint")
+    est_milli = F.when(
+        (empty > 0) & (raw_milli <= HLL_M * 2500), lc_milli
+    ).otherwise(raw_milli)
+    out = sk.withColumn("hsum", hsum).select(
+        F.col("g").alias(group),
+        "n_registers",
+        "reg_digest",
+        est_milli.alias("est_milli"),
+        (est_milli.cast("double") / 1000.0).alias("hll_est"),
+    )
+    if exact:
+        truth = sel.distinct().groupBy("g").agg(F.count("*").alias("n_exact"))
+        out = out.join(truth.withColumnRenamed("g", group), group)
+    return out
+
+
+def hll_sql(table_expr: str, key: str, group: str) -> str:
+    """DuckDB mirror of hll_distinct(exact=True) — md5, register build,
+    integer harmonic sum, DIV estimate and digest re-derived in SQL."""
+    parse = (
+        "list_sum(list_transform(range(2, 17), i -> "
+        "(strpos('0123456789abcdef', substr(h, i, 1)) - 1)::BIGINT"
+        " * (16::BIGINT ** (16 - i))::BIGINT))"
+    )
+    cap, m, am = _HLL_CAP, HLL_M, _HLL_ALPHA_MILLI
+    return f"""
+    WITH d AS (
+      SELECT DISTINCT {group} AS g, md5({key}::VARCHAR) AS h
+      FROM {table_expr} WHERE {key} IS NOT NULL
+    ),
+    r AS (
+      SELECT g, substr(h, 1, 1) AS bucket,
+             CASE WHEN ({parse}) = 0 THEN 61
+                  ELSE 61 - length(bin({parse})) END AS rho
+      FROM d
+    ),
+    regs AS (
+      SELECT g, bucket, max(rho) AS m_rho FROM r GROUP BY g, bucket
+    ),
+    sk AS (
+      SELECT g, count(*)::INT AS n_registers,
+             sum((1::BIGINT << ({cap} - least(m_rho, {cap}))))::BIGINT
+               AS hsum_present,
+             md5(string_agg(bucket || ':' || m_rho::VARCHAR, ','
+                            ORDER BY bucket)) AS reg_digest
+      FROM regs GROUP BY g
+    ),
+    est AS (
+      SELECT *,
+             hsum_present + ({m} - n_registers)::BIGINT * {1 << cap} AS hsum,
+             ({am * m * m}::BIGINT * {1 << cap}::BIGINT)
+               // (hsum_present + ({m} - n_registers)::BIGINT * {1 << cap})
+               AS raw_milli
+      FROM sk
+    ),
+    fin AS (
+      SELECT g, n_registers, reg_digest,
+             CASE WHEN ({m} - n_registers) > 0 AND raw_milli <= {m * 2500}
+                  THEN CAST(floor({m}::DOUBLE
+                            * ln({m}::DOUBLE / ({m} - n_registers)::DOUBLE)
+                            * 1000) AS BIGINT)
+                  ELSE raw_milli END AS est_milli
+      FROM est
+    ),
+    truth AS (SELECT g, count(*)::BIGINT AS n_exact FROM d GROUP BY g)
+    SELECT fin.g AS {group}, n_registers, reg_digest, est_milli,
+           est_milli::DOUBLE / 1000.0 AS hll_est, n_exact
+    FROM fin JOIN truth ON truth.g = fin.g
+    """

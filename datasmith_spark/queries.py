@@ -6455,3 +6455,86 @@ def q136_l_diversity_audit(spark, sf_dir):
         F.countDistinct("sensitive").alias("l_distinct"),
         (F.countDistinct("sensitive") < 3).alias("at_risk"),
     )
+
+
+from .operators.sketches import hll_sql as _hll_sql_fn  # noqa: E402
+
+
+@register("q137_hll_distinct", _hll_sql_fn("documents", "text", "lang"))
+def q137_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-content cardinality per language — the
+    industry-standard mergeable register sketch, built (like q69's KMV)
+    so the registers themselves value-match any engine: md5 bucket +
+    leading-zero rank, exact-BIGINT harmonic sum, ONE integer division
+    for the estimate, md5 digest over the sorted registers. Where KMV
+    keeps k hashes, HLL keeps m=16 five-bit registers — the footprint
+    that makes 10^12-row distinct counting a map-side combine. Spark's
+    own approx_count_distinct is HLL++ with engine-private registers —
+    reproducible by nothing else, hence untestable; this one is the
+    auditable version. n_exact is the accuracy exhibit column."""
+    from .operators.sketches import hll_distinct
+
+    return hll_distinct(_t(spark, sf_dir, "documents"), key="text", group="lang")
+
+
+@register(
+    "q138_grid_neighbor_join",
+    """
+    WITH p AS (
+      SELECT event_id,
+             CAST(round(value * 100) AS BIGINT) % 1000 AS x,
+             (event_id * 2654435761) % 1000 AS y
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           greatest(abs(a.x - b.x), abs(a.y - b.y)) AS cheb
+    FROM p a JOIN p b
+      ON a.event_id < b.event_id
+     AND abs(a.x - b.x) <= 8 AND abs(a.y - b.y) <= 8
+    """,
+)
+def q138_grid_neighbor_join(spark, sf_dir):
+    """Grid-bucketed neighbor join: all purchase-event pairs within
+    Chebyshev distance 8 in a derived integer feature space (cents-mod
+    x Knuth-hash y — stand-ins for any 2-D embedding/geo coordinate).
+    The Spark side snaps points to 16-unit cells and explodes each
+    probe row to its 3x3 neighbor cells -> EQUI-join on cell + exact
+    distance filter: every qualifying pair is found exactly once
+    (the build row lives in one cell), candidate count is bounded by
+    local density, and the plan is a hash join — never the O(N^2)
+    cross product the oracle (IEJoin-able in DuckDB at sf0.01) runs.
+    This is the cell-list pattern that scales neighbor search to
+    10^12 points; radius r <= cell size keeps 9 cells sufficient."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "event_id",
+        (F.round(F.col("value") * 100).cast("bigint") % 1000).alias("x"),
+        ((F.col("event_id") * 2654435761) % 1000).alias("y"),
+    )
+    cell = p.withColumn("cx", F.floor(F.col("x") / 16)).withColumn(
+        "cy", F.floor(F.col("y") / 16)
+    )
+    probe = (
+        cell.withColumn("ncx", F.explode(F.array(*[F.col("cx") + d for d in (-1, 0, 1)])))
+        .withColumn("ncy", F.explode(F.array(*[F.col("cy") + d for d in (-1, 0, 1)])))
+        .select("event_id", "x", "y", "ncx", "ncy")
+    )
+    build = cell.select(
+        F.col("event_id").alias("id_b"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"), "cx", "cy",
+    )
+    pairs = probe.join(
+        build,
+        (F.col("ncx") == F.col("cx")) & (F.col("ncy") == F.col("cy"))
+        & (F.col("event_id") < F.col("id_b")),
+    ).filter(
+        (F.abs(F.col("x") - F.col("xb")) <= 8)
+        & (F.abs(F.col("y") - F.col("yb")) <= 8)
+    )
+    return pairs.select(
+        F.col("event_id").alias("id_a"),
+        "id_b",
+        F.greatest(
+            F.abs(F.col("x") - F.col("xb")), F.abs(F.col("y") - F.col("yb"))
+        ).alias("cheb"),
+    )
