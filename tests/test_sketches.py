@@ -166,3 +166,54 @@ class TestCountMin:
             r["est_cnt"] >= _CMS_HH_THR > r["true_cnt"] for r in rows
         )
         assert all(r["est_cnt"] >= r["true_cnt"] for r in rows)
+
+
+class TestHll:
+    def test_registers_match_reference_construction(self, spark):
+        """Registers equal a straight python HLL over the same hashes."""
+        from datasmith_spark.operators.sketches import hll_distinct
+
+        texts = [f"doc {i}" for i in range(500)]
+        pdf = pd.DataFrame([("en", t) for t in texts], columns=["lang", "text"])
+        r = hll_distinct(spark.createDataFrame(pdf).repartition(7), "text", "lang").collect()[0]
+        regs: dict[str, int] = {}
+        for t in set(texts):
+            h = hashlib.md5(t.encode()).hexdigest()
+            v = int(h[1:16], 16)
+            rho = 61 - v.bit_length() if v else 61
+            b = h[0]
+            regs[b] = max(regs.get(b, 0), rho)
+        digest = hashlib.md5(
+            ",".join(f"{b}:{m}" for b, m in sorted(regs.items())).encode()
+        ).hexdigest()
+        assert r["reg_digest"] == digest
+        assert r["n_registers"] == len(regs)
+        assert r["n_exact"] == 500
+
+    def test_partitioning_invariance_and_accuracy(self, spark):
+        from datasmith_spark.operators.sketches import hll_distinct
+
+        pdf = pd.DataFrame(
+            [("en", f"t {i}") for i in range(3000)] * 2, columns=["lang", "text"]
+        )
+        a = hll_distinct(spark.createDataFrame(pdf).repartition(2), "text", "lang").collect()[0]
+        b = hll_distinct(spark.createDataFrame(pdf).repartition(17), "text", "lang").collect()[0]
+        assert a["reg_digest"] == b["reg_digest"]  # registers are a set property
+        assert a["est_milli"] == b["est_milli"]
+        # m=16 -> relative error ~ 1.04/sqrt(16) = 26%; allow 3 sigma
+        assert abs(a["hll_est"] - 3000) / 3000 < 0.8, a["hll_est"]
+
+    def test_small_range_linear_counting(self, spark):
+        from datasmith_spark.operators.sketches import hll_distinct
+
+        pdf = pd.DataFrame([("en", f"x{i}") for i in range(3)], columns=["lang", "text"])
+        r = hll_distinct(spark.createDataFrame(pdf), "text", "lang").collect()[0]
+        # 3 distinct, most registers empty -> linear counting m*ln(m/V)
+        assert r["n_registers"] <= 3 and r["n_exact"] == 3
+        assert 0 < r["hll_est"] < 16  # ln-based, bounded by register count
+
+    def test_registry_has_q137(self):
+        from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+        assert "q137_hll_distinct" in QUERIES
+        assert "q137_hll_distinct" in ORACLE_SQL
