@@ -90,6 +90,7 @@ def test_pair_joins_have_no_nested_loops(spark):
         "q31_winnow_fingerprint_pairs",
         "q34_capped_hotkey_pairs",
         "q35_ivf_ann_search",
+        "q138_grid_neighbor_join",
     ):
         plan = _plan(QUERIES[q](spark, SF_DIR))
         assert "CartesianProduct" not in plan, (q, plan)
