@@ -6538,3 +6538,151 @@ def q138_grid_neighbor_join(spark, sf_dir):
             F.abs(F.col("x") - F.col("xb")), F.abs(F.col("y") - F.col("yb"))
         ).alias("cheb"),
     )
+
+
+@register(
+    "q139_chi2_independence",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang, text, length(text) AS n_chars,
+             regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    lab AS (
+      SELECT lang,
+             (len(w) >= 30 AND len(w) <= 1000
+              AND 3 * len(w) <= CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+              AND CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) <= 10 * len(w)
+              AND len(regexp_extract_all(text, '\b(the|a|and|of|to|in)\b')) >= 2
+              AND 20 * len(regexp_extract_all(text, '[^a-z0-9 ]')) <= n_chars
+              AND 2 * len(list_distinct(w)) >= len(w)) AS gate,
+             (n_chars >= 150) AS proxy
+      FROM t
+    ),
+    c AS (
+      SELECT lang,
+             count(*) AS n,
+             sum(CASE WHEN gate AND proxy THEN 1 ELSE 0 END)::BIGINT AS tp,
+             sum(CASE WHEN NOT gate AND proxy THEN 1 ELSE 0 END)::BIGINT AS fp,
+             sum(CASE WHEN gate AND NOT proxy THEN 1 ELSE 0 END)::BIGINT AS fn,
+             sum(CASE WHEN NOT gate AND NOT proxy THEN 1 ELSE 0 END)::BIGINT AS tn
+      FROM lab GROUP BY lang
+    )
+    SELECT lang, n, tp, fp, fn, tn,
+           CAST(tp * tn - fp * fn AS BIGINT) AS det,
+           CAST(n AS DOUBLE) * CAST(tp * tn - fp * fn AS DOUBLE)
+             * CAST(tp * tn - fp * fn AS DOUBLE)
+             / (CAST(tp + fp AS DOUBLE) * CAST(fn + tn AS DOUBLE)
+                * CAST(tp + fn AS DOUBLE) * CAST(fp + tn AS DOUBLE)) AS chi2
+    FROM c
+    WHERE (tp + fp) * (fn + tn) * (tp + fn) * (fp + tn) > 0
+    """,
+)
+def q139_chi2_independence(spark, sf_dir):
+    """Pearson chi-square independence test per language between the q42
+    quality gate and the cheap length proxy — the 2x2 contingency
+    significance statistic (the kappa of q129 measures agreement; chi2
+    asks whether the association could be chance). The determinant
+    tp*tn - fp*fn is an exact BIGINT; chi2 = n*det^2 / (r1*r2*c1*c2) is
+    evaluated in ONE fixed multiply/divide order of exact-integer-valued
+    doubles, so both engines produce the identical IEEE result without
+    rounding tricks. Same one-pass confusion aggregate as q128/q129;
+    degenerate margins dropped."""
+    from .operators.text_analysis import gopher_quality
+
+    d = _t(spark, sf_dir, "documents")
+    lab = gopher_quality(d).select("doc_id", F.col("keep").alias("gate")).join(
+        d.select("doc_id", "lang", (F.length("text") >= 150).alias("proxy")),
+        "doc_id",
+    )
+    g, p = F.col("gate"), F.col("proxy")
+    c = lab.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((g & p).cast("bigint")).alias("tp"),
+        F.sum(((~g) & p).cast("bigint")).alias("fp"),
+        F.sum((g & (~p)).cast("bigint")).alias("fn"),
+        F.sum(((~g) & (~p)).cast("bigint")).alias("tn"),
+    )
+    det = (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")).cast("bigint")
+    r1, r2 = F.col("tp") + F.col("fp"), F.col("fn") + F.col("tn")
+    c1, c2 = F.col("tp") + F.col("fn"), F.col("fp") + F.col("tn")
+    chi2 = (
+        F.col("n").cast("double") * det.cast("double") * det.cast("double")
+        / (r1.cast("double") * r2.cast("double") * c1.cast("double") * c2.cast("double"))
+    )
+    return (
+        c.filter((r1 * r2 * c1 * c2) > 0)
+        .select("lang", "n", "tp", "fp", "fn", "tn", det.alias("det"), chi2.alias("chi2"))
+    )
+
+
+@register(
+    "q140_copurchase_reach",
+    """
+    WITH p AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(round(value * 100) / 1000.0) AS BIGINT) AS band
+      FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT DISTINCT a.user_id AS a, b.user_id AS b
+      FROM p a JOIN p b ON a.band = b.band AND a.user_id < b.user_id
+    ),
+    sym AS (
+      SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
+    ),
+    h0 AS (SELECT DISTINCT user_id FROM p WHERE user_id % 37 = 0),
+    h1 AS (
+      SELECT DISTINCT sym.b AS user_id
+      FROM sym JOIN h0 ON sym.a = h0.user_id
+    ),
+    h2 AS (
+      SELECT DISTINCT sym.b AS user_id
+      FROM sym JOIN h1 ON sym.a = h1.user_id
+    ),
+    u AS (
+      SELECT user_id, 0 AS hops FROM h0
+      UNION ALL SELECT user_id, 1 FROM h1
+      UNION ALL SELECT user_id, 2 FROM h2
+    )
+    SELECT user_id, CAST(min(hops) AS INT) AS min_hops FROM u GROUP BY user_id
+    """,
+)
+def q140_copurchase_reach(spark, sf_dir):
+    """2-hop BFS reachability over the co-purchase graph (users who
+    bought in the same 10-unit price band are adjacent): every user
+    within <= 2 hops of the seed set (user_id % 37 == 0) with their
+    minimum hop count — the frontier-expansion primitive behind
+    influence/abuse-ring queries. Each BFS round is ONE equi-join of
+    the frontier against the edge list (never edges x edges); edges
+    come from the shared hot-key-capped pair generator (the cap cannot
+    engage below 1024 distinct users per band — structurally true at
+    oracle scale — and at 10^12 rows it degrades hot bands to star
+    edges, keeping rounds linear). min-hops via one rollup over the
+    stacked frontiers."""
+    from .operators.pairs import capped_key_pairs
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = ev.select(
+        "user_id",
+        F.floor(F.round(F.col("value") * 100) / 1000.0).cast("bigint").alias("band"),
+    ).distinct()
+    e = capped_key_pairs(p, "band", "user_id").distinct()
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    h0 = p.filter(F.col("user_id") % 37 == 0).select("user_id").distinct()
+    h1 = (
+        sym.join(h0.withColumnRenamed("user_id", "a"), "a")
+        .select(F.col("b").alias("user_id"))
+        .distinct()
+    )
+    h2 = (
+        sym.join(h1.withColumnRenamed("user_id", "a"), "a")
+        .select(F.col("b").alias("user_id"))
+        .distinct()
+    )
+    u = (
+        h0.withColumn("hops", F.lit(0))
+        .unionByName(h1.withColumn("hops", F.lit(1)))
+        .unionByName(h2.withColumn("hops", F.lit(2)))
+    )
+    return u.groupBy("user_id").agg(F.min("hops").cast("int").alias("min_hops"))
