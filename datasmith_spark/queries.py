@@ -6686,3 +6686,206 @@ def q140_copurchase_reach(spark, sf_dir):
         .unionByName(h2.withColumn("hops", F.lit(2)))
     )
     return u.groupBy("user_id").agg(F.min("hops").cast("int").alias("min_hops"))
+
+
+@register(
+    "q141_topk_movers",
+    """
+    WITH s AS (
+      SELECT user_id,
+             CASE WHEN extract(day FROM ts) <= 15 THEN 0 ELSE 1 END AS half,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    agg AS (
+      SELECT user_id, half, sum(cents) AS spend
+      FROM s GROUP BY user_id, half
+    ),
+    r AS (
+      SELECT user_id, half, spend,
+             row_number() OVER (PARTITION BY half
+                                ORDER BY spend DESC, user_id ASC) AS rk
+      FROM agg
+    )
+    SELECT a.user_id,
+           a.spend AS spend_h1, b.spend AS spend_h2,
+           a.rk AS rank_h1, b.rk AS rank_h2,
+           CAST(a.rk - b.rk AS BIGINT) AS rank_gain
+    FROM r a JOIN r b ON a.user_id = b.user_id AND a.half = 0 AND b.half = 1
+    WHERE abs(a.rk - b.rk) >= 20
+    """,
+)
+def q141_topk_movers(spark, sf_dir):
+    """Trending detection — users whose spend RANK moved >= 20 places
+    between the first and second half of the month (rank deltas, not
+    value deltas, so a whale's noise does not drown every mover). One
+    aggregate on (user, half), one ranking window per half pinned to a
+    (spend, user_id) total order, self-join on user — all exact
+    integers. The window partitions by half, so at 10^12 rows each
+    ranking is its own parallel sort, and the final join is on the
+    aggregate (user grain), never events."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    s = e.select(
+        "user_id",
+        F.when(F.dayofmonth(F.col("ts").cast("timestamp")) <= 15, 0)
+        .otherwise(1)
+        .alias("half"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    agg = s.groupBy("user_id", "half").agg(F.sum("cents").alias("spend"))
+    w = Window.partitionBy("half").orderBy(F.col("spend").desc(), F.col("user_id").asc())
+    r = agg.withColumn("rk", F.row_number().over(w))
+    a = r.filter(F.col("half") == 0).select(
+        "user_id", F.col("spend").alias("spend_h1"), F.col("rk").alias("rank_h1")
+    )
+    b = r.filter(F.col("half") == 1).select(
+        "user_id", F.col("spend").alias("spend_h2"), F.col("rk").alias("rank_h2")
+    )
+    return (
+        a.join(b, "user_id")
+        .withColumn("rank_gain", (F.col("rank_h1") - F.col("rank_h2")).cast("bigint"))
+        .filter(F.abs(F.col("rank_gain")) >= 20)
+        .select("user_id", "spend_h1", "spend_h2", "rank_h1", "rank_h2", "rank_gain")
+    )
+
+
+# Benford expected first-digit probabilities, milli-units: floor(log10(1+1/d)*1000)
+_BENFORD_MILLI = {1: 301, 2: 176, 3: 124, 4: 96, 5: 79, 6: 66, 7: 57, 8: 51, 9: 45}
+
+
+@register(
+    "q142_benford_audit",
+    f"""
+    WITH d AS (
+      SELECT event_type,
+             CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM events WHERE value > 0
+    ),
+    c AS (
+      SELECT event_type, digit, count(*) AS n_d FROM d GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, sum(n_d) AS n FROM c GROUP BY 1),
+    exp AS (
+      SELECT * FROM (VALUES {", ".join(f"({k}, {v})" for k, v in _BENFORD_MILLI.items())})
+        AS t(digit, benford_milli)
+    )
+    SELECT c.event_type, c.digit, c.n_d, exp.benford_milli,
+           CAST(abs(1000 * c.n_d - exp.benford_milli * tot.n) AS BIGINT) AS dev_num,
+           CAST(1000 * tot.n AS BIGINT) AS dev_den
+    FROM c JOIN tot ON tot.event_type = c.event_type
+           JOIN exp ON exp.digit = c.digit
+    """,
+)
+def q142_benford_audit(spark, sf_dir):
+    """Benford's-law first-digit audit per event type — the forensic
+    data-quality screen for fabricated or truncated numeric columns:
+    observed first-significant-digit counts of the cent amounts vs the
+    expected log10(1+1/d) distribution, deviation as an exact integer
+    rational |1000*n_d - milli_d*n| / 1000n (cross-multiplied — no
+    float shares). The expected table is nine literal rows broadcast to
+    the counts; everything else is one groupBy."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    d = e.select(
+        "event_type",
+        F.substring(
+            F.round(F.col("value") * 100).cast("bigint").cast("string"), 1, 1
+        ).cast("bigint").alias("digit"),
+    )
+    c = d.groupBy("event_type", "digit").agg(F.count(F.lit(1)).alias("n_d"))
+    tot = c.groupBy("event_type").agg(F.sum("n_d").alias("n"))
+    exp = F.broadcast(
+        spark.createDataFrame(
+            list(_BENFORD_MILLI.items()), "digit long, benford_milli long"
+        )
+    )
+    return (
+        c.join(tot, "event_type")
+        .join(exp, "digit")
+        .select(
+            "event_type", "digit", "n_d", "benford_milli",
+            F.abs(1000 * F.col("n_d") - F.col("benford_milli") * F.col("n"))
+            .cast("bigint")
+            .alias("dev_num"),
+            (1000 * F.col("n")).cast("bigint").alias("dev_den"),
+        )
+    )
+
+
+@register(
+    "q143_pruning_audit",
+    """
+    WITH f AS (
+      SELECT CAST(floor(l_orderkey / 1000.0) AS BIGINT) AS file_id,
+             count(*) AS n_rows,
+             min(epoch_us(l_shipdate)) AS lo_ship,
+             max(epoch_us(l_shipdate)) AS hi_ship
+      FROM lineitem GROUP BY 1
+    ),
+    preds AS (
+      SELECT * FROM (VALUES
+        ('y1995', epoch_us(TIMESTAMP '1995-01-01'), epoch_us(TIMESTAMP '1995-12-31 23:59:59.999999')),
+        ('y1997', epoch_us(TIMESTAMP '1997-01-01'), epoch_us(TIMESTAMP '1997-12-31 23:59:59.999999')),
+        ('h1_1999', epoch_us(TIMESTAMP '1999-01-01'), epoch_us(TIMESTAMP '1999-06-30 23:59:59.999999')),
+        ('all', epoch_us(TIMESTAMP '1992-01-01'), epoch_us(TIMESTAMP '2003-01-01'))
+      ) AS t(pred, lo, hi)
+    )
+    SELECT pred,
+           count(*) AS n_files,
+           CAST(sum(CASE WHEN hi_ship < lo OR lo_ship > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_skipped,
+           CAST(sum(CASE WHEN hi_ship < lo OR lo_ship > hi THEN 0 ELSE n_rows END)
+                AS BIGINT) AS rows_scanned
+    FROM f CROSS JOIN preds
+    GROUP BY pred
+    """,
+)
+def q143_pruning_audit(spark, sf_dir):
+    """Zone-map pruning audit: for each candidate ship-date predicate,
+    how many files (1000-order key ranges standing in for parquet row
+    groups) min/max stats alone would skip, and the residual rows a
+    pruned scan still reads — the measurement that tells you whether a
+    table's layout supports its query pattern BEFORE you pay for a
+    z-order rewrite (q110). File stats = one groupBy at file grain;
+    the predicate set is a 4-row literal broadcast; exact-µs bounds."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.groupBy(
+        F.floor(F.col("l_orderkey") / 1000.0).cast("bigint").alias("file_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.unix_micros(F.col("l_shipdate").cast("timestamp"))).alias("lo_ship"),
+        F.max(F.unix_micros(F.col("l_shipdate").cast("timestamp"))).alias("hi_ship"),
+    )
+    import datetime as _dt
+
+    def _us(s):
+        return int(
+            _dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S.%f")
+            .replace(tzinfo=_dt.timezone.utc)
+            .timestamp()
+            * 1_000_000
+        )
+
+    preds = F.broadcast(
+        spark.createDataFrame(
+            [
+                ("y1995", _us("1995-01-01 00:00:00.0"), _us("1995-12-31 23:59:59.999999")),
+                ("y1997", _us("1997-01-01 00:00:00.0"), _us("1997-12-31 23:59:59.999999")),
+                ("h1_1999", _us("1999-01-01 00:00:00.0"), _us("1999-06-30 23:59:59.999999")),
+                ("all", _us("1992-01-01 00:00:00.0"), _us("2003-01-01 00:00:00.0")),
+            ],
+            "pred string, lo long, hi long",
+        )
+    )
+    skipped = (F.col("hi_ship") < F.col("lo")) | (F.col("lo_ship") > F.col("hi"))
+    return (
+        f.crossJoin(preds)
+        .groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(skipped.cast("int")).cast("bigint").alias("n_skipped"),
+            F.sum(F.when(skipped, 0).otherwise(F.col("n_rows")))
+            .cast("bigint")
+            .alias("rows_scanned"),
+        )
+    )
