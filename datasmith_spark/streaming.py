@@ -655,3 +655,78 @@ def stream_funnel(
     return s.groupBy("user_id").applyInPandasWithState(
         func, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_disorder_audit(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    over_us: int = 60_000_000,
+    max_files_per_trigger: int | None = 1,
+):
+    """Continuous event-time disorder audit — the q133 watermark-sizing
+    measurement lifted onto the live stream with applyInPandasWithState,
+    so the lateness profile that chooses withWatermark() delays is
+    maintained AS the data arrives instead of by a nightly batch replay.
+
+    Per-key state is six BIGINTs (running max event-time, event/late
+    counts, max/sum lateness, over-threshold count) — constant bytes per
+    live key at any stream length. Arrival order within a micro-batch is
+    event_id (the monotone ingest sequence, exactly the batch audit's
+    replay order), so with per-key in-order arrival across triggers the
+    cumulative row emitted at each event is VALUE-EQUAL to the batch
+    operator over the prefix — the final row per key equals q133 over
+    the concatenated input (pinned in tests/test_streaming.py)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    s = reader.parquet(input_dir)
+
+    out_schema = (
+        "user_id bigint, event_id bigint, n_events bigint, n_late bigint, "
+        "max_late_us bigint, sum_late_us bigint, n_late_over_1m bigint"
+    )
+    state_schema = (
+        "seen_max bigint, n_events bigint, n_late bigint, max_late bigint, "
+        "sum_late bigint, n_over bigint"
+    )
+
+    def func(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            seen_max, n_ev, n_late, mx, sm, n_over = (int(v) for v in state.get)
+        else:
+            seen_max, n_ev, n_late, mx, sm, n_over = -1, 0, 0, 0, 0, 0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_id")
+            for ev, t in zip(pdf["event_id"], pdf["t"]):
+                t = int(t)
+                n_ev += 1
+                if seen_max >= 0 and seen_max > t:
+                    late = seen_max - t
+                    n_late += 1
+                    sm += late
+                    if late > mx:
+                        mx = late
+                    if late > over_us:
+                        n_over += 1
+                if t > seen_max:
+                    seen_max = t
+                rows.append((user_id, int(ev), n_ev, n_late, mx, sm, n_over))
+        state.update((seen_max, n_ev, n_late, mx, sm, n_over))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "event_id", "n_events", "n_late",
+                "max_late_us", "sum_late_us", "n_late_over_1m",
+            ],
+        )
+
+    withT = s.withColumn("t", F.unix_micros(F.col("ts").cast("timestamp")))
+    return withT.groupBy("user_id").applyInPandasWithState(
+        func, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -786,3 +786,60 @@ def test_stream_funnel_matches_batch(spark, tmp_path):
     assert got == want
     assert set(got[1]) == {0, 1, 2} and set(got[2]) == {0} and set(got[3]) == {0, 1}
     assert 4 not in got
+
+
+def test_stream_disorder_audit_matches_batch(spark, tmp_path):
+    """Streaming lateness audit == the q133 batch audit over the same
+    events fed as three in-order micro-batches (per-key arrival order =
+    event_id), including a planted 2-minute-late event."""
+    import time as _time
+    from datetime import datetime, timedelta
+
+    from datasmith_spark.queries import QUERIES
+    from datasmith_spark.streaming import stream_disorder_audit
+
+    ddl = "user_id bigint, event_id bigint, ts timestamp"
+    base = datetime(2024, 1, 1)
+    rows = []
+    for u in (1, 2):
+        for i in range(12):
+            # u1 event 7 arrives with a timestamp 2 minutes BEHIND the max
+            ts = base + timedelta(minutes=i)
+            if u == 1 and i == 7:
+                ts = base + timedelta(minutes=6, seconds=-120)
+            rows.append((u, i, ts))
+    inp = tmp_path / "d_in"
+    inp.mkdir()
+    for si, lo in enumerate((0, 4, 8)):
+        sl = [r for r in rows if lo <= r[1] < lo + 4]
+        spark.createDataFrame(sl, ddl).coalesce(1).write.mode("overwrite") \
+            .parquet(str(inp / f"slice-{si}"))
+        _time.sleep(1.1)
+
+    q = (
+        stream_disorder_audit(spark, f"{inp}/slice-*", ddl, max_files_per_trigger=1)
+        .writeStream.format("memory").queryName("disorder_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    final = {}
+    for r in spark.table("disorder_stream").collect():
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+    got = {
+        u: (r.n_events, r.n_late, r.max_late_us, r.sum_late_us, r.n_late_over_1m)
+        for u, r in final.items()
+    }
+
+    # batch side: q133 over the same rows written as an events table
+    bdir = tmp_path / "batch_sf"
+    spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(
+        str(bdir / "events.parquet")
+    )
+    want = {
+        r.user_id: (r.n_events, r.n_late, r.max_late_us, r.sum_late_us, r.n_late_over_1m)
+        for r in QUERIES["q133_out_of_order_audit"](spark, str(bdir)).collect()
+    }
+    assert got == want
+    assert got[1][1] == 1 and got[1][2] == 120_000_000  # planted 2-min lateness
+    assert got[2][1] == 0                               # clean stream clean
