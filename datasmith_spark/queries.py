@@ -6889,3 +6889,85 @@ def q143_pruning_audit(spark, sf_dir):
             .alias("rows_scanned"),
         )
     )
+
+
+def _q144_sql() -> str:
+    corpus_all = _CORPUS_SQL.replace("corpus AS (", "corpus_all AS (", 1)
+    return rf"""
+    WITH {corpus_all},
+    corpus AS (SELECT * FROM corpus_all WHERE doc_id % 10 = 0),
+    {_MINHASH_SQL_BODY},
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    ip AS (
+      SELECT x.id AS a, y.id AS b, count(*) AS inter
+      FROM sh x JOIN sh y ON x.s = y.s AND x.id < y.id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT ip.a, ip.b FROM ip
+      JOIN sizes za ON za.id = ip.a
+      JOIN sizes zb ON zb.id = ip.b
+      WHERE 10 * inter >= 6 * (za.sz + zb.sz - inter)
+    ),
+    caught AS (
+      SELECT t.a, t.b FROM truth t JOIN cand c ON c.a = t.a AND c.b = t.b
+    )
+    SELECT (SELECT count(*) FROM truth)  AS n_truth,
+           (SELECT count(*) FROM caught) AS n_caught,
+           (SELECT count(*) FROM cand)   AS n_cand_sample,
+           (SELECT count(*) FROM caught)::DOUBLE
+             / (SELECT count(*) FROM truth)::DOUBLE AS recall
+    """
+
+
+@register("q144_blocking_recall", _q144_sql())
+def q144_blocking_recall(spark, sf_dir):
+    """Pairs-completeness (blocking recall) of the q21 MinHash/LSH
+    candidate generator, measured against EXHAUSTIVE ground truth on a
+    10% id-sample of the corpus — the evaluation a dedup pipeline owes
+    its banding config before anyone trusts its 10^12-doc run. Ground
+    truth = every sampled pair with distinct-shingle Jaccard >= 0.6
+    (the q22 verify criterion in exact cross-multiplied integers),
+    found via the shared-shingle equi-join (a qualifying pair always
+    shares a shingle — no all-pairs scan even inside the sample);
+    candidates = the production banding over the same sampled docs
+    (band keys are per-doc, so sample candidates equal full-corpus
+    candidates restricted to the sample, modulo the hot-key cap that
+    is itself part of what recall measures at scale). One row:
+    truth/caught/candidate counts + recall, ONE division."""
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
+
+    samp = _corpus(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    sh = shingles(samp, distinct=True)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    ip = (
+        sh.select(F.col("id").alias("a"), "s")
+        .join(sh.select(F.col("id").alias("b"), "s"), "s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    truth = (
+        ip.join(sizes.withColumnsRenamed({"id": "a", "sz": "sz_a"}), "a")
+        .join(sizes.withColumnsRenamed({"id": "b", "sz": "sz_b"}), "b")
+        .filter(
+            10 * F.col("inter")
+            >= 6 * (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .select("a", "b")
+    )
+    cand = lsh_candidate_pairs(
+        minhash_signatures(shingles(samp, distinct=False))
+    ).withColumnsRenamed({"doc_a": "a", "doc_b": "b"})
+    caught = truth.join(cand, ["a", "b"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = caught.agg(F.count(F.lit(1)).alias("n_caught"))
+    ns = cand.agg(F.count(F.lit(1)).alias("n_cand_sample"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(ns)
+        .withColumn(
+            "recall",
+            F.col("n_caught").cast("double") / F.col("n_truth").cast("double"),
+        )
+    )
