@@ -6971,3 +6971,281 @@ def q144_blocking_recall(spark, sf_dir):
             F.col("n_caught").cast("double") / F.col("n_truth").cast("double"),
         )
     )
+
+
+@register(
+    "q145_top_decile_share",
+    """
+    WITH s AS (
+      SELECT user_id, CAST(sum(round(value * 100)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id, cents,
+             row_number() OVER (ORDER BY cents DESC, user_id ASC) AS rk,
+             count(*) OVER () AS n_users,
+             CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+      FROM s
+    )
+    SELECT CAST(max(n_users) AS BIGINT) AS n_users,
+           CAST(CAST(ceil(max(n_users) / 10.0) AS BIGINT) AS BIGINT) AS k,
+           CAST(sum(CASE WHEN rk <= ceil(n_users / 10.0) THEN cents ELSE 0 END)
+                AS BIGINT) AS top_cents,
+           CAST(max(total_cents) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN rk <= ceil(n_users / 10.0) THEN cents ELSE 0 END)
+                AS DOUBLE) / CAST(max(total_cents) AS DOUBLE) AS share
+    FROM r
+    """,
+)
+def q145_top_decile_share(spark, sf_dir):
+    """Top-decile concentration: what share of total purchase value the
+    top 10% of users hold — the one-number inequality readout (q126's
+    Gini is the integral; this is the headline). Spend ranked on a
+    pinned (cents, user) order; k = ceil(n/10) computed IN the query;
+    exact-cent integer sums, ONE division. The global window runs at
+    USER grain (post-aggregate), not event grain."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    s = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100)).cast("bigint").alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("user_id").asc())
+    wa = Window.partitionBy()
+    r = (
+        s.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_users", F.count(F.lit(1)).over(wa))
+        .withColumn("total_cents", F.sum("cents").over(wa).cast("bigint"))
+    )
+    in_top = F.col("rk") <= F.ceil(F.col("n_users") / 10.0)
+    top = F.sum(F.when(in_top, F.col("cents")).otherwise(0)).cast("bigint")
+    return r.agg(
+        F.max("n_users").cast("bigint").alias("n_users"),
+        F.ceil(F.max("n_users") / 10.0).cast("bigint").alias("k"),
+        top.alias("top_cents"),
+        F.max("total_cents").cast("bigint").alias("total_cents"),
+        (top.cast("double") / F.max("total_cents").cast("double")).alias("share"),
+    )
+
+
+@register(
+    "q146_rolling_wau",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(extract(day FROM ts) AS BIGINT) AS day, user_id
+      FROM events
+    ),
+    tgt AS (
+      SELECT unnest(generate_series(day, least(day + 6, 31))) AS t, user_id
+      FROM du
+    ),
+    wau AS (SELECT t AS day, count(DISTINCT user_id) AS wau FROM tgt GROUP BY t),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day)
+    SELECT w.day, d.dau, w.wau,
+           CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+    FROM wau w JOIN dau d ON d.day = w.day
+    """,
+)
+def q146_rolling_wau(spark, sf_dir):
+    """Rolling 7-day active users (WAU) per day plus DAU/WAU stickiness
+    — the engagement metric every product dashboard runs, as a
+    set-distinct sliding window: each (day, user) presence row is
+    exploded to the <= 7 target days it supports, then ONE distinct
+    count per target day (never a 7-way self-join of the raw events).
+    Presence is deduped FIRST, so the explode is at (day x user) grain
+    — at 10^12 events that is the compression that makes the window
+    affordable. Exact integers + one division."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("bigint").alias("day"),
+        "user_id",
+    ).distinct()
+    tgt = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.least(F.col("day") + 6, F.lit(31)))
+        ).alias("t"),
+        "user_id",
+    )
+    wau = tgt.groupBy(F.col("t").alias("day")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return wau.join(dau, "day").select(
+        "day", "dau", "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias("stickiness"),
+    )
+
+
+@register(
+    "q147_watermark_coverage",
+    """
+    WITH a AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             max(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY event_id ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS seen_max
+      FROM events
+    ),
+    lat AS (
+      SELECT CASE WHEN seen_max > t THEN seen_max - t ELSE 0 END AS late_us
+      FROM a
+    ),
+    delays AS (
+      SELECT * FROM (VALUES (0::BIGINT), (1000000::BIGINT),
+                            (10000000::BIGINT), (60000000::BIGINT)) AS t(delay_us)
+    )
+    SELECT delay_us,
+           CAST(sum(CASE WHEN late_us <= delay_us THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_admitted,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN late_us <= delay_us THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS coverage
+    FROM lat CROSS JOIN delays
+    GROUP BY delay_us
+    """,
+)
+def q147_watermark_coverage(spark, sf_dir):
+    """Watermark delay -> admitted-event coverage curve: for each
+    candidate withWatermark() delay (0s/1s/10s/60s), the fraction of
+    events a streaming job would ADMIT given the observed arrival
+    disorder (q133's lateness replay) — the four-point curve you read
+    before trading state size against completeness. Lateness computed
+    once per event; the delay grid is a literal broadcast; exact
+    integer counts, one division per row."""
+    e = _t(spark, sf_dir, "events")
+    a = e.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    ).withColumn(
+        "seen_max",
+        F.max("t").over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("event_id").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    lat = a.select(
+        F.when(F.col("seen_max") > F.col("t"), F.col("seen_max") - F.col("t"))
+        .otherwise(0)
+        .alias("late_us")
+    )
+    delays = F.broadcast(
+        spark.createDataFrame(
+            [(0,), (1_000_000,), (10_000_000,), (60_000_000,)], "delay_us long"
+        )
+    )
+    adm = F.sum((F.col("late_us") <= F.col("delay_us")).cast("int")).cast("bigint")
+    return (
+        lat.crossJoin(delays)
+        .groupBy("delay_us")
+        .agg(
+            adm.alias("n_admitted"),
+            F.count(F.lit(1)).alias("n_total"),
+            (adm.cast("double") / F.count(F.lit(1)).cast("double")).alias("coverage"),
+        )
+    )
+
+
+@register(
+    "q148_table_checksum",
+    """
+    WITH h AS (
+      SELECT lang,
+             CAST(list_sum(list_transform(range(1, 16), i ->
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                                  || coalesce(text, '')), i, 1)) - 1)::BIGINT
+               * (16::BIGINT ** (15 - i))::BIGINT)) AS BIGINT) AS hv
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_rows,
+           bit_xor(hv) AS xor_digest,
+           CAST(sum(hv % 1000003) AS BIGINT) AS sum_digest
+    FROM h GROUP BY lang
+    """,
+)
+def q148_table_checksum(spark, sf_dir):
+    """Order-independent table content checksum per partition (lang):
+    XOR plus modular-sum of a 60-bit per-row digest — the replication/
+    migration integrity fingerprint two engines (or two clusters) can
+    compare without moving data. Both aggregates are commutative and
+    map-side combinable, so at 10^12 rows this is one narrow pass (the
+    string_agg-style ordered digest is NOT — that is why this uses
+    XOR+sum channels; the sum channel catches the duplicated-row-pair
+    case XOR alone cancels). Row digest = md5(doc_id | text) parsed to
+    the same 60-bit int in both engines (the q69/q137 hex idiom)."""
+    d = _t(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.col("doc_id").cast("string"),
+                            F.coalesce(F.col("text"), F.lit("")))
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("bigint")
+    return d.select("lang", hv.alias("hv")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(F.col("hv")).alias("xor_digest"),
+        F.sum(F.col("hv") % 1000003).cast("bigint").alias("sum_digest"),
+    )
+
+
+@register(
+    "q149_negative_sampling",
+    """
+    WITH pos AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(round(value * 100) / 1000.0) AS BIGINT) AS band
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cand AS (
+      SELECT u.user_id, t.i,
+             (u.user_id * 2654435761 + t.i * 97) % 38 AS neg_band
+      FROM (SELECT DISTINCT user_id FROM pos) u
+      CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) t
+    ),
+    valid AS (
+      SELECT c.user_id, c.i, c.neg_band
+      FROM cand c
+      LEFT JOIN pos p ON p.user_id = c.user_id AND p.band = c.neg_band
+      WHERE p.user_id IS NULL
+    )
+    SELECT user_id, neg_band, CAST(i AS BIGINT) AS try_idx
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY i ASC) AS rn
+      FROM valid
+    ) WHERE rn = 1
+    """,
+)
+def q149_negative_sampling(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: for
+    each user, a price band they did NOT purchase in — candidate =
+    Knuth-hash(user, try), validated by an anti-join against the
+    positives, first valid try wins (so the sample is reproducible
+    run-to-run and engine-to-engine, unlike rand()-based samplers
+    which are untestable). Three fixed tries bound the work; users
+    whose three candidates all collide with positives drop out (the
+    documented miss rate of hash-rejection sampling). Anti-join +
+    one window at user grain."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    pos = ev.select(
+        "user_id",
+        F.floor(F.round(F.col("value") * 100) / 1000.0).cast("bigint").alias("band"),
+    ).distinct()
+    users = pos.select("user_id").distinct()
+    tries = F.broadcast(spark.createDataFrame([(0,), (1,), (2,)], "i long"))
+    cand = users.crossJoin(tries).withColumn(
+        "neg_band", (F.col("user_id") * 2654435761 + F.col("i") * 97) % 38
+    )
+    valid = cand.join(
+        pos.withColumnsRenamed({"band": "neg_band"}),
+        ["user_id", "neg_band"],
+        "left_anti",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("i").asc())
+    return (
+        valid.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "neg_band", F.col("i").cast("bigint").alias("try_idx"))
+    )
