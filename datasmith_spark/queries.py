@@ -7249,3 +7249,50 @@ def q149_negative_sampling(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_id", "neg_band", F.col("i").cast("bigint").alias("try_idx"))
     )
+
+
+@register(
+    "q150_decay_score",
+    """
+    WITH p AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(floor((31 - extract(day FROM ts)) / 7.0) AS BIGINT) AS age_w
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           count(*) AS n_purchases,
+           CAST(sum(cents * (1::BIGINT << CAST(10 - age_w AS INT))) AS BIGINT)
+             AS score_num,
+           CAST(1024 AS BIGINT) AS score_den,
+           CAST(sum(cents * (1::BIGINT << CAST(10 - age_w AS INT))) AS DOUBLE)
+             / 1024.0 AS decay_score
+    FROM p GROUP BY user_id
+    """,
+)
+def q150_decay_score(spark, sf_dir):
+    """Half-life-decayed engagement score per user: each purchase
+    contributes cents x 2^(-age_weeks) with a one-week half-life — the
+    recency weighting behind churn/LTV features, made EXACT by keeping
+    the decay a power of two (weight numerator 2^(10-age_w) over a
+    fixed 2^10 denominator; exact BIGINTs, one final division —
+    rand-free, pow()-free, reproducible in any engine). One map-side-
+    combinable aggregate; the age bucket is computed in the scan."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.floor(
+            (31 - F.dayofmonth(F.col("ts").cast("timestamp"))) / 7.0
+        ).cast("bigint").alias("age_w"),
+    )
+    num = F.sum(
+        F.col("cents")
+        * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(10 - age_w AS INT))")
+    ).cast("bigint")
+    return p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        num.alias("score_num"),
+        F.lit(1024).cast("bigint").alias("score_den"),
+        (num.cast("double") / 1024.0).alias("decay_score"),
+    )
