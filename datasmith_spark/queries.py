@@ -7296,3 +7296,185 @@ def q150_decay_score(spark, sf_dir):
         F.lit(1024).cast("bigint").alias("score_den"),
         (num.cast("double") / 1024.0).alias("decay_score"),
     )
+
+
+@register(
+    "q151_ship_latency_percentiles",
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(floor((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                        / 86400000000.0) AS BIGINT) AS days,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    r AS (
+      SELECT priority, days,
+             row_number() OVER (PARTITION BY priority
+                                ORDER BY days ASC, l_orderkey ASC,
+                                         l_linenumber ASC) AS rk,
+             count(*) OVER (PARTITION BY priority) AS n
+      FROM lat
+    )
+    SELECT priority,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(CASE WHEN 100 * rk = 50 * n
+                         OR (100 * rk > 50 * n AND 100 * (rk - 1) < 50 * n)
+                    THEN days END) AS BIGINT) AS p50_days,
+           CAST(max(CASE WHEN 100 * rk = 90 * n
+                         OR (100 * rk > 90 * n AND 100 * (rk - 1) < 90 * n)
+                    THEN days END) AS BIGINT) AS p90_days,
+           CAST(max(CASE WHEN 100 * rk = 99 * n
+                         OR (100 * rk > 99 * n AND 100 * (rk - 1) < 99 * n)
+                    THEN days END) AS BIGINT) AS p99_days
+    FROM r GROUP BY priority
+    """,
+)
+def q151_ship_latency_percentiles(spark, sf_dir):
+    """Exact p50/p90/p99 order-to-ship latency per priority class — the
+    SLA readout, as percentile_disc made engine-portable: the pXX value
+    is THE row whose rank first reaches ceil(p*n), selected by an
+    all-integer rank test over a pinned total order (approx_percentile
+    is engine-private and irreproducible; this is exact and
+    value-checked). One FK join + one ranking window per group; at
+    10^12 rows the same shape runs per partition on q134's equi-depth
+    sample boundaries."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(
+            (
+                F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+                - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            )
+            / 86400000000.0
+        ).cast("bigint").alias("days"),
+        "l_orderkey", "l_linenumber",
+    )
+    w = Window.partitionBy("priority").orderBy(
+        F.col("days").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    wn = Window.partitionBy("priority")
+    r = lat.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+
+    def pick(p):
+        hit = (100 * F.col("rk") == p * F.col("n")) | (
+            (100 * F.col("rk") > p * F.col("n"))
+            & (100 * (F.col("rk") - 1) < p * F.col("n"))
+        )
+        return F.max(F.when(hit, F.col("days"))).cast("bigint")
+
+    return r.groupBy("priority").agg(
+        F.max("n").cast("bigint").alias("n"),
+        pick(50).alias("p50_days"),
+        pick(90).alias("p90_days"),
+        pick(99).alias("p99_days"),
+    )
+
+
+@register(
+    "q152_velocity_flags",
+    """
+    WITH a AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                            RANGE BETWEEN 3600000000 PRECEDING
+                                      AND CURRENT ROW) AS n_1h
+      FROM events
+    )
+    SELECT user_id,
+           CAST(max(n_1h) AS BIGINT) AS max_events_1h,
+           CAST(sum(CASE WHEN n_1h >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           (max(n_1h) >= 8) AS velocity_risk
+    FROM a GROUP BY user_id
+    """,
+)
+def q152_velocity_flags(spark, sf_dir):
+    """Velocity fraud rule: events per user within ANY trailing 1-hour
+    window (a RANGE interval frame over event-time — the window kind
+    rows-based frames cannot express when event spacing is irregular);
+    flags users whose burst ever reaches 8 events/hour. Ties on t are
+    absorbed by RANGE semantics (all peers count), so the result is
+    order-free and engine-exact. One window + one rollup on the same
+    user partitioning."""
+    e = _t(spark, sf_dir, "events")
+    a = e.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    ).withColumn(
+        "n_1h",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("t").asc())
+            .rangeBetween(-3_600_000_000, 0)
+        ),
+    )
+    return a.groupBy("user_id").agg(
+        F.max("n_1h").cast("bigint").alias("max_events_1h"),
+        F.sum((F.col("n_1h") >= 8).cast("int")).cast("bigint").alias("n_flagged"),
+        (F.max("n_1h") >= 8).alias("velocity_risk"),
+    )
+
+
+@register(
+    "q153_join_cardinality",
+    """
+    WITH hl AS (
+      SELECT l_orderkey % 1024 AS bucket, count(*) AS nl,
+             count(DISTINCT l_orderkey) AS kl
+      FROM lineitem GROUP BY 1
+    ),
+    ho AS (
+      SELECT o_orderkey % 1024 AS bucket, count(*) AS no_,
+             count(DISTINCT o_orderkey) AS ko
+      FROM orders GROUP BY 1
+    ),
+    est AS (
+      SELECT CAST(sum(nl * no_ // greatest(kl, ko)) AS BIGINT) AS est_rows,
+             CAST(sum(nl * no_) AS BIGINT) AS upper_rows
+      FROM hl JOIN ho USING (bucket)
+    ),
+    act AS (
+      SELECT count(*) AS actual_rows
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT est_rows, upper_rows, actual_rows,
+           CAST(est_rows AS DOUBLE) / CAST(actual_rows AS DOUBLE) AS est_ratio
+    FROM est CROSS JOIN act
+    """,
+)
+def q153_join_cardinality(spark, sf_dir):
+    """Join-cardinality estimation from 1024-bucket key histograms —
+    the CBO arithmetic made inspectable: per shared bucket, estimated
+    output = nl*no / max(kl, ko) (the containment assumption every
+    optimizer uses), plus the nl*no upper bound; compared against the
+    ACTUAL join count. The histograms are two cheap aggregates (never
+    the join itself — that is the point: estimate before you pay);
+    integer floor-division keeps the estimate engine-exact. est_ratio
+    ~ 1.0 on this FK join exhibits why the assumption works on
+    key-contained joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    hl = li.groupBy((F.col("l_orderkey") % 1024).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("nl"), F.countDistinct("l_orderkey").alias("kl")
+    )
+    ho = o.groupBy((F.col("o_orderkey") % 1024).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("no_"), F.countDistinct("o_orderkey").alias("ko")
+    )
+    est = hl.join(ho, "bucket").agg(
+        F.sum(
+            F.expr("nl * no_ DIV greatest(kl, ko)")
+        ).cast("bigint").alias("est_rows"),
+        F.sum(F.col("nl") * F.col("no_")).cast("bigint").alias("upper_rows"),
+    )
+    act = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+        F.count(F.lit(1)).alias("actual_rows")
+    )
+    return est.crossJoin(act).withColumn(
+        "est_ratio",
+        F.col("est_rows").cast("double") / F.col("actual_rows").cast("double"),
+    )
