@@ -253,3 +253,121 @@ def simhash_candidate_pairs(
     bands = simhash_bands(docs, id_col)
     pairs = capped_band_pairs(bands, [f"h{b}" for b in range(4)], "id", cap)
     return pairs.select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+
+
+def word_token_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word-token set per document: (id, tok).
+
+    Whitespace tokenization of the trimmed text — the unit the exact
+    set-similarity join operates on (1-shingles; shingles() covers n>1).
+    """
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+
+def prefix_filter_pairs(
+    items: DataFrame,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+    id_col: str = "id",
+    item_col: str = "tok",
+) -> DataFrame:
+    """EXACT-threshold Jaccard similarity self-join via prefix filtering
+    (the AllPairs / PPJoin candidate-generation family) — returns every pair
+    of ids whose ITEM SETS have Jaccard >= threshold_num/threshold_den, with
+    no false negatives. `items` is any distinct (id, item) set relation —
+    word_token_sets() for 1-grams, shingles() for n-grams, or an arbitrary
+    feature-set table.
+
+    This is the lossless counterpart of the MinHash-LSH path: LSH trades
+    recall for speed probabilistically; prefix filtering keeps exactness and
+    prunes algebraically instead. Two classic lossless filters:
+
+      * prefix filter — order the vocabulary globally by ascending document
+        frequency (rarest first; ties on the token), sort each doc's tokens
+        in that order, and keep only the first p = sz - ceil(t*sz) + 1 as
+        join keys. Any pair with J >= t MUST share a token inside both
+        prefixes, so the candidate equi-join on prefix tokens misses nothing
+        — and because the prefix preferentially selects each doc's RAREST
+        tokens, the join-key frequency distribution is df-bounded (the
+        hot-token blowup LSH bands need capped_band_pairs for is pruned by
+        construction here).
+      * length filter — J <= min(sz)/max(sz), so J >= t requires
+        den*min_sz >= num*max_sz; applied inside the candidate join.
+
+    All threshold comparisons are integer cross-multiplied (threshold is a
+    rational num/den; ceil(t*sz) = (num*sz + den - 1) // den), so the
+    losslessness argument holds bit-exactly — the DuckDB oracle for this
+    operator is the BRUTE-FORCE threshold join, which proves the filter
+    chain drops nothing.
+
+    Scale shape at 10^12 docs: the df table is vocabulary-sized (groupBy on
+    token, heavily combinable map-side); the per-doc rank is one shuffle by
+    id; the candidate join runs on rare-token keys only; the verify
+    (intersection count) runs on candidates only. Residual worst case — a
+    corpus where even rare tokens are hot — degrades to PPJoin's positional
+    filter or pairs.capped_key_pairs at the cost of exactness (seam
+    documented, not silently applied).
+
+    Ancestry: exact near-dup intent of the reference's fingerprint dedup
+    (/root/reference/src/datasmith/utils.py:88-104); algorithm from the
+    public AllPairs (Bayardo et al., WWW'07) / PPJoin (Xiao et al., WWW'08)
+    constructions.
+    """
+    num, den = int(threshold_num), int(threshold_den)
+    if not (0 < num <= den):
+        raise ValueError(f"threshold must be in (0, 1]: {num}/{den}")
+    from pyspark.sql import Window
+
+    tok = items.select(F.col(id_col).alias("id"), F.col(item_col).alias("tok"))
+    df = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = tok.join(df, "tok")
+    w_rank = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("tok"))
+    w_sz = Window.partitionBy("id")
+    pos = ranked.select(
+        "id",
+        "tok",
+        F.row_number().over(w_rank).alias("pos"),
+        F.count("*").over(w_sz).alias("sz"),
+    )
+    # p = sz - ceil(num*sz/den) + 1, integer-exact (DIV, never float)
+    prefix_len = F.col("sz") - F.expr(f"({num} * sz + {den - 1}) DIV {den}") + F.lit(1)
+    pre = pos.filter(F.col("pos") <= prefix_len).select("id", "tok", "sz")
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: den*min_sz >= num*max_sz
+            & (
+                F.lit(den) * F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.lit(num) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .distinct()
+    )
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    inter = (
+        cand.join(ta, F.col("doc_a") == F.col("ta.id"))
+        .join(tb, (F.col("doc_b") == F.col("tb.id")) & (F.col("ta.tok") == F.col("tb.tok")))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return (
+        inter.filter(F.lit(den) * F.col("inter") >= F.lit(num) * union_sz)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter").cast("double") / union_sz.cast("double"), 4).alias("jaccard"),
+        )
+    )

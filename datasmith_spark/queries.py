@@ -7478,3 +7478,158 @@ def q153_join_cardinality(spark, sf_dir):
         "est_ratio",
         F.col("est_rows").cast("double") / F.col("actual_rows").cast("double"),
     )
+
+
+@register(
+    "q154_prefix_filter_pairs",
+    rf"""
+    WITH {_CORPUS_SQL},
+    tok0 AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM corpus
+    ),
+    tok AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+      FROM tok0 WHERE len(w) >= 3
+    ),
+    sz AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+    inter AS (
+      SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS i
+      FROM tok a JOIN tok b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.i::DOUBLE / (za.sz + zb.sz - i.i)::DOUBLE, 4) AS jaccard
+    FROM inter i
+    JOIN sz za ON za.id = i.doc_a
+    JOIN sz zb ON zb.id = i.doc_b
+    WHERE 10 * i.i >= 7 * (za.sz + zb.sz - i.i)
+    """,
+)
+def q154_prefix_filter_pairs(spark, sf_dir):
+    """EXACT-threshold set-similarity self-join (3-gram-shingle Jaccard
+    >= 0.7) via prefix + length filtering — the lossless AllPairs/PPJoin
+    counterpart of the MinHash-LSH path (q21/q22 trade recall
+    probabilistically; this prunes algebraically and misses nothing).
+
+    The oracle is deliberately the BRUTE-FORCE threshold join (shingle
+    self-join restricted to pairs sharing >=1 shingle — pairs sharing none
+    have J=0): hash-equality against it proves the prefix/length filter
+    chain is lossless, not just plausible. All threshold math is integer
+    cross-multiplied on both sides (10*inter >= 7*union; prefix length
+    p = sz - ceil(7*sz/10) + 1 via integer ceil-division), so there is no
+    float boundary to disagree on.
+
+    Runs on the same 3-gram shingle sets as q22 (word 1-grams are too
+    common on this corpus to discriminate — measured 87k pairs at t=0.7 vs
+    ~400 on shingles). The shingle table feeds four consumers (df, rank,
+    both verify sides): persist once, release after localCheckpoint, the
+    q22 discipline. Candidate join keys are each doc's RAREST shingles
+    (global df-ascending order), so key frequency is df-bounded by
+    construction — the hot-key blowup the LSH band joins need
+    capped_band_pairs for is pruned algebraically here. Verify runs on
+    candidates only. See operators/dedup.py:prefix_filter_pairs."""
+    from pyspark import StorageLevel
+
+    from .operators.dedup import prefix_filter_pairs, shingles
+
+    sh = (
+        shingles(_corpus(spark, sf_dir))
+        .select("id", F.col("s").alias("tok"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out = prefix_filter_pairs(sh, threshold_num=7, threshold_den=10).localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
+
+
+@register(
+    "q155_ks_drift",
+    """
+    WITH base AS (SELECT value FROM events WHERE event_type = 'view'),
+    oth AS (SELECT event_type, value FROM events WHERE event_type <> 'view'),
+    types AS (SELECT DISTINCT event_type FROM oth),
+    u AS (
+      SELECT t.event_type, b.value, 1 AS isa FROM types t CROSS JOIN base b
+      UNION ALL
+      SELECT event_type, value, 0 AS isa FROM oth
+    ),
+    g AS (
+      SELECT event_type, value, sum(isa) AS da, sum(1 - isa) AS db
+      FROM u GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, value,
+             sum(da) OVER (PARTITION BY event_type ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(db) OVER (PARTITION BY event_type ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS cb
+      FROM g
+    ),
+    n AS (SELECT event_type, sum(da) AS na, sum(db) AS nb FROM g GROUP BY 1)
+    SELECT c.event_type,
+           CAST(max(n.na) AS BIGINT)                         AS n_base,
+           CAST(max(n.nb) AS BIGINT)                         AS n_type,
+           CAST(max(abs(c.ca * n.nb - c.cb * n.na)) AS BIGINT) AS ks_num,
+           CAST(max(n.na * n.nb) AS BIGINT)                  AS ks_den,
+           round(max(abs(c.ca * n.nb - c.cb * n.na))::DOUBLE
+                 / max(n.na * n.nb)::DOUBLE, 6)              AS ks
+    FROM c JOIN n USING (event_type)
+    GROUP BY 1
+    """,
+)
+def q155_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift statistic per event type
+    vs the 'view' baseline, over the `value` column — the supremum gap
+    between empirical CDFs, the classic distribution-drift monitor a
+    curation pipeline runs between a new ingest batch and its reference
+    distribution (complements q123's exact-L1 histogram drift: KS is
+    binning-free and order-sensitive).
+
+    Integer-exact: group by (type, value) FIRST so cumulative counts are
+    evaluated at step points only (tie-safe — no intermediate mid-tie CDF
+    values), then D = max |ca*nb - cb*na| / (na*nb) entirely in BIGINT
+    cross-multiplication; the rounded double is display-only. Scale: the
+    baseline is replicated once per compared type (bounded fan-out), one
+    shuffle per type for the window, counts combine map-side."""
+    e = _t(spark, sf_dir, "events")
+    base = e.filter(F.col("event_type") == "view").select("value")
+    oth = e.filter(F.col("event_type") != "view").select("event_type", "value")
+    types = oth.select("event_type").distinct()
+    u = (
+        types.crossJoin(base).withColumn("isa", F.lit(1))
+        .unionByName(oth.withColumn("isa", F.lit(0)))
+    )
+    g = u.groupBy("event_type", "value").agg(
+        F.sum("isa").alias("da"), F.sum(1 - F.col("isa")).alias("db")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("value").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.select(
+        "event_type",
+        F.sum("da").over(w).alias("ca"),
+        F.sum("db").over(w).alias("cb"),
+    )
+    n = g.groupBy("event_type").agg(
+        F.sum("da").alias("na"), F.sum("db").alias("nb")
+    )
+    return (
+        c.join(n, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("na").cast("bigint").alias("n_base"),
+            F.max("nb").cast("bigint").alias("n_type"),
+            F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+            .cast("bigint")
+            .alias("ks_num"),
+            F.max(F.col("na") * F.col("nb")).cast("bigint").alias("ks_den"),
+            F.round(
+                F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))).cast("double")
+                / F.max(F.col("na") * F.col("nb")).cast("double"),
+                6,
+            ).alias("ks"),
+        )
+    )

@@ -452,3 +452,95 @@ def test_editdist_catches_planted_near_dups(spark, corpus, planted):
     assert all(ver.get(p) == 1.0 for p in exact)
     caught = [ver[p] for p in near if p in ver]
     assert len(caught) >= 0.95 * len(near) and min(caught) >= 0.8
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter exact set-similarity join (q154 family)
+# ---------------------------------------------------------------------------
+
+
+def _brute_force_pairs(sets: dict, num: int, den: int):
+    """Quadratic exact Jaccard-threshold join — the spec."""
+    ids = sorted(sets)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and den * inter >= num * union:
+                out.add((a, b))
+    return out
+
+
+def test_prefix_filter_lossless_vs_brute_force(spark):
+    """prefix+length filtering must return EXACTLY the brute-force pair set
+    (no false negatives from the filters, no false positives from verify),
+    across thresholds including t=1.0 (exact-duplicate mode)."""
+    import random
+
+    from datasmith_spark.operators.dedup import prefix_filter_pairs
+
+    rng = random.Random(1543)
+    vocab = [f"t{i}" for i in range(60)]
+    sets = {}
+    for i in range(40):
+        sets[i] = set(rng.sample(vocab, rng.randint(5, 20)))
+    # planted: exact dup, one-element edit, heavy overlap
+    sets[100] = set(sets[3])
+    sets[101] = set(sets[7]) | {"zz_unique"}
+    sets[102] = set(list(sets[11])[:-1]) if len(sets[11]) > 1 else {"solo"}
+    rows = [(i, t) for i, s in sets.items() for t in sorted(s)]
+    items = spark.createDataFrame(rows, "id int, tok string")
+    for num, den in ((7, 10), (1, 2), (9, 10), (1, 1)):
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in prefix_filter_pairs(items, num, den).collect()
+        }
+        assert got == _brute_force_pairs(sets, num, den), f"mismatch at t={num}/{den}"
+
+
+def test_prefix_filter_jaccard_values_exact(spark):
+    from datasmith_spark.operators.dedup import prefix_filter_pairs
+
+    rows = [(1, t) for t in "a b c d e".split()] + [(2, t) for t in "a b c d x".split()]
+    items = spark.createDataFrame(rows, "id int, tok string")
+    out = prefix_filter_pairs(items, 1, 2).collect()  # J = 4/6 = 0.6667
+    assert len(out) == 1 and out[0].doc_a == 1 and out[0].doc_b == 2
+    assert abs(out[0].jaccard - round(4 / 6, 4)) < 1e-12
+
+
+def test_prefix_filter_rejects_bad_threshold(spark):
+    from datasmith_spark.operators.dedup import prefix_filter_pairs
+
+    items = spark.createDataFrame([(1, "a")], "id int, tok string")
+    with pytest.raises(ValueError):
+        prefix_filter_pairs(items, 3, 2)
+
+
+def test_ks_drift_matches_scipy_free_reference(spark):
+    """q155's integer KS == the straightforward float two-sample KS computed
+    in pure python on the same data (no scipy in the container — the
+    reference formula is direct CDF supremum)."""
+    from datasmith_spark.queries import QUERIES
+
+    rows = QUERIES["q155_ks_drift"](spark, "/root/testdata/sf0.001").collect()
+    import duckdb
+
+    ev = duckdb.sql(
+        "select event_type, value from read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchall()
+    base = sorted(v for t, v in ev if t == "view")
+    for r in rows:
+        other = sorted(v for t, v in ev if t == r.event_type)
+        pts = sorted(set(base) | set(other))
+        import bisect
+
+        d = max(
+            abs(
+                bisect.bisect_right(base, x) / len(base)
+                - bisect.bisect_right(other, x) / len(other)
+            )
+            for x in pts
+        )
+        assert r.n_base == len(base) and r.n_type == len(other)
+        assert abs(r.ks_num / r.ks_den - d) < 1e-12
