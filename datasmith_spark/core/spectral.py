@@ -216,3 +216,34 @@ def speaking_rate_keep(
         return False
     k = 1000 * n_chars
     return cps_min * active_ms <= k <= cps_max * active_ms
+
+
+# --------------------------------------------------------------- alignment
+
+
+def xcorr_lag(x: np.ndarray, y: np.ndarray, max_lag: int) -> tuple[int, float]:
+    """Integer lag in [0, max_lag] maximizing sum_n x[n] * y[n + lag] —
+    "how far ahead of x does y's copy of x start": with y[n] = g*x[n - d]
+    (a delayed, gain-scaled re-record of x) the correlation peaks at
+    lag = d.
+
+    FFT-based linear cross-correlation (conj(FFT(x)) * FFT(y), zero-padded
+    past len(x) + max_lag so the circular wrap cannot alias into the
+    searched lag range) — O((L+max_lag) log) instead of the O(L * max_lag)
+    direct scan; numpy's pocketfft is the same deterministic kernel the
+    committed log-mel/spectral fixtures already rely on. Ties break to the
+    LOWEST lag (np.argmax), so the estimate is deterministic on silent or
+    constant inputs too. Returns (lag, peak_value).
+    """
+    if max_lag < 0:
+        raise ValueError(f"max_lag must be >= 0: {max_lag}")
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = int(len(x) + max(len(y), len(x) + max_lag))  # no circular alias in [0, max_lag]
+    nfft = 1
+    while nfft < n:
+        nfft <<= 1
+    spec = np.conj(np.fft.rfft(x, nfft)) * np.fft.rfft(y, nfft)
+    c = np.fft.irfft(spec, nfft)[: max_lag + 1]
+    lag = int(np.argmax(c))
+    return lag, float(c[lag])

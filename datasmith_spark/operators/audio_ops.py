@@ -1832,3 +1832,124 @@ def mix_overlay_clips(
             yield _mix_pdf(pdf, sir_db, digest)
 
     return joined.mapInPandas(_run, schema=MIXED_DIGEST_DDL if digest else MIXED_DDL)
+
+
+# ----------------------------------------------------------- xcorr alignment
+
+ALIGN_DDL = "clip_id string, ok boolean, true_lag int, est_lag int, hit boolean"
+PAIR_ALIGN_DDL = "clip_id string, probe_id string, ok boolean, lag int"
+
+ALIGN_MAX_LAG = 512
+_ALIGN_GAIN = 0.6
+
+
+def _plant_lag(clip_id: str) -> int:
+    """Deterministic planted offset for ANY clip id (crc32, never an index
+    parse — the q38 clip_id-shape defect class is designed out)."""
+    import zlib
+
+    return 16 + zlib.crc32(str(clip_id).encode("utf-8")) % 300
+
+
+def _align_pdf(pdf: pd.DataFrame, max_lag: int) -> pd.DataFrame:
+    """Planted-probe alignment: per clip, build the probe IN the kernel
+    (zeros(d) prepended + gain 0.6 — a delayed, attenuated re-record) and
+    recover d with the FFT cross-correlator. est == planted proves the
+    estimator end-to-end; undecodable rows flag ok=false, never raise."""
+    from ..core.audio import decode
+    from ..core.spectral import xcorr_lag
+
+    out = {"clip_id": [], "ok": [], "true_lag": [], "est_lag": [], "hit": []}
+    for r in pdf.itertuples(index=False):
+        cid = r.clip_id
+        sr = None if pd.isna(r.sr_hz) else int(r.sr_hz)
+        pcm = decode(r.bytes, r.codec) if sr and sr > 0 else None
+        out["clip_id"].append(cid)
+        if pcm is None or len(pcm) == 0:
+            out["ok"].append(False)
+            out["true_lag"].append(None)
+            out["est_lag"].append(None)
+            out["hit"].append(False)
+            continue
+        d = _plant_lag(cid)
+        probe = np.concatenate([np.zeros(d, dtype=np.float64), _ALIGN_GAIN * pcm])
+        est, _ = xcorr_lag(pcm, probe, max_lag)
+        out["ok"].append(True)
+        out["true_lag"].append(d)
+        out["est_lag"].append(est)
+        out["hit"].append(est == d)
+    df = pd.DataFrame(out)
+    df["true_lag"] = df["true_lag"].astype("Int32")
+    df["est_lag"] = df["est_lag"].astype("Int32")
+    return df
+
+
+def align_digest_scan(
+    spark: SparkSession, input_dir: str, max_lag: int = ALIGN_MAX_LAG
+) -> DataFrame:
+    """Planted-probe alignment over a parquet directory via the fused
+    manifest scan (q156's verification path) — FFT-kernel bound, so it
+    takes full session parallelism like q36/q37/q38."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _align_pdf(pdf, max_lag),
+        ALIGN_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+        columns=["clip_id", "bytes", "sr_hz", "codec"],
+    )
+
+
+def xcorr_align_clips(
+    base: DataFrame, probe: DataFrame, on: str = "pair_id", max_lag: int = ALIGN_MAX_LAG
+) -> DataFrame:
+    """General pairwise alignment: for each (base, probe) pair sharing the
+    `on` key, the integer lag in [0, max_lag] at which the probe payload
+    best matches the base (FFT cross-correlation, core/spectral.xcorr_lag)
+    — the primitive under duplicate-with-delay detection and rough
+    transcript/audio re-sync.
+
+    Join shape is mix_overlay_clips' exactly: two payloads per joined row,
+    both sides hash-partitioned on the pair key (bucketed at 10^12 —
+    zero-exchange), Arrow batches bounded to 32 rows for the dual-payload
+    transfer. Works on ARBITRARY clip ids (no index parsing)."""
+    from pyspark.sql import functions as F
+
+    b = base.select(
+        F.col(on).alias("_p"), "clip_id", "bytes", "sr_hz", "codec"
+    )
+    p = probe.select(
+        F.col(on).alias("_p"),
+        F.col("clip_id").alias("probe_id"),
+        F.col("bytes").alias("probe_bytes"),
+        F.col("sr_hz").alias("probe_sr"),
+        F.col("codec").alias("probe_codec"),
+    )
+    joined = b.join(p, "_p").drop("_p")
+    conf = base.sparkSession.conf
+    conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.audio import decode
+        from ..core.spectral import xcorr_lag
+
+        for pdf in batches:
+            out = {"clip_id": [], "probe_id": [], "ok": [], "lag": []}
+            for r in pdf.itertuples(index=False):
+                sr = None if pd.isna(r.sr_hz) else int(r.sr_hz)
+                psr = None if pd.isna(r.probe_sr) else int(r.probe_sr)
+                x = decode(r.bytes, r.codec) if sr and sr > 0 else None
+                y = decode(r.probe_bytes, r.probe_codec) if psr and psr > 0 else None
+                out["clip_id"].append(r.clip_id)
+                out["probe_id"].append(r.probe_id)
+                if x is None or y is None or len(x) == 0 or len(y) == 0:
+                    out["ok"].append(False)
+                    out["lag"].append(None)
+                else:
+                    out["ok"].append(True)
+                    out["lag"].append(xcorr_lag(x, y, max_lag)[0])
+            df = pd.DataFrame(out)
+            df["lag"] = df["lag"].astype("Int32")
+            yield df
+
+    return joined.mapInPandas(_run, schema=PAIR_ALIGN_DDL)

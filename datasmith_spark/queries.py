@@ -7633,3 +7633,38 @@ def q155_ks_drift(spark, sf_dir):
             ).alias("ks"),
         )
     )
+
+
+_AUDIO_XCORR_FIXTURE = f"/root/repo/fixtures/oracle_audio_xcorr_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q156_xcorr_align",
+    f"""
+    SELECT clip_id, ok, true_lag, est_lag, hit
+    FROM read_parquet('{_AUDIO_XCORR_FIXTURE}')
+    """,
+)
+def q156_xcorr_align(spark, sf_dir):
+    """Audio offset alignment by FFT cross-correlation — the primitive
+    under duplicate-with-delay detection and rough audio/transcript
+    re-sync: per clip, a probe payload (the clip delayed by a planted
+    d = 16 + crc32(clip_id) % 300 samples and attenuated to 0.6x — an
+    id-hash plant, never an index parse) is re-aligned by
+    core/spectral.xcorr_lag and the estimate must recover d exactly.
+
+    Every output column is an integer or boolean, so the committed
+    single-process oracle (scripts/make_audio_xcorr_fixture.py) is
+    host-portable with NO float-digest contract: the argmax of the
+    planted correlation peak is integer-stable (r_xx(0) strictly
+    dominates all other lags for any non-silent signal; silent clips
+    deterministically estimate lag 0 and flag hit=false on both sides).
+
+    Scale: fused manifest scan (bytes never enter the JVM), FFT-kernel
+    bound so it takes full session parallelism (the q36/q37/q38 split);
+    the general two-table pair form is operators/audio_ops.py
+    xcorr_align_clips (mix_overlay_clips' bucketed-join shape, arbitrary
+    ids — pytest-covered)."""
+    from .operators.audio_ops import align_digest_scan
+
+    return align_digest_scan(spark, _clips_cache_path(spark, sf_dir))

@@ -357,3 +357,96 @@ class TestMixOverlay:
         from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
         assert "q89_overlap_mix" in QUERIES and "q89_overlap_mix" in ORACLE_SQL
+
+
+class TestXcorrAlign:
+    def test_xcorr_lag_recovers_planted_delays(self):
+        import numpy as np
+
+        from datasmith_spark.core.spectral import xcorr_lag
+
+        rng = np.random.RandomState(156)
+        x = rng.randn(8000)
+        for d in (0, 1, 16, 299, 512):
+            lag, peak = xcorr_lag(x, np.concatenate([np.zeros(d), 0.5 * x]), 512)
+            assert lag == d
+            assert peak > 0
+        # silent: deterministic lowest-lag tiebreak
+        assert xcorr_lag(np.zeros(64), np.zeros(128), 32)[0] == 0
+        with pytest.raises(ValueError):
+            xcorr_lag(x, x, -1)
+
+    def test_xcorr_lag_periodic_signal_still_peaks_at_true_lag(self):
+        """r_xx(0) strictly dominates lagged autocorrelation even for a pure
+        tone (finite-window energy loss) — the argmax-stability argument the
+        integer fixture rests on."""
+        import numpy as np
+
+        from datasmith_spark.core.spectral import xcorr_lag
+
+        sr, f0 = 16000, 200  # period = 80 samples, well under max_lag
+        x = np.sin(2 * np.pi * f0 * np.arange(sr) / sr)
+        for d in (40, 160, 313):
+            lag, _ = xcorr_lag(x, np.concatenate([np.zeros(d), 0.6 * x]), 512)
+            assert lag == d
+
+    def test_pair_align_arbitrary_ids(self, spark):
+        """xcorr_align_clips works on ARBITRARY clip ids (the q38 defect
+        class): plant known delays, recover them through the pair join."""
+        import numpy as np
+
+        from datasmith_spark.core.audio import encode
+        from datasmith_spark.operators.audio_ops import xcorr_align_clips
+
+        rng = np.random.RandomState(9)
+        rows_b, rows_p, want = [], [], {}
+        for i, cid in enumerate(["weird id!", "clip/α", "x" * 40, "no_suffix"]):
+            pcm = rng.randn(6000) * 0.1
+            d = 17 * (i + 1)
+            probe = np.concatenate([np.zeros(d), 0.6 * pcm])
+            rows_b.append((i, cid, bytearray(encode(pcm, "pcm16")), 16000, "pcm16"))
+            rows_p.append((i, cid + "_probe", bytearray(encode(probe, "pcm16")), 16000, "pcm16"))
+            want[cid] = d
+        ddl = "pair_id int, clip_id string, bytes binary, sr_hz int, codec string"
+        base = spark.createDataFrame(rows_b, ddl)
+        probe = spark.createDataFrame(rows_p, ddl)
+        got = {r.clip_id: r for r in xcorr_align_clips(base, probe).collect()}
+        assert len(got) == 4
+        for cid, d in want.items():
+            assert got[cid].ok and got[cid].lag == d, cid
+
+    def test_pair_align_undecodable_flags_not_crashes(self, spark):
+        from datasmith_spark.operators.audio_ops import xcorr_align_clips
+
+        ddl = "pair_id int, clip_id string, bytes binary, sr_hz int, codec string"
+        base = spark.createDataFrame([(0, "a", bytearray(b"xx"), None, "pcm16")], ddl)
+        probe = spark.createDataFrame([(0, "a_p", bytearray(b"yy"), 16000, "pcm16")], ddl)
+        row = xcorr_align_clips(base, probe).collect()[0]
+        assert row.ok is False and row.lag is None
+
+    def test_xcorr_fixture_is_honest(self):
+        """The committed q156 fixture must equal a fresh regeneration on a
+        deterministic row sample."""
+        import sys
+
+        import pandas as pd
+
+        sys.path.insert(0, "/root/repo/scripts")
+        import make_audio_xcorr_fixture as mxf
+
+        fix = pd.read_parquet("/root/repo/fixtures/oracle_audio_xcorr_n4000.parquet")
+        assert len(fix) == 4000
+        # decodable clips must recover the planted lag exactly
+        assert bool(fix.loc[fix["ok"], "hit"].all())
+        idx = list(range(0, 4000, 131))
+        fresh = mxf.oracle_rows(idx).reset_index(drop=True)
+        sample = fix.iloc[idx].reset_index(drop=True)
+        for c in fresh.columns:
+            a = sample[c].astype("object").where(sample[c].notna(), "<null>").astype(str)
+            b = fresh[c].astype("object").where(fresh[c].notna(), "<null>").astype(str)
+            assert (a == b).all(), c
+
+    def test_registry_has_q156(self):
+        from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+        assert "q156_xcorr_align" in QUERIES and "q156_xcorr_align" in ORACLE_SQL
