@@ -228,3 +228,18 @@ def test_editdist_verify_plan_is_pure_codegen(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_xcorr_align_plan_is_equi_join(spark):
+    """q156's general pair form must be a hash-partitioned equi-join on
+    the pair key — no nested-loop shapes — with the xcorr kernel as a
+    single mapInPandas node over the joined rows (mix_overlay_clips'
+    shape exactly)."""
+    from datasmith_spark.operators.audio_ops import xcorr_align_clips
+
+    ddl = "pair_id int, clip_id string, bytes binary, sr_hz int, codec string"
+    base = spark.createDataFrame([], ddl)
+    probe = spark.createDataFrame([], ddl)
+    plan = _plan(xcorr_align_clips(base, probe))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
