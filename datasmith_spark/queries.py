@@ -7668,3 +7668,104 @@ def q156_xcorr_align(spark, sf_dir):
     from .operators.audio_ops import align_digest_scan
 
     return align_digest_scan(spark, _clips_cache_path(spark, sf_dir))
+
+
+_AUDIO_LM_FIXTURE = f"/root/repo/fixtures/oracle_audio_lm_n{_CLIPS_N}.parquet"
+_LM_MIN_VOTES = 24  # weakest plant pools 34; sub-threshold accidents pool <= 16
+_LM_STOP_HASH = 32  # landmark stop-hash budget (operators/landmark.py docstring)
+_LM_DOM_NUM, _LM_DOM_DEN = 11, 5  # dominance 2.2x: plants >= 2.83, tonal FPs <= 1.71
+
+
+@register(
+    "q157_landmark_shift_neardup",
+    rf"""
+    WITH keys AS (
+      SELECT clip_id AS id, lm_hash AS k, t
+      FROM read_parquet('{_AUDIO_LM_FIXTURE}')
+    ),
+    hc AS (SELECT k FROM keys GROUP BY k HAVING count(*) <= {_LM_STOP_HASH}),
+    cold AS (SELECT keys.* FROM keys JOIN hc USING (k)),
+    co AS (
+      SELECT x.id AS a, y.id AS b, y.t - x.t AS dt, count(*) AS v
+      FROM cold x JOIN cold y ON y.k = x.k AND x.id < y.id
+      GROUP BY 1, 2, 3
+    ),
+    pooled AS (
+      SELECT a, b, dt,
+             v + CASE WHEN lead(dt) OVER w = dt + 1
+                      THEN lead(v) OVER w ELSE 0 END AS votes
+      FROM co WINDOW w AS (PARTITION BY a, b ORDER BY dt ASC)
+    ),
+    best AS (
+      SELECT a, b, dt, votes FROM (
+        SELECT a, b, dt, votes,
+               row_number() OVER (PARTITION BY a, b ORDER BY votes DESC, dt ASC) AS rn
+        FROM pooled
+      ) WHERE rn = 1
+    ),
+    side AS (
+      SELECT p.a, p.b, max(p.votes) AS sv
+      FROM pooled p JOIN best bb ON bb.a = p.a AND bb.b = p.b
+      WHERE abs(p.dt - bb.dt) > 1
+      GROUP BY p.a, p.b
+    )
+    SELECT b.a AS clip_a, b.b AS clip_b, CAST(b.votes AS BIGINT) AS votes,
+           CAST(coalesce(s.sv, 0) AS BIGINT) AS side_votes,
+           CAST(b.dt AS INTEGER) AS est_dt
+    FROM best b LEFT JOIN side s ON s.a = b.a AND s.b = b.b
+    WHERE b.votes >= {_LM_MIN_VOTES}
+      AND {_LM_DOM_DEN} * b.votes >= {_LM_DOM_NUM} * coalesce(s.sv, 0)
+    """,
+)
+def q157_landmark_shift_neardup(spark, sf_dir):
+    """SHIFT-INVARIANT audio near-duplicate pairs via constellation
+    landmarks (Wang, ISMIR 2003): decode -> 16 kHz sinc resample -> Hann
+    power spectrogram -> strict-local-max peak constellation -> (f1,f2,dt)
+    pair hashes -> stop-hash-filtered self-join on the integer hash ->
+    offset vote GROUP BY (pair, t_b - t_a) -> adjacent-offset pooled score
+    (lead() window: a sub-hop-phase delay splits evidence between the two
+    bracketing frame offsets) -> top-1 per pair -> verdict votes >= 24 AND
+    integer peak-to-sidelobe dominance 5*votes >= 11*side (a real shifted
+    duplicate concentrates votes at ONE offset; two clips merely sharing
+    stationary tonal content match weakly at MANY offsets — measured
+    dominance >= 2.83 for every plant vs <= 1.71 for every tonal
+    coincidence, so the 2.2x cut separates the classes corpus-wide).
+
+    The duplicate class q38/q40 cannot recover: input is the pinned clips
+    subset (every 8th clip) PLUS deterministic planted DELAYED duplicates
+    (leading silence of 16 + crc32(id) % 1200 SAMPLES — every sub-hop
+    phase, where the aligned lanes' key Jaccard measures ~0 — plus gain
+    0.6 and pcm16 requantization, del_ ids) derived in the same decode
+    pass. On the committed corpus (stop-hash budget 32 — see
+    operators/landmark.py) all 97 plants are recovered at their true
+    offset bracket (within half a frame; weakest pooled vote 34, weakest
+    dominance 4.3) and ZERO non-planted pairs survive the two-test
+    verdict.
+
+    Split oracle like q38: the numeric kernel is pinned by the committed
+    landmark fixture (scripts/make_audio_lm_fixture.py, independent driver
+    loop over the shared core/landmark.py kernel), while the DuckDB SQL
+    re-derives the ENTIRE distributed part — stop-hash filter, hash
+    self-join, offset vote, top-1-per-pair window — so the driver
+    value-hashes both the landmark math and the match semantics. At 10^12
+    clips: narrow landmark map (fused scan, bytes never in the JVM), one
+    capped self-join on small uniform integer keys, map-side-combinable
+    vote counts, a per-pair window — never all-pairs
+    (operators/landmark.py)."""
+    from .operators.landmark import (
+        LM_AUG_EVERY,
+        LM_EVERY,
+        landmark_match,
+        landmark_scan,
+    )
+
+    keys = landmark_scan(
+        spark, _clips_cache_path(spark, sf_dir), every=LM_EVERY, aug_every=LM_AUG_EVERY
+    )
+    return landmark_match(
+        keys,
+        min_votes=_LM_MIN_VOTES,
+        cap=_LM_STOP_HASH,
+        dom_num=_LM_DOM_NUM,
+        dom_den=_LM_DOM_DEN,
+    )

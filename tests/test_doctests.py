@@ -15,6 +15,7 @@ import pytest
 from datasmith_spark.core import (
     audio,
     audio_fp,
+    landmark,
     langid,
     lm,
     rules,
@@ -24,8 +25,8 @@ from datasmith_spark.core import (
     vad,
 )
 
-KERNEL_MODULES = (audio, audio_fp, langid, lm, rules, scrub, spectral, text, vad)
-MUST_HAVE_EXAMPLES = (audio, audio_fp, rules, scrub, spectral, text, vad)
+KERNEL_MODULES = (audio, audio_fp, landmark, langid, lm, rules, scrub, spectral, text, vad)
+MUST_HAVE_EXAMPLES = (audio, audio_fp, landmark, rules, scrub, spectral, text, vad)
 
 
 @pytest.mark.parametrize("mod", KERNEL_MODULES, ids=lambda m: m.__name__)
