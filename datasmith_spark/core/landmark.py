@@ -198,3 +198,23 @@ def delayed_variant16(x16: np.ndarray, delay_samples: int) -> np.ndarray:
         [np.zeros(delay_samples, dtype=np.float64), LM_AUG_GAIN * np.asarray(x16, dtype=np.float64)]
     )
     return decode(encode(y, "pcm16"), "pcm16")
+
+
+SNIP_SAMPLES = LM_SR  # 1.0 s query snippet (the retrieval lane's probe)
+
+
+def snippet_start(clip_id: str, n_avail: int) -> int:
+    """Deterministic planted snippet start (samples) — an id-HASH over the
+    clip's usable head length, any phase, never an index parse."""
+    return zlib.crc32((clip_id + "#snip").encode()) % max(n_avail - SNIP_SAMPLES + 1, 1)
+
+
+def snippet_variant16(x16: np.ndarray, clip_id: str) -> tuple[int, np.ndarray]:
+    """Deterministic QUERY SNIPPET of an LM_SR-domain head: a 1-second cut
+    from an id-hashed mid-clip position (any sub-hop phase), gain
+    LM_AUG_GAIN, pcm16 requantization round-trip — the query-by-example
+    probe the retrieval lane (q158) must locate inside its source. Returns
+    (start_sample, snippet)."""
+    s = snippet_start(clip_id, len(x16))
+    y = LM_AUG_GAIN * np.asarray(x16[s : s + SNIP_SAMPLES], dtype=np.float64)
+    return s, decode(encode(y, "pcm16"), "pcm16")

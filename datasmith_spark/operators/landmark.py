@@ -259,3 +259,150 @@ def landmark_match(
             F.col("_bdt").alias("est_dt"),
         )
     )
+
+
+def _lm_probe_rows(pdf: pd.DataFrame, every: int) -> pd.DataFrame:
+    """One pandas batch of clips -> (clip_id, lm_hash, t) PROBE rows: for
+    every `every`-th clip, landmark its planted mid-clip query snippet
+    (core/landmark.snippet_variant16) under a snip_ id. The probe scan
+    decodes only the planted rows — a cheap side pass next to the index
+    scan."""
+    from ..core.landmark import snippet_variant16
+    from .audio_fp import clip_index
+
+    ids: list[str] = []
+    hs: list[int] = []
+    ts: list[int] = []
+    for cid, buf, sr, codec in zip(pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
+        if every > 1 and clip_index(cid) % every:
+            continue
+        sr = None if pd.isna(sr) else int(sr)
+        if not sr or sr <= 0:
+            continue
+        pcm = decode(buf, codec)
+        if pcm is None or pcm.size == 0:
+            continue
+        x16 = _head16(pcm, sr)
+        if x16.size == 0:
+            continue
+        _, snip = snippet_variant16(x16, cid)
+        for h, t in landmark_hashes16(snip):
+            ids.append(f"snip_{clip_index(cid):012d}")
+            hs.append(h)
+            ts.append(t)
+    return pd.DataFrame(
+        {
+            "clip_id": ids,
+            "lm_hash": pd.array(hs, dtype="int64"),
+            "t": pd.array(ts, dtype="int32"),
+        }
+    )
+
+
+def landmark_probe_scan(spark: SparkSession, input_dir: str, every: int) -> DataFrame:
+    """Planted-snippet probe keys over a parquet directory (fused manifest
+    scan, kernel parallelism — q158's probe side)."""
+    from .audio_ops import _kernel_parallelism, _manifest_scan
+
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _lm_probe_rows(pdf, every),
+        LM_KEYS_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+    )
+
+
+def landmark_lookup(
+    index_keys: DataFrame,
+    probe_keys: DataFrame,
+    min_votes: int = LM_MIN_VOTES,
+    cap: int | None = None,  # None -> LM_STOP_HASH (index-side budget)
+    dom_num: int = LM_DOM_NUM,
+    dom_den: int = LM_DOM_DEN,
+) -> DataFrame:
+    """Query-by-snippet retrieval: for each probe (a short recording), the
+    single best (match_id, position) in the landmark INDEX, Shazam's search
+    shape. Returns (probe_id, match_id, votes, side_votes, est_pos,
+    confident) — ALWAYS the argmax row per probe (retrieval never silently
+    drops a query); `confident` applies q157's two integer tests (pooled
+    votes >= min_votes AND dom_den*votes >= dom_num*side) where side is now
+    the best pooled score among ALL OTHER candidates — a different match,
+    or the same match at a non-bracket position (the classic best-vs-rest
+    ratio test).
+
+    Same scale shape as landmark_match: stop-hash budget on the index side,
+    shuffle-hash equi-join on uniform integer keys (probe side is tiny),
+    map-side-combinable votes, per-probe windows. At 10^12 indexed clips
+    the index keys live bucketed on lm_hash and a probe batch joins against
+    them with zero index movement."""
+    if cap is None:
+        cap = LM_STOP_HASH
+    cold_hashes = (
+        index_keys.groupBy("lm_hash").agg(F.count("*").alias("_hc")).filter(F.col("_hc") <= cap)
+    )
+    n_shuffle = int(
+        index_keys.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    idx = (
+        index_keys.repartition(n_shuffle, "lm_hash")
+        .hint("shuffle_hash")
+        .join(cold_hashes.select("lm_hash"), "lm_hash")
+        .select("lm_hash", F.col("clip_id").alias("match_id"), F.col("t").alias("_ti"))
+    )
+    pr = probe_keys.select(
+        "lm_hash", F.col("clip_id").alias("probe_id"), F.col("t").alias("_tp")
+    )
+    votes = (
+        pr.hint("shuffle_hash")
+        .join(idx, "lm_hash")
+        .groupBy(
+            "probe_id", "match_id", (F.col("_ti") - F.col("_tp")).cast("int").alias("est_pos")
+        )
+        .agg(F.count("*").alias("_v"))
+    )
+    wd = Window.partitionBy("probe_id", "match_id").orderBy(F.col("est_pos").asc())
+    pooled = votes.withColumn(
+        "votes",
+        F.col("_v")
+        + F.when(
+            F.lead("est_pos").over(wd) == F.col("est_pos") + 1, F.lead("_v").over(wd)
+        ).otherwise(F.lit(0)),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("votes").desc(), F.col("match_id").asc(), F.col("est_pos").asc()
+    )
+    best = (
+        pooled.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "probe_id",
+            F.col("match_id").alias("_bm"),
+            F.col("est_pos").alias("_bp"),
+            F.col("votes").alias("_bv"),
+        )
+    )
+    side = (
+        pooled.join(best, ["probe_id"])
+        .filter(
+            (F.col("match_id") != F.col("_bm"))
+            | (F.abs(F.col("est_pos") - F.col("_bp")) > 1)
+        )
+        .groupBy("probe_id")
+        .agg(F.max("votes").alias("_sv"))
+    )
+    return (
+        best.join(side, ["probe_id"], "left")
+        .withColumn("_sv", F.coalesce(F.col("_sv"), F.lit(0)))
+        .select(
+            "probe_id",
+            F.col("_bm").alias("match_id"),
+            F.col("_bv").cast("bigint").alias("votes"),
+            F.col("_sv").cast("bigint").alias("side_votes"),
+            F.col("_bp").alias("est_pos"),
+            (
+                (F.col("_bv") >= min_votes)
+                & (dom_den * F.col("_bv") >= dom_num * F.col("_sv"))
+            ).alias("confident"),
+        )
+    )

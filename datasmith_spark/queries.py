@@ -7752,18 +7752,122 @@ def q157_landmark_shift_neardup(spark, sf_dir):
     capped self-join on small uniform integer keys, map-side-combinable
     vote counts, a per-pair window — never all-pairs
     (operators/landmark.py)."""
-    from .operators.landmark import (
-        LM_AUG_EVERY,
-        LM_EVERY,
-        landmark_match,
-        landmark_scan,
-    )
+    from .operators.landmark import landmark_match
 
-    keys = landmark_scan(
-        spark, _clips_cache_path(spark, sf_dir), every=LM_EVERY, aug_every=LM_AUG_EVERY
-    )
+    # session-persisted key table shared with q158 — ONE landmark scan
+    keys = _lm_keys_cached(spark, sf_dir)
     return landmark_match(
         keys,
+        min_votes=_LM_MIN_VOTES,
+        cap=_LM_STOP_HASH,
+        dom_num=_LM_DOM_NUM,
+        dom_den=_LM_DOM_DEN,
+    )
+
+
+_AUDIO_SNIP_FIXTURE = f"/root/repo/fixtures/oracle_audio_snip_n{_CLIPS_N}.parquet"
+
+_LM_KEYS_CACHE: dict = {}
+
+
+def _lm_keys_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q157/q158's pinned-subset landmark key table (base clips + planted
+    del_ duplicates), persisted once per session — the dedup match (q157)
+    and the snippet retrieval index (q158) consume the SAME kernel-bound
+    landmark scan instead of each re-decoding the clips table. Same
+    app-bounded cache discipline as _fp_keys_cached."""
+    from pyspark import StorageLevel
+
+    from .operators.landmark import LM_AUG_EVERY, LM_EVERY, landmark_scan
+
+    path = _clips_cache_path(spark, sf_dir)
+
+    def build():
+        return landmark_scan(
+            spark, path, every=LM_EVERY, aug_every=LM_AUG_EVERY
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    return _session_cached(_LM_KEYS_CACHE, spark, path, build)
+
+
+@register(
+    "q158_landmark_snippet_lookup",
+    rf"""
+    WITH idx AS (
+      SELECT clip_id AS id, lm_hash AS k, t
+      FROM read_parquet('{_AUDIO_LM_FIXTURE}') WHERE clip_id LIKE 'clip_%'
+    ),
+    probes AS (
+      SELECT clip_id AS pid, lm_hash AS k, t
+      FROM read_parquet('{_AUDIO_SNIP_FIXTURE}')
+    ),
+    hc AS (SELECT k FROM idx GROUP BY k HAVING count(*) <= {_LM_STOP_HASH}),
+    cold AS (SELECT idx.* FROM idx JOIN hc USING (k)),
+    co AS (
+      SELECT p.pid, c.id AS mid, c.t - p.t AS pos, count(*) AS v
+      FROM probes p JOIN cold c ON c.k = p.k
+      GROUP BY 1, 2, 3
+    ),
+    pooled AS (
+      SELECT pid, mid, pos,
+             v + CASE WHEN lead(pos) OVER w = pos + 1
+                      THEN lead(v) OVER w ELSE 0 END AS votes
+      FROM co WINDOW w AS (PARTITION BY pid, mid ORDER BY pos ASC)
+    ),
+    best AS (
+      SELECT pid, mid, pos, votes FROM (
+        SELECT pid, mid, pos, votes,
+               row_number() OVER (PARTITION BY pid
+                                  ORDER BY votes DESC, mid ASC, pos ASC) AS rn
+        FROM pooled
+      ) WHERE rn = 1
+    ),
+    side AS (
+      SELECT p.pid, max(p.votes) AS sv
+      FROM pooled p JOIN best b ON b.pid = p.pid
+      WHERE p.mid != b.mid OR abs(p.pos - b.pos) > 1
+      GROUP BY p.pid
+    )
+    SELECT b.pid AS probe_id, b.mid AS match_id, CAST(b.votes AS BIGINT) AS votes,
+           CAST(coalesce(s.sv, 0) AS BIGINT) AS side_votes,
+           CAST(b.pos AS INTEGER) AS est_pos,
+           (b.votes >= {_LM_MIN_VOTES}
+            AND {_LM_DOM_DEN} * b.votes >= {_LM_DOM_NUM} * coalesce(s.sv, 0)) AS confident
+    FROM best b LEFT JOIN side s ON s.pid = b.pid
+    """,
+)
+def q158_landmark_snippet_lookup(spark, sf_dir):
+    """Query-by-snippet audio retrieval (Shazam's search shape, Wang ISMIR
+    2003): locate a 1-second query recording inside a landmark-indexed
+    corpus — per probe, the argmax (match, position) over stop-hash-
+    filtered hash-join candidates with adjacent-pooled position votes,
+    plus a best-vs-rest integer confidence flag (votes >= 24 AND
+    5*votes >= 11*side where side spans ALL other candidates). Retrieval
+    semantics: every probe returns its best row; `confident` marks the
+    ones q157's dedup thresholds would trust.
+
+    Probes are deterministic planted snippets (id-hashed mid-clip start at
+    any sub-hop phase, gain 0.6, pcm16 requantization, snip_ ids) derived
+    from every 40th pinned clip; the index is the SAME session-persisted
+    landmark key table q157 matches over (one kernel scan feeds both
+    lanes). On the committed corpus all 97 probes retrieve their true
+    source at the true position bracket.
+
+    Split oracle like q157: the kernel is pinned by the committed probe
+    fixture (scripts/make_audio_snip_fixture.py) + the q157 index fixture,
+    and the DuckDB SQL re-derives the whole search (budget, join, vote,
+    pooling, per-probe argmax, confidence). At 10^12 indexed clips the
+    index lives bucketed on lm_hash; a probe batch joins against it with
+    zero index movement (operators/landmark.py landmark_lookup)."""
+    from .operators.landmark import LM_AUG_EVERY, landmark_lookup, landmark_probe_scan
+
+    index_keys = _lm_keys_cached(spark, sf_dir).filter(F.col("clip_id").startswith("clip_"))
+    probe_keys = landmark_probe_scan(
+        spark, _clips_cache_path(spark, sf_dir), every=LM_AUG_EVERY
+    )
+    return landmark_lookup(
+        index_keys,
+        probe_keys,
         min_votes=_LM_MIN_VOTES,
         cap=_LM_STOP_HASH,
         dom_num=_LM_DOM_NUM,

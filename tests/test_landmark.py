@@ -289,3 +289,94 @@ class TestFixture:
 
         assert "q157_landmark_shift_neardup" in QUERIES
         assert "q157_landmark_shift_neardup" in ORACLE_SQL
+
+
+class TestSnippetLookup:
+    """q158: query-by-snippet retrieval (landmark_lookup)."""
+
+    def test_snippet_retrieves_source_and_position(self, spark):
+        """Three indexed tracks under arbitrary ids; a 1-second cut of one
+        of them (gain 0.6 + requant, non-hop-aligned position) must
+        retrieve that track at the right position bracket, confidently."""
+        from datasmith_spark.core.audio import decode
+        from datasmith_spark.operators.landmark import landmark_clips, landmark_lookup
+
+        tracks = {
+            "s3://lib/track-A.wav": _sig(secs=3.0, seed=1),
+            "s3://lib/track-B.wav": _sig(secs=3.0, seed=2),
+            "s3://lib/track-C.wav": _sig(secs=3.0, seed=3),
+        }
+        cut_at = 7777  # samples, deliberately not a hop multiple
+        snip = 0.6 * tracks["s3://lib/track-B.wav"][cut_at : cut_at + 16000]
+        snip = decode(encode(snip, "pcm16"), "pcm16")
+        novel = 0.6 * _sig(secs=1.0, seed=99)  # probe with NO indexed source
+
+        def clips(rows):
+            return spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "clip_id": [r[0] for r in rows],
+                        "bytes": [encode(r[1], "pcm16") for r in rows],
+                        "sr_hz": 16000,
+                        "dur_ms": [len(r[1]) * 1000 // 16000 for r in rows],
+                        "codec": "pcm16",
+                        "transcript": "",
+                    }
+                )
+            )
+
+        index_keys = landmark_clips(clips(list(tracks.items())))
+        probe_keys = landmark_clips(clips([("query-1", snip), ("query-x", novel)]))
+        got = landmark_lookup(index_keys, probe_keys).toPandas().set_index("probe_id")
+        r = got.loc["query-1"]
+        assert r.match_id == "s3://lib/track-B.wav"
+        assert _bracket_ok(r.est_pos, cut_at / LM_HOP), (r.est_pos, cut_at / LM_HOP)
+        assert bool(r.confident)
+        if "query-x" in got.index:  # accidental weak matches must not be confident
+            assert not bool(got.loc["query-x"].confident), got.loc["query-x"]
+
+    def test_lookup_always_returns_argmax_per_probe(self, spark):
+        """Retrieval never drops a probe below threshold — it returns the
+        argmax row with confident=false (ambiguous two-candidate tie)."""
+        from datasmith_spark.operators.landmark import landmark_lookup
+
+        idx = [("trackA", h, 5) for h in (1, 2, 3)] + [("trackB", h, 9) for h in (1, 2, 3)]
+        pr = [("q", h, 0) for h in (1, 2, 3)]
+        mk = lambda rows: (
+            pytest.importorskip("pandas"),
+            spark.createDataFrame(
+                pd.DataFrame(rows, columns=["clip_id", "lm_hash", "t"])
+            ).selectExpr("clip_id", "cast(lm_hash as long) lm_hash", "cast(t as int) t"),
+        )[1]
+        got = landmark_lookup(mk(idx), mk(pr), min_votes=1).toPandas()
+        assert len(got) == 1
+        r = got.iloc[0]
+        # deterministic tie-break: lexicographically smaller match id wins
+        assert (r.probe_id, r.match_id, r.votes, r.side_votes, r.est_pos) == (
+            "q",
+            "trackA",
+            3,
+            3,
+            5,
+        )
+        assert not bool(r.confident)
+
+    def test_planted_probe_fixture_is_honest(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo/scripts")
+        import make_audio_snip_fixture as mas
+
+        fix = pd.read_parquet("/root/repo/fixtures/oracle_audio_snip_n4000.parquet")
+        lo, hi = 400, 720  # covers 8 snip_ derivations
+        fresh = mas.oracle_rows(range(lo, hi))
+        ids = {f"snip_{i:012d}" for i in range(lo, hi)}
+        sample = fix[fix.clip_id.isin(ids)]
+        key = lambda df: sorted(map(tuple, df[["clip_id", "lm_hash", "t"]].to_numpy()))
+        assert key(sample) == key(fresh)
+
+    def test_registry_has_q158(self):
+        from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+        assert "q158_landmark_snippet_lookup" in QUERIES
+        assert "q158_landmark_snippet_lookup" in ORACLE_SQL
