@@ -273,6 +273,9 @@ def _lm_probe_rows(pdf: pd.DataFrame, every: int) -> pd.DataFrame:
     ids: list[str] = []
     hs: list[int] = []
     ts: list[int] = []
+    # the datagen index is a harness concern (subset + snip_NNN naming);
+    # the composable default (every=1) must accept ARBITRARY clip ids
+    # (the q38-family post-ADVICE contract), naming probes snip_<id>
     for cid, buf, sr, codec in zip(pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
         if every > 1 and clip_index(cid) % every:
             continue
@@ -286,8 +289,9 @@ def _lm_probe_rows(pdf: pd.DataFrame, every: int) -> pd.DataFrame:
         if x16.size == 0:
             continue
         _, snip = snippet_variant16(x16, cid)
+        pid = f"snip_{clip_index(cid):012d}" if every > 1 else f"snip_{cid}"
         for h, t in landmark_hashes16(snip):
-            ids.append(f"snip_{clip_index(cid):012d}")
+            ids.append(pid)
             hs.append(h)
             ts.append(t)
     return pd.DataFrame(

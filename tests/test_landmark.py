@@ -380,3 +380,22 @@ class TestSnippetLookup:
 
         assert "q158_landmark_snippet_lookup" in QUERIES
         assert "q158_landmark_snippet_lookup" in ORACLE_SQL
+
+    def test_probe_rows_accept_arbitrary_ids(self):
+        """Composable probe derivation (every=1) must not parse the id."""
+        from datasmith_spark.operators.landmark import _lm_probe_rows
+
+        x = _sig(secs=2.0)
+        pdf = pd.DataFrame(
+            {
+                "clip_id": ["s3://bucket/meeting.wav"],
+                "bytes": [encode(x, "pcm16")],
+                "sr_hz": [16000],
+                "dur_ms": [2000],
+                "codec": ["pcm16"],
+                "transcript": [""],
+            }
+        )
+        out = _lm_probe_rows(pdf, every=1)
+        assert len(out) > 50
+        assert set(out.clip_id) == {"snip_s3://bucket/meeting.wav"}
