@@ -410,3 +410,66 @@ def landmark_lookup(
             ).alias("confident"),
         )
     )
+
+
+LM_LOOKUP_DDL = (
+    "probe_id string, match_id string, votes long, side_votes long, "
+    "est_pos int, confident boolean"
+)
+
+
+def init_landmark_store(tl, name: str, keys: DataFrame, n_buckets: int = 32) -> None:
+    """Create the landmark posting store as a catalog table hash-bucketed on
+    lm_hash — the probe join's store side never shuffles; only the
+    (bounded) incoming batch moves (operators/incremental.py's design,
+    lifted from set-membership keys to (hash, t) postings)."""
+    tl.write_bucketed(keys, name, "lm_hash", n_buckets=n_buckets)
+
+
+def ingest_landmark_batch(
+    spark: SparkSession,
+    tl,
+    store: str,
+    batch_keys: DataFrame,
+    min_votes: int = LM_MIN_VOTES,
+    cap: int | None = None,
+    n_buckets: int = 32,
+) -> tuple[DataFrame, int, int]:
+    """One continuous-ingest step of SHIFT-INVARIANT dedup: probe the batch
+    clips' landmarks against the persisted posting store (landmark_lookup —
+    per-clip argmax + confidence), append only novel clips' postings.
+
+    Returns (matches, n_novel, n_dup): `matches` holds every probe's best
+    row with its confidence verdict; a clip is a duplicate iff `confident`
+    (a weak accidental best-match must NOT suppress ingestion). Matches are
+    eagerly localCheckpoint-ed BEFORE the append for the same reason as
+    incremental.ingest_batch: the append refreshes the store relation and a
+    merely-persisted result would recompute against the grown store. Crash
+    between probe and append re-ingests the batch; duplicate postings only
+    widen future matching (vote counts grow, never flip a true verdict to
+    false)."""
+    if not tl.exists(spark, store):
+        init_landmark_store(tl, store, batch_keys, n_buckets=n_buckets)
+        n = batch_keys.select("clip_id").distinct().count()
+        return spark.createDataFrame([], LM_LOOKUP_DDL), n, 0
+    store_df = tl.read(spark, store)
+    matches = landmark_lookup(
+        store_df, batch_keys, min_votes=min_votes, cap=cap
+    ).localCheckpoint(eager=True)
+    dup_ids = (
+        matches.filter(F.col("confident"))
+        .select(F.col("probe_id").alias("clip_id"))
+        .distinct()
+    )
+    novel = batch_keys.join(dup_ids, "clip_id", "left_anti")
+    n_dup = dup_ids.count()
+    n_novel = novel.select("clip_id").distinct().count()
+    (
+        novel.write.format(tl.fmt)
+        .mode("append")
+        .bucketBy(n_buckets, "lm_hash")
+        .sortBy("lm_hash")
+        .saveAsTable(tl.ident(store))
+    )
+    spark.catalog.refreshTable(tl.ident(store))
+    return matches, n_novel, n_dup

@@ -415,6 +415,80 @@ def run_streaming_dedup(
     return writer.start()
 
 
+LM_DUP_PAIRS_DDL = (
+    "probe_id string, match_id string, votes long, side_votes long, "
+    "est_pos int, confident boolean, stream_batch int"
+)
+
+
+def read_lm_dup_pairs(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Schema-pinned reader for run_streaming_landmark_dedup's side table."""
+    return spark.read.schema(LM_DUP_PAIRS_DDL).parquet(
+        os.path.join(out_dir, "lm_dup_pairs")
+    )
+
+
+def run_streaming_landmark_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    store_catalog: str,
+    store_name: str = "lm_postings",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    timeout_sec: float | None = 600.0,
+):
+    """Continuous-ingest SHIFT-INVARIANT dedup: every micro-batch of clips
+    is landmarked (operators/landmark.py), probed against the persisted
+    bucketed posting store via landmark_lookup (per-clip argmax + the
+    votes/dominance confidence verdict — so a delayed / trimmed-intro
+    re-upload of anything ever ingested is caught at its offset), and only
+    novel clips' postings are appended. Detected matches land in
+    out_dir/lm_dup_pairs partitioned by batch id with dynamic partition
+    overwrite (idempotent under batch replay); the streaming checkpoint
+    resumes from the last committed batch, and the crash window between
+    store-append and checkpoint-commit re-appends at most one batch's
+    postings — which only widens vote counts, never flips a verdict
+    (run_streaming_dedup's contract, lifted from set-membership keys to
+    (hash, t) postings).
+
+    This is the streaming twin of q157/q158: the same kernel, the same
+    stop-hash budget, the same integer verdict — the corpus is never
+    re-self-joined; each ingest joins ONE bounded batch against the
+    bucketed store with zero store-side shuffle.
+    """
+    from .operators.landmark import ingest_landmark_batch, landmark_clips
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
+    tl_store = TableLayer("unused", catalog=store_catalog)
+    pairs_dir = os.path.join(out_dir, "lm_dup_pairs")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        keys = landmark_clips(batch_df)
+        matches, n_novel, n_dup = ingest_landmark_batch(
+            spark, tl_store, store_name, keys
+        )
+        (
+            matches.withColumn("stream_batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("stream_batch")
+            .parquet(pairs_dir)
+        )
+
+    clips = stream_clips(spark, input_dir, max_files_per_trigger)
+    writer = (
+        clips.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(out_dir, "_stream_checkpoint"))
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(timeout_sec)
+        return q
+    return writer.start()
+
+
 def run_streaming_pipeline(
     spark: SparkSession,
     input_dir: str,

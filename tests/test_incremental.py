@@ -372,3 +372,72 @@ def test_registry_has_q119(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q119_incremental_rollup" in QUERIES and "q119_incremental_rollup" in ORACLE_SQL
+
+
+class TestStreamingLandmarkDedup:
+    def test_delayed_reupload_flagged_across_batches(self, spark, ns, tmp_path):
+        """The streaming twin of q157/q158: drop1 seeds the posting store;
+        drop2 carries a DELAYED (arbitrary sub-hop phase) + attenuated +
+        requantized copy of a drop1 track — the class run_streaming_dedup's
+        frame-aligned lane misses — plus one novel clip. The job must flag
+        exactly that match, confidently, at the right offset bracket, and
+        append only novel postings."""
+        from datasmith_spark.core.landmark import LM_HOP, delayed_variant16
+        from datasmith_spark.streaming import (
+            read_lm_dup_pairs,
+            run_streaming_landmark_dedup,
+        )
+
+        sr = 16000
+
+        def rich(f, seed):
+            rng = np.random.default_rng(seed)
+            t = np.arange(int(sr * 3.0)) / sr
+            x = 0.5 * np.sin(2 * np.pi * f * t) + 0.3 * np.sin(
+                2 * np.pi * 2.7 * f * (1 + 0.02 * np.sin(2 * np.pi * 0.6 * t)) * t
+            )
+            return x + 0.03 * rng.standard_normal(t.size)
+
+        base = {f"track_{i}": rich(260.0 + 65 * i, seed=70 + i) for i in range(5)}
+        inp = str(tmp_path / "lm_in")
+        out = str(tmp_path / "lm_out")
+        _clips(
+            spark,
+            [(cid, encode(x, "pcm16"), sr, 3000, "pcm16", "t") for cid, x in base.items()],
+        ).coalesce(1).write.parquet(inp)
+
+        run_streaming_landmark_dedup(spark, inp, out, store_catalog=ns, store_name="lm_s")
+        tl = TableLayer("unused", catalog=ns)
+        assert tl.read(spark, "lm_s").select("clip_id").distinct().count() == 5
+        assert read_lm_dup_pairs(spark, out).count() == 0
+
+        d = 777  # samples, deliberately not a hop multiple
+        rows = [
+            ("novel_b", encode(rich(1234.0, seed=5), "pcm16"), sr, 3000, "pcm16", "t"),
+            (
+                "http://cdn/track2 re-upload.wav",
+                encode(delayed_variant16(base["track_2"], d), "pcm16"),
+                sr,
+                3000,
+                "pcm16",
+                "t",
+            ),
+        ]
+        _clips(spark, rows).coalesce(1).write.mode("append").parquet(inp)
+        run_streaming_landmark_dedup(spark, inp, out, store_catalog=ns, store_name="lm_s")
+
+        dup = [r for r in read_lm_dup_pairs(spark, out).collect() if r.confident]
+        assert len(dup) == 1, dup
+        r = dup[0]
+        assert r.probe_id == "http://cdn/track2 re-upload.wav"
+        assert r.match_id == "track_2"
+        assert r.est_pos - 0.5 <= -d / LM_HOP <= r.est_pos + 1.5, r.est_pos
+        ids = {
+            x.clip_id for x in tl.read(spark, "lm_s").select("clip_id").distinct().collect()
+        }
+        assert ids == set(base) | {"novel_b"}
+
+        # restart over the unchanged dir: checkpoint makes it a no-op
+        run_streaming_landmark_dedup(spark, inp, out, store_catalog=ns, store_name="lm_s")
+        assert len([r for r in read_lm_dup_pairs(spark, out).collect() if r.confident]) == 1
+        assert tl.read(spark, "lm_s").select("clip_id").distinct().count() == 6
