@@ -7873,3 +7873,85 @@ def q158_landmark_snippet_lookup(spark, sf_dir):
         dom_num=_LM_DOM_NUM,
         dom_den=_LM_DOM_DEN,
     )
+
+
+_AUDIO_SIG_FIXTURE = f"/root/repo/fixtures/oracle_audio_sig_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q159_speed_robust_neardup",
+    rf"""
+    WITH sig AS (
+      SELECT clip_id AS id, peaks, k FROM read_parquet('{_AUDIO_SIG_FIXTURE}')
+      WHERE k BETWEEN 2 AND 5
+    ),
+    melt AS (
+      SELECT DISTINCT s.id, (64 * a.a) // b.b + d.d AS k
+      FROM sig s, unnest(s.peaks) AS a(a), unnest(s.peaks) AS b(b),
+           (VALUES (-1), (0), (1)) d(d)
+      WHERE a.a != b.b
+    ),
+    {_capped_pairs_sql_cte(_default_pair_cap())},
+    verified AS (
+      SELECT c.a, c.b, sa.k AS k_a, sb.k AS k_b,
+        list_min(list_transform(list_filter(
+          flatten(list_transform(sa.peaks,
+            ai -> list_transform(sb.peaks, bj -> {{'ai': ai, 'bj': bj}}))),
+          h -> 4*h.bj <= 5*h.ai AND 4*h.ai <= 5*h.bj
+            AND len(list_filter(sa.peaks, a ->
+              len(list_filter(sb.peaks, b -> abs(a*h.bj - h.ai*b) <= 2*h.bj)) > 0)) >= 2
+            AND len(list_filter(sa.peaks, a -> NOT (a*h.bj > 1943*h.ai OR
+              len(list_filter(sb.peaks, b -> abs(a*h.bj - h.ai*b) <= 2*h.bj)) > 0))) = 0
+            AND len(list_filter(sb.peaks, b -> NOT (b*h.ai > 1943*h.bj OR
+              len(list_filter(sa.peaks, a -> abs(a*h.bj - h.ai*b) <= 2*h.ai)) > 0))) = 0
+        ), h -> h.ai * 4096 + h.bj)) AS hyp
+      FROM cand c JOIN sig sa ON sa.id = c.a JOIN sig sb ON sb.id = c.b
+    )
+    SELECT a AS clip_a, b AS clip_b, CAST(k_a AS INTEGER) AS k_a,
+           CAST(k_b AS INTEGER) AS k_b,
+           CAST(hyp // 4096 AS INTEGER) AS rate_num,
+           CAST(hyp % 4096 AS INTEGER) AS rate_den
+    FROM verified WHERE hyp IS NOT NULL
+    """,
+)
+def q159_speed_robust_neardup(spark, sf_dir):
+    """SPEED/PITCH-SHIFT-robust audio near-duplicate pairs — the last cell
+    of the robustness matrix (gain/requant q38, companding q40, time shift
+    q157/q158, speed HERE): a Kaldi-sp resampling variant scales every
+    frequency by the factor, defeating all three prior lanes, but the
+    RATIO structure of the clip's tonal peaks is scale-invariant.
+    Pipeline: tiny per-clip tonal-signature arrays (time-averaged power
+    spectrum local maxima) -> scale-invariant intra-clip ratio keys with
+    +-1 ball expansion -> the SHARED capped pair CTE -> an exhaustive
+    integer rate-hypothesis verify over the <= 5x5 peak pairings (rate in
+    [0.8, 1.25], peak correspondence within 2 bins, rate-aware band-edge
+    exemption, >= 2 matched peaks) evaluated with native higher-order
+    functions in Spark and list lambdas in DuckDB — the SAME rule, no UDF,
+    no floats; the winning hypothesis IS the recovered rate as an exact
+    integer bin ratio.
+
+    Input is the pinned clips subset (every 8th) PLUS planted speed
+    variants (sp_ ids, id-hashed factor from {{9/10, 19/20, 21/20,
+    11/10}}, gain 0.8, pcm16 requant). On the committed corpus all 45
+    in-scope plants are recovered with the rate exact to bin tolerance
+    (one plant's second tone leaves the measurable band at 11/10 —
+    genuinely out of scope, k drops below 2). 2-tone clips carry one
+    residual check only, so tonal coincidences under SOME in-range rate
+    occur (19 pairs here) and are REPORTED: for pure-tone content they
+    are true positives of the acoustic relation; consumers needing
+    certainty filter k_a >= 3 (core/specsig.py docstring).
+
+    Scale: one narrow signature scan (a few ints per clip), tiny-key
+    capped candidate join, O(k^4) integer verify on candidates only
+    (operators/specsig.py)."""
+    from .operators.specsig import (
+        SS_AUG_EVERY,
+        SS_EVERY,
+        speed_neardup_pairs,
+        tone_signature_scan,
+    )
+
+    sigs = tone_signature_scan(
+        spark, _clips_cache_path(spark, sf_dir), every=SS_EVERY, aug_every=SS_AUG_EVERY
+    )
+    return speed_neardup_pairs(sigs)

@@ -20,13 +20,16 @@ from datasmith_spark.core import (
     lm,
     rules,
     scrub,
+    specsig,
     spectral,
     text,
     vad,
 )
 
-KERNEL_MODULES = (audio, audio_fp, landmark, langid, lm, rules, scrub, spectral, text, vad)
-MUST_HAVE_EXAMPLES = (audio, audio_fp, landmark, rules, scrub, spectral, text, vad)
+KERNEL_MODULES = (
+    audio, audio_fp, landmark, langid, lm, rules, scrub, specsig, spectral, text, vad,
+)
+MUST_HAVE_EXAMPLES = (audio, audio_fp, landmark, rules, scrub, specsig, spectral, text, vad)
 
 
 @pytest.mark.parametrize("mod", KERNEL_MODULES, ids=lambda m: m.__name__)
