@@ -133,8 +133,12 @@ def rate_hypothesis(
     best: tuple[int, int] | None = None
     for ai in pa:
         for bj in pb:
+            # band check with `tol` bins of quantization slack, so factors
+            # ON the band edge (e.g. exactly 5/4) stay claimable when bin
+            # rounding nudges the measured ratio past the boundary
             if not (
-                SS_RMIN_N * bj <= SS_RMIN_D * ai and SS_RMAX_D * ai <= SS_RMAX_N * bj
+                SS_RMIN_N * bj <= SS_RMIN_D * (ai + tol)
+                and SS_RMAX_D * (ai - tol) <= SS_RMAX_N * bj
             ):
                 continue
             matched = 0

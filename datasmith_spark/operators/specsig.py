@@ -120,8 +120,8 @@ def _hypothesis_expr(pa: str, pb: str) -> str:
     array columns — the winning hypothesis as ai*SS_HYP_RADIX+bj, or null.
     Byte-identical rule to the python reference and the DuckDB oracle."""
     in_range = (
-        f"{SS_RMIN_N} * h.bj <= {SS_RMIN_D} * h.ai AND "
-        f"{SS_RMAX_D} * h.ai <= {SS_RMAX_N} * h.bj"
+        f"{SS_RMIN_N} * h.bj <= {SS_RMIN_D} * (h.ai + {SS_TOL}) AND "
+        f"{SS_RMAX_D} * (h.ai - {SS_TOL}) <= {SS_RMAX_N} * h.bj"
     )
     a_cov = f"exists({pb}, b -> abs(a * h.bj - h.ai * b) <= {SS_TOL} * h.bj)"
     b_cov = f"exists({pa}, a -> abs(a * h.bj - h.ai * b) <= {SS_TOL} * h.ai)"

@@ -7897,7 +7897,7 @@ _AUDIO_SIG_FIXTURE = f"/root/repo/fixtures/oracle_audio_sig_n{_CLIPS_N}.parquet"
         list_min(list_transform(list_filter(
           flatten(list_transform(sa.peaks,
             ai -> list_transform(sb.peaks, bj -> {{'ai': ai, 'bj': bj}}))),
-          h -> 4*h.bj <= 5*h.ai AND 4*h.ai <= 5*h.bj
+          h -> 4*h.bj <= 5*(h.ai + 2) AND 4*(h.ai - 2) <= 5*h.bj
             AND len(list_filter(sa.peaks, a ->
               len(list_filter(sb.peaks, b -> abs(a*h.bj - h.ai*b) <= 2*h.bj)) > 0)) >= 2
             AND len(list_filter(sa.peaks, a -> NOT (a*h.bj > 1943*h.ai OR

@@ -308,3 +308,67 @@ def test_pitch_shift_preserves_duration(n, factor, f0):
         assert round(n * den / num) < 2 * 512
     else:
         assert abs(y.size - n) <= 512
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_landmark_translation_equivariance_property(m, gain_pow, seed):
+    """For ANY signal, hop-multiple delay + power-of-two gain translates
+    every anchor-t>=1 landmark exactly by m frames (core/landmark.py's
+    shift-invariance contract, fuzzed over signals/delays/gains)."""
+    from datasmith_spark.core.landmark import LM_HOP, landmark_hashes16
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(16000) / 16000.0
+    f1, f2 = rng.uniform(100, 3000, 2)
+    x = (
+        0.6 * np.sin(2 * np.pi * f1 * t)
+        + 0.3 * np.sin(2 * np.pi * f2 * t)
+        + 0.05 * rng.standard_normal(t.size)
+    )
+    base = [(h, tt) for h, tt in landmark_hashes16(x) if tt >= 1]
+    y = np.concatenate([np.zeros(m * LM_HOP), x * 2.0**-gain_pow])
+    shifted = set(landmark_hashes16(y))
+    assert all((h, tt + m) in shifted for h, tt in base)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10_000),
+    st.sampled_from([(9, 10), (19, 20), (21, 20), (11, 10), (5, 4), (4, 5)]),
+)
+def test_specsig_rate_recovery_property(seed, factor):
+    """For ANY 2-3 well-separated in-band tone set, the rate hypothesis
+    recovers ANY plausible-band resampling factor to bin tolerance
+    (core/specsig.py's contract, fuzzed over tone sets and factors)."""
+    from datasmith_spark.core.resample import resample
+    from datasmith_spark.core.specsig import (
+        SS_NFFT,
+        SS_TOL,
+        rate_hypothesis,
+        tone_peaks16,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 4))
+    # well-separated tones, far enough below the band edge that the
+    # largest factor keeps every image measurable (no exemption path)
+    freqs = np.sort(rng.uniform(150.0, 4500.0, n))
+    while np.any(np.diff(freqs) < 120.0):
+        freqs = np.sort(rng.uniform(150.0, 4500.0, n))
+    t = np.arange(3 * 16000) / 16000.0
+    x = sum(
+        w * np.sin(2 * np.pi * f * t)
+        for f, w in zip(freqs, rng.uniform(0.3, 1.0, n))
+    ) + 0.03 * rng.standard_normal(t.size)
+    pa = tone_peaks16(x)
+    num, den = factor
+    pb = tone_peaks16(resample(x, num, den))
+    if len(pa) != n or len(pb) != n:
+        return  # a tone merged/vanished: out of the property's premise
+    hyp = rate_hypothesis(pa, pb)
+    assert hyp is not None and abs(hyp[0] * num - den * hyp[1]) <= SS_TOL * num
