@@ -226,3 +226,52 @@ class TestFixture:
 
         assert "q159_speed_robust_neardup" in QUERIES
         assert "q159_speed_robust_neardup" in ORACLE_SQL
+
+
+class TestLaneComposition:
+    def test_delay_plus_speed_combo_recovered_by_chaining(self):
+        """A re-upload that is BOTH delayed and speed-shifted defeats every
+        single lane's plant model, but the lanes compose: the tonal
+        signature is delay-invariant (time-averaged spectrum), so q159
+        recovers the RATE; resampling the probe by the recovered rate
+        reduces the residual to a pure time shift, which the constellation
+        lane then localizes at its offset bracket — the full two-stage
+        robust-dedup chain."""
+        from collections import Counter
+
+        from datasmith_spark.core.audio import decode, encode
+        from datasmith_spark.core.landmark import LM_HOP, landmark_hashes16
+        from datasmith_spark.core.specsig import rate_hypothesis
+
+        x = _tones([(470.0, 0.6), (1240.0, 0.4), (2630.0, 0.25)], secs=3.0)
+        num, den, d = 21, 20, 777  # speed 21/20 AND a sub-hop delay
+        y = resample(x, num, den)
+        y = np.concatenate([np.zeros(d), 0.7 * y])
+        y = decode(encode(y, "pcm16"), "pcm16")
+
+        # stage 1: rate recovery from the delay-invariant signature
+        pa, pb = tone_peaks16(x), tone_peaks16(y)
+        hyp = rate_hypothesis(pa, pb)
+        assert _rate_ok(hyp, num, den), hyp
+
+        # stage 2: undo the recovered rate, then landmark-localize the shift
+        # source bins = (ai/bj) * probe bins, so mapping the probe into the
+        # source domain scales its frequencies by ai/bj: z[j] = y(j*ai/bj)
+        ai, bj = hyp
+        y_corr = resample(y, ai, bj)
+        src: dict[int, list[int]] = {}
+        for h, t in landmark_hashes16(x):
+            src.setdefault(h, []).append(t)
+        votes: Counter = Counter()
+        for h, t in landmark_hashes16(y_corr):
+            for ts in src.get(h, []):
+                votes[t - ts] += 1
+        pooled = {dt: v + votes.get(dt + 1, 0) for dt, v in votes.items()}
+        best_dt, best_v = max(pooled.items(), key=lambda kv: (kv[1], -kv[0]))
+        # the y-domain delay d lands at d*bj/ai samples in the corrected domain
+        true_frames = d * bj / ai / LM_HOP
+        assert best_v >= 24 and best_dt - 1.5 <= true_frames <= best_dt + 2.5, (
+            best_dt,
+            best_v,
+            true_frames,
+        )
