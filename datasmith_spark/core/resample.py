@@ -197,6 +197,93 @@ def cmvn(feats: np.ndarray, var_floor: float = 1e-10) -> np.ndarray:
     return dev / np.sqrt(var + var_floor)[None, :]
 
 
+@lru_cache(maxsize=16)
+def _dct_basis(n_mfcc: int, n_mels: int) -> np.ndarray:
+    """Orthonormal DCT-II basis rows (the HTK/Kaldi cepstral transform):
+    basis[k, n] = s_k * cos(pi/n_mels * (n + 0.5) * k), s_0 = sqrt(1/n_mels),
+    s_k = sqrt(2/n_mels). Cached per (n_mfcc, n_mels) and only ever read,
+    like the mel filterbank cache above."""
+    n = np.arange(n_mels, dtype=np.float64)
+    basis = np.cos(np.pi / n_mels * (n + 0.5)[None, :] * np.arange(n_mfcc)[:, None])
+    basis *= np.sqrt(2.0 / n_mels)
+    basis[0] *= np.sqrt(0.5)
+    return basis
+
+
+def delta(feats: np.ndarray, window: int = 2) -> np.ndarray:
+    """Regression delta features (HTK eq. 5.16 / Kaldi add-deltas): per
+    frame t, sum_{d=1..window} d * (x[t+d] - x[t-d]) / (2 * sum d^2), with
+    edge frames replicated — the standard derivative estimate an acoustic
+    model stacks on static cepstra. A pure per-clip transform: at the
+    corpus level this never leaves the Arrow batch.
+
+    Portability: the numerator accumulates in fixed d order (window is 2,
+    so two terms), no BLAS — same digest-fixture rule as logmel/cmvn.
+
+    >>> delta(np.ones((5, 3))).max() == 0.0  # constant signal -> zero slope
+    True
+    >>> f = np.arange(6, dtype=float)[:, None] * np.ones((1, 2))
+    >>> bool(np.allclose(delta(f)[2:-2], 1.0))  # unit ramp -> unit slope
+    True
+    >>> delta(np.zeros((0, 4))).shape
+    (0, 4)
+    """
+    x = np.asarray(feats, dtype=np.float64)
+    if x.shape[0] == 0:
+        return x.copy()
+    pad = np.pad(x, ((window, window), (0, 0)), mode="edge")
+    num = np.zeros_like(x)
+    for d in range(1, window + 1):
+        num += d * (pad[window + d : window + d + x.shape[0]]
+                    - pad[window - d : window - d + x.shape[0]])
+    denom = 2.0 * sum(d * d for d in range(1, window + 1))
+    return num / denom
+
+
+def mfcc(
+    pcm: np.ndarray,
+    sr: int,
+    n_fft: int = 512,
+    hop: int = 256,
+    n_mels: int = 40,
+    n_mfcc: int = 13,
+    deltas: bool = True,
+) -> np.ndarray:
+    """float PCM -> (n_frames, n_mfcc * 3 if deltas else n_mfcc) float64
+    MFCC front-end: log-mel (the logmel kernel above, shared floor/window
+    conventions) -> orthonormal DCT-II cepstra -> regression delta and
+    delta-delta stacked column-wise — the classic ASR feature pipeline
+    (Davis & Mermelstein 1980; HTK book ch. 5). Completes the featurization
+    chain q37 (log-mel) -> q56 (CMVN) -> q57 (SpecAugment) with the
+    cepstral lane the reference-class curation pipelines feed to AM
+    scoring.
+
+    Portability: the DCT projection is computed per coefficient over the
+    full mel row with numpy's fixed pairwise summation (no BLAS matmul),
+    the same bit-reproducibility contract as the mel projection — the
+    committed MFCC oracle fixture depends on it.
+
+    >>> x = np.sin(np.arange(4000) / 8.0) * 0.4
+    >>> f = mfcc(x, 16000)
+    >>> f.shape == (14, 39)
+    True
+    >>> mfcc(x, 16000, deltas=False).shape
+    (14, 13)
+    >>> mfcc(np.zeros(10), 16000).shape  # shorter than one window
+    (0, 39)
+    """
+    m = logmel(pcm, sr, n_fft=n_fft, hop=hop, n_mels=n_mels)
+    basis = _dct_basis(n_mfcc, n_mels)
+    cep = np.empty((m.shape[0], n_mfcc))
+    for k in range(n_mfcc):
+        cep[:, k] = (m * basis[k][None, :]).sum(axis=1)
+    if not deltas:
+        return cep
+    d1 = delta(cep)
+    d2 = delta(d1)
+    return np.concatenate([cep, d1, d2], axis=1)
+
+
 def spec_augment(
     feats: np.ndarray,
     key: str,

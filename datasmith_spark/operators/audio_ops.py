@@ -39,6 +39,7 @@ from ..core.resample import (
     add_noise,
     cmvn,
     logmel,
+    mfcc,
     pitch_shift,
     resample,
     spec_augment,
@@ -69,6 +70,10 @@ RESAMPLED_DIGEST_DDL = (
 LOGMEL_DDL = "clip_id string, ok boolean, n_frames int, n_mels int, feats array<double>"
 
 LOGMEL_DIGEST_DDL = "clip_id string, ok boolean, n_frames int, n_mels int, feats_md5 string"
+
+MFCC_DDL = "clip_id string, ok boolean, n_frames int, n_coef int, feats array<double>"
+
+MFCC_DIGEST_DDL = "clip_id string, ok boolean, n_frames int, n_coef int, feats_md5 string"
 
 VAD_DDL = (
     "clip_id string, ok boolean, n_samples int, n_frames int, n_active int, "
@@ -187,6 +192,42 @@ def _logmel_pdf(
         "ok": oks,
         "n_frames": pd.array(nfs, dtype="Int32"),
         "n_mels": pd.array([n_mels] * len(pdf), dtype="Int32"),
+    }
+    if digest:
+        out["feats_md5"] = [
+            hashlib.md5(np.ascontiguousarray(a, dtype="<f8").tobytes()).hexdigest()
+            for a in feats
+        ]
+    else:
+        out["feats"] = feats
+    return pd.DataFrame(out)
+
+
+def _mfcc_pdf(
+    pdf: pd.DataFrame, n_fft: int, hop: int, n_mels: int, n_mfcc: int, digest: bool
+) -> pd.DataFrame:
+    """One pandas batch of clips -> MFCC+delta+delta2 batch (or digest
+    batch). Same conditional-enrich shape as _logmel_pdf: undecodable rows
+    emit ok=False with the empty-array digest."""
+    n_coef = 3 * n_mfcc
+    oks, nfs, feats = [], [], []
+    for buf, sr, codec in zip(pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        if pcm is None:
+            oks.append(False)
+            nfs.append(0)
+            feats.append(np.zeros(0))
+            continue
+        m = mfcc(pcm, int(sr), n_fft=n_fft, hop=hop, n_mels=n_mels, n_mfcc=n_mfcc)
+        oks.append(True)
+        nfs.append(m.shape[0])
+        feats.append(m.reshape(-1))
+    out = {
+        "clip_id": pdf["clip_id"],
+        "ok": oks,
+        "n_frames": pd.array(nfs, dtype="Int32"),
+        "n_coef": pd.array([n_coef] * len(pdf), dtype="Int32"),
     }
     if digest:
         out["feats_md5"] = [
@@ -1279,6 +1320,42 @@ def logmel_digest_scan(
         input_dir,
         lambda pdf: _logmel_pdf(pdf, n_fft, hop, n_mels, True),
         LOGMEL_DIGEST_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+    )
+
+
+def mfcc_features(
+    clips: DataFrame, n_fft: int = 512, hop: int = 256, n_mels: int = 40,
+    n_mfcc: int = 13, digest: bool = False,
+) -> DataFrame:
+    """MFCC + delta + delta-delta features (composable path; digest=True is
+    the q160 verification mode). The cepstral transform and both regression
+    deltas are per clip, so the fused logmel->DCT->delta chain needs no
+    corpus pass and stays a shuffle-free narrow map at any scale — the
+    classic ASR front-end lane next to q37 (log-mel) / q56 (CMVN) /
+    q57 (SpecAugment)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _mfcc_pdf(pdf, n_fft, hop, n_mels, n_mfcc, digest)
+
+    return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
+        _run, schema=MFCC_DIGEST_DDL if digest else MFCC_DDL
+    )
+
+
+def mfcc_digest_scan(
+    spark: SparkSession, input_dir: str,
+    n_fft: int = 512, hop: int = 256, n_mels: int = 40, n_mfcc: int = 13,
+) -> DataFrame:
+    """mfcc_features(digest=True) over a parquet directory via the fused
+    manifest scan (q160) — FFT+DCT kernel bound, full session parallelism
+    like q36/q37."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _mfcc_pdf(pdf, n_fft, hop, n_mels, n_mfcc, True),
+        MFCC_DIGEST_DDL,
         scan_parallelism=_kernel_parallelism(spark, input_dir),
     )
 

@@ -7955,3 +7955,31 @@ def q159_speed_robust_neardup(spark, sf_dir):
         spark, _clips_cache_path(spark, sf_dir), every=SS_EVERY, aug_every=SS_AUG_EVERY
     )
     return speed_neardup_pairs(sigs)
+
+
+_AUDIO_MFCC_FIXTURE = f"/root/repo/fixtures/oracle_audio_mfcc_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q160_mfcc_features",
+    f"""
+    SELECT clip_id, ok, n_frames, n_coef, feats_md5
+    FROM read_parquet('{_AUDIO_MFCC_FIXTURE}')
+    """,
+)
+def q160_mfcc_features(spark, sf_dir):
+    """MFCC front-end (log-mel -> orthonormal DCT-II cepstra -> regression
+    delta + delta-delta, 13x3 coefficients) over the pinned clips table —
+    the classic ASR featurization lane (Davis & Mermelstein 1980; HTK ch. 5)
+    completing the chain q37 (log-mel) -> q56 (CMVN) -> q57 (SpecAugment).
+
+    Digest-exact value check like q37: the operator hashes each clip's
+    float64 feature array bit-for-bit against the committed single-process
+    oracle (scripts/make_audio_mfcc_fixture.py — shared BLAS-free kernels,
+    independent driver loop). Runs as a fused manifest scan: audio bytes
+    never enter the JVM; FFT+DCT kernel bound so full session parallelism.
+    At 10^12 clips this is a shuffle-free narrow map
+    (operators/audio_ops.py mfcc_digest_scan)."""
+    from .operators.audio_ops import mfcc_digest_scan
+
+    return mfcc_digest_scan(spark, _clips_cache_path(spark, sf_dir))
