@@ -112,6 +112,172 @@ def kmv_sql(table_expr: str, key: str, group: str, k: int = KMV_K) -> str:
     """
 
 
+def kmv_vocab_overlap(docs: DataFrame, k: int = KMV_K, exact: bool = True) -> DataFrame:
+    """Pairwise cross-source VOCABULARY overlap via KMV set algebra
+    [Beyer et al. SIGMOD 2007]: per source build the k-minimum-values
+    sketch of its distinct-token md5 set, then for every source pair
+    estimate |A ∪ B| from the merged-and-retrimmed sketch (union = merge +
+    re-trim — the mergeability a 10^12-row planner relies on: sketches are
+    k tiny hashes per source, so the pair stage never touches the corpus)
+    and |A ∩ B| from the fraction of union-sketch members present in BOTH
+    input sketches: est_inter = (n_common / k) * est_union. Sound because
+    the k smallest of A ∪ B is a subset of K(A) ∪ K(B), and any common
+    member of the union sketch must appear in both per-source sketches.
+    When the union sketch is un-truncated (n_min < k) both estimates are
+    EXACT by construction.
+
+    The curation planning statistic this feeds: lexical similarity between
+    sources (shared vocabulary mass) for domain-mixing and dedup-scope
+    decisions — without ever shuffling the full token sets.
+
+    KMV over md5 is exactly reproducible in any engine, so the DuckDB
+    oracle (kmv_vocab_overlap_sql) re-derives the ENTIRE computation —
+    sketches, pairwise merge, estimates — and the driver value-hashes the
+    identical IEEE doubles (the q69 contract, extended to set algebra).
+
+    exact=True adds the true distinct union/intersection per pair for
+    comparison; those are the only corpus-wide joins and would be dropped
+    at scale (the sketch path alone is the scale path). The source-pair
+    frame is a broadcast nested-loop over the SOURCE LIST (tiny by
+    definition: pairs of corpora, not pairs of rows)."""
+    tok = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            F.col("source").alias("g"),
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    d = tok.select("g", F.md5("token").alias("h")).dropDuplicates()
+    w = Window.partitionBy("g").orderBy("h")
+    topk = (
+        d.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).select("g", "h")
+    )
+    srcs = topk.select("g").distinct()
+    pairs = srcs.withColumnRenamed("g", "a").join(
+        F.broadcast(srcs.withColumnRenamed("g", "b")), F.col("a") < F.col("b")
+    )
+    ua = pairs.join(topk.withColumnRenamed("g", "a"), "a").select(
+        "a", "b", "h", F.lit(0).alias("side")
+    )
+    ub = pairs.join(topk.withColumnRenamed("g", "b"), "b").select(
+        "a", "b", "h", F.lit(1).alias("side")
+    )
+    grp = ua.unionByName(ub).groupBy("a", "b", "h").agg(F.countDistinct("side").alias("ns"))
+    wu = Window.partitionBy("a", "b").orderBy("h")
+    top_u = grp.withColumn("_rn", F.row_number().over(wu)).filter(F.col("_rn") <= k)
+    sk = top_u.groupBy("a", "b").agg(
+        F.count("*").alias("n_min"),
+        F.max("h").alias("kth_hash"),
+        F.sum(F.when(F.col("ns") == 2, 1).otherwise(0)).cast("bigint").alias("n_common"),
+    )
+    est_union = F.when(F.col("n_min") < k, F.col("n_min").cast("double")).otherwise(
+        F.lit(float(k - 1) * _HEX15)
+        / F.conv(F.substring("kth_hash", 1, 15), 16, 10).cast("double")
+    )
+    est_inter = F.when(F.col("n_min") < k, F.col("n_common").cast("double")).otherwise(
+        (F.col("n_common").cast("double") * est_union) / F.lit(float(k))
+    )
+    out = sk.select(
+        F.col("a").alias("source_a"),
+        F.col("b").alias("source_b"),
+        F.lit(k).alias("k_used"),
+        "n_min",
+        "kth_hash",
+        "n_common",
+        est_union.alias("est_union"),
+        est_inter.alias("est_inter"),
+    )
+    if exact:
+        dd = tok.dropDuplicates()
+        n_per = dd.groupBy("g").agg(F.count("*").alias("nd"))
+        inter = (
+            dd.withColumnRenamed("g", "a")
+            .join(dd.withColumnRenamed("g", "b"), "token")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").cast("bigint").alias("n_inter_exact"))
+        )
+        out = (
+            out.join(
+                inter.withColumnRenamed("a", "source_a").withColumnRenamed("b", "source_b"),
+                ["source_a", "source_b"],
+                "left",
+            )
+            .withColumn("n_inter_exact", F.coalesce("n_inter_exact", F.lit(0)))
+            .join(
+                F.broadcast(n_per.select(F.col("g").alias("source_a"), F.col("nd").alias("_na"))),
+                "source_a",
+            )
+            .join(
+                F.broadcast(n_per.select(F.col("g").alias("source_b"), F.col("nd").alias("_nb"))),
+                "source_b",
+            )
+            .withColumn(
+                "n_union_exact",
+                (F.col("_na") + F.col("_nb") - F.col("n_inter_exact")).cast("bigint"),
+            )
+            .drop("_na", "_nb")
+        )
+    return out
+
+
+def kmv_vocab_overlap_sql(table_expr: str, k: int = KMV_K) -> str:
+    """DuckDB mirror of kmv_vocab_overlap(exact=True) — sketches, pairwise
+    merge+retrim, union/intersection estimates, and the exact comparison
+    columns re-derived in SQL."""
+    parse = (
+        "list_sum(list_transform(range(1, 16), i -> "
+        "(strpos('0123456789abcdef', substr(kth_hash, i, 1)) - 1)::BIGINT"
+        " * (16::BIGINT ** (15 - i))::BIGINT))"
+    )
+    return rf"""
+    WITH tok AS (
+      SELECT source AS g, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM {table_expr} WHERE text IS NOT NULL
+    ),
+    tk AS (SELECT DISTINCT g, token FROM tok WHERE token <> ''),
+    d AS (SELECT DISTINCT g, md5(token) AS h FROM tk),
+    rn AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r FROM d),
+    topk AS (SELECT g, h FROM rn WHERE r <= {k}),
+    srcs AS (SELECT DISTINCT g FROM topk),
+    pairs AS (SELECT s1.g AS a, s2.g AS b FROM srcs s1 JOIN srcs s2 ON s1.g < s2.g),
+    u AS (
+      SELECT p.a, p.b, t.h, 0 AS side FROM pairs p JOIN topk t ON t.g = p.a
+      UNION ALL
+      SELECT p.a, p.b, t.h, 1 AS side FROM pairs p JOIN topk t ON t.g = p.b
+    ),
+    grp AS (SELECT a, b, h, count(DISTINCT side) AS ns FROM u GROUP BY 1, 2, 3),
+    tu AS (SELECT a, b, h, ns, row_number() OVER (PARTITION BY a, b ORDER BY h) AS r FROM grp),
+    sk AS (
+      SELECT a, b, count(*)::BIGINT AS n_min, max(h) AS kth_hash,
+             sum(CASE WHEN ns = 2 THEN 1 ELSE 0 END)::BIGINT AS n_common
+      FROM tu WHERE r <= {k} GROUP BY a, b
+    ),
+    est AS (
+      SELECT *, CASE WHEN n_min < {k} THEN n_min::DOUBLE
+                     ELSE {float(k - 1) * _HEX15} / ({parse})::DOUBLE END AS est_union
+      FROM sk
+    ),
+    n_per AS (SELECT g, count(*)::BIGINT AS nd FROM tk GROUP BY g),
+    inter AS (
+      SELECT x.g AS a, y.g AS b, count(*)::BIGINT AS n_inter_exact
+      FROM tk x JOIN tk y ON y.token = x.token AND x.g < y.g
+      GROUP BY 1, 2
+    )
+    SELECT e.a AS source_a, e.b AS source_b, {k} AS k_used, e.n_min, e.kth_hash,
+           e.n_common, e.est_union,
+           CASE WHEN e.n_min < {k} THEN e.n_common::DOUBLE
+                ELSE (e.n_common::DOUBLE * e.est_union) / {float(k)} END AS est_inter,
+           coalesce(i.n_inter_exact, 0) AS n_inter_exact,
+           na.nd + nb.nd - coalesce(i.n_inter_exact, 0) AS n_union_exact
+    FROM est e
+    LEFT JOIN inter i ON i.a = e.a AND i.b = e.b
+    JOIN n_per na ON na.g = e.a
+    JOIN n_per nb ON nb.g = e.b
+    """
+
+
 def binned_histogram(
     df: DataFrame, value: str, group: str, bin_width: int, pcts: tuple[int, ...] = (50, 90, 99)
 ) -> DataFrame:

@@ -8074,3 +8074,33 @@ def q161_landmark_noise_neardup(spark, sf_dir):
         dom_num=_LM_DOM_NUM,
         dom_den=_LM_DOM_DEN,
     )
+
+
+def _kmv_overlap_sql() -> str:
+    from .operators.sketches import kmv_vocab_overlap_sql
+
+    return kmv_vocab_overlap_sql("documents")
+
+
+@register("q162_kmv_vocab_overlap", _kmv_overlap_sql())
+def q162_kmv_vocab_overlap(spark, sf_dir):
+    """Pairwise cross-source vocabulary overlap via KMV SET ALGEBRA
+    [Beyer et al. SIGMOD 2007] — q69's mergeability claim made operational:
+    per-source k-minimum-values sketches of the distinct-token md5 sets
+    are MERGED AND RE-TRIMMED per source pair to estimate |A ∪ B|, and
+    |A ∩ B| follows from the fraction of union-sketch members present in
+    both input sketches ((n_common/k) * est_union; exact by construction
+    when the union sketch is un-truncated). The planner statistic for
+    domain mixing / dedup scoping: lexical similarity between corpora
+    without shuffling full token sets — the pair stage sees only k tiny
+    hashes per source, so at 10^12 rows its cost is O(sources^2 * k),
+    independent of corpus size. The exact comparison columns
+    (n_union_exact / n_inter_exact) are the only corpus-wide joins and
+    exist to exhibit sketch accuracy — dropped at scale.
+
+    Oracle: the ENTIRE computation — tokenization, md5 sketches, pairwise
+    merge, hex->int parse, both IEEE-double estimates, exact columns —
+    re-derived in DuckDB SQL (operators/sketches.kmv_vocab_overlap_sql)."""
+    from .operators.sketches import kmv_vocab_overlap
+
+    return kmv_vocab_overlap(_t(spark, sf_dir, "documents"))

@@ -217,3 +217,84 @@ class TestHll:
 
         assert "q137_hll_distinct" in QUERIES
         assert "q137_hll_distinct" in ORACLE_SQL
+
+
+class TestKmvOverlap:
+    """q162: KMV set algebra — pairwise union/intersection estimation from
+    per-source sketches (merge + re-trim), exact when un-truncated."""
+
+    @staticmethod
+    def _docs(spark, spec):
+        # spec: {source: list of vocab word-lists per doc}
+        rows = [
+            (src, " ".join(words))
+            for src, docs in spec.items()
+            for words in docs
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["source", "text"])
+        ).repartition(5)
+
+    def test_exact_when_union_fits_in_sketch(self, spark):
+        from datasmith_spark.operators.sketches import kmv_vocab_overlap
+
+        spec = {
+            "x": [[f"w{i}" for i in range(20)]],
+            "y": [[f"w{i}" for i in range(10, 40)]],  # overlap = w10..w19
+        }
+        out = kmv_vocab_overlap(self._docs(spark, spec)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.source_a, r.source_b) == ("x", "y")
+        assert r.n_min == 40 and r.n_common == 10
+        assert r.est_union == 40.0 and r.est_inter == 10.0
+        assert r.n_union_exact == 40 and r.n_inter_exact == 10
+
+    def test_estimates_track_truth_above_k(self, spark):
+        from datasmith_spark.operators.sketches import kmv_vocab_overlap
+
+        # 1200 shared + 800/1000 private tokens; union 3000, inter 1200
+        shared = [f"s{i}" for i in range(1200)]
+        spec = {
+            "x": [shared + [f"xp{i}" for i in range(800)]],
+            "y": [shared + [f"yp{i}" for i in range(1000)]],
+        }
+        r = kmv_vocab_overlap(self._docs(spark, spec)).collect()[0]
+        assert r.n_union_exact == 3000 and r.n_inter_exact == 1200
+        # KMV sigma ~ est/sqrt(k-1) ≈ 12.6%; allow 3-sigma bands
+        assert abs(r.est_union - 3000) / 3000 < 0.4, r.est_union
+        assert abs(r.est_inter - 1200) / 1200 < 0.6, r.est_inter
+
+    def test_disjoint_sources_estimate_zero_intersection(self, spark):
+        from datasmith_spark.operators.sketches import kmv_vocab_overlap
+
+        spec = {
+            "x": [[f"a{i}" for i in range(500)]],
+            "y": [[f"b{i}" for i in range(500)]],
+        }
+        r = kmv_vocab_overlap(self._docs(spark, spec)).collect()[0]
+        assert r.n_common == 0 and r.est_inter == 0.0 and r.n_inter_exact == 0
+
+    def test_union_sketch_equals_sketch_of_union(self, spark):
+        """Merge + re-trim == sketching the concatenated corpus directly:
+        the mergeability property the pair stage relies on."""
+        from datasmith_spark.operators.sketches import kmv_distinct, kmv_vocab_overlap
+
+        spec = {
+            "x": [[f"t{i}" for i in range(700)]],
+            "y": [[f"t{i}" for i in range(350, 1400)]],
+        }
+        pair = kmv_vocab_overlap(self._docs(spark, spec)).collect()[0]
+        # sketch the union corpus directly under one group
+        toks = [(w,) for w in {f"t{i}" for i in range(1400)}]
+        union_df = spark.createDataFrame(
+            pd.DataFrame(toks, columns=["text"]).assign(lang="u")
+        )
+        direct = kmv_distinct(union_df, "text", "lang").collect()[0]
+        assert pair.kth_hash == direct.kth_hash
+        assert pair.est_union == direct.est_distinct
+
+    def test_registry_has_q162(self):
+        from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+        assert "q162_kmv_vocab_overlap" in QUERIES and "q162_kmv_vocab_overlap" in ORACLE_SQL
