@@ -146,3 +146,51 @@ def gen_url(rng: np.random.Generator) -> str:
 PII_GENERATORS = (gen_email, gen_phone, gen_ssn, gen_ipv4, gen_url)
 
 SYMBOL_NOISE_CHARS = list("#$%^&*~`|\\{}[]<>=+@!?;:")
+
+
+# --- compressibility quality signal (q163) ----------------------------------
+
+CR_MIN_BYTES = 32  # below this, the zlib header dominates: flag short instead
+CR_LO_PCT = 45  # comp/raw below 45% -> boilerplate / repetition junk
+CR_HI_PCT = 120  # comp/raw above 120% -> symbol noise / non-text
+
+def compress_metrics(text: str | None) -> tuple[int, int]:
+    """(raw_len, comp_len) of the utf-8 encoding under zlib level 6 — the
+    classic web-curation compressibility signal (too compressible =
+    boilerplate/templating, incompressible = symbol noise). zlib level 6
+    output is deterministic for a given input across builds (same fixed
+    Huffman/deflate parameters), so a committed fixture pins it bit-exact.
+
+    >>> compress_metrics(None)
+    (0, 0)
+    >>> raw, comp = compress_metrics("the cat sat on the mat " * 40)
+    >>> raw == 920 and comp < raw // 10  # heavy repetition compresses away
+    True
+    """
+    import zlib
+
+    if text is None:
+        return 0, 0
+    b = str(text).encode("utf-8")
+    if not b.strip():
+        return len(b), 0
+    return len(b), len(zlib.compress(b, 6))
+
+
+def compress_keep(raw_len: int, comp_len: int) -> tuple[bool, bool, bool]:
+    """(too_repetitive, too_random, keep) from integer cross-multiplied
+    band tests: keep iff raw_len >= CR_MIN_BYTES and CR_LO_PCT <=
+    100*comp/raw <= CR_HI_PCT. All-integer so any engine re-derives it.
+
+    >>> compress_keep(1000, 200)  # 20% -> boilerplate
+    (True, False, False)
+    >>> compress_keep(1000, 800)
+    (False, False, True)
+    >>> compress_keep(10, 9)  # too short to judge
+    (False, False, False)
+    """
+    if raw_len < CR_MIN_BYTES:
+        return False, False, False
+    rep = 100 * comp_len < CR_LO_PCT * raw_len
+    rnd = 100 * comp_len > CR_HI_PCT * raw_len
+    return rep, rnd, not rep and not rnd

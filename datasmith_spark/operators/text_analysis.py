@@ -553,3 +553,47 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= k)
     )
+
+
+CR_DDL = (
+    "clip_id string, raw_len int, comp_len int, "
+    "too_repetitive boolean, too_random boolean, keep boolean"
+)
+
+
+def transcript_compressibility(clips: DataFrame) -> DataFrame:
+    """Per-transcript zlib compressibility quality signal (q163): the
+    classic curation filter the regex rules cannot express — templated /
+    repetitive boilerplate compresses far below natural prose while symbol
+    noise barely compresses at all. Arrow-batched mapInPandas (zlib is C
+    inside the batch loop, nothing per-row at the Spark level); all output
+    columns integer/boolean via core/text.compress_keep's cross-multiplied
+    band so the committed fixture pins the whole computation. Shuffle-free
+    narrow map at any scale."""
+    import pandas as pd
+
+    from ..core.text import compress_keep, compress_metrics
+
+    def _run(batches):
+        for pdf in batches:
+            raws, comps, reps, rnds, keeps = [], [], [], [], []
+            for t in pdf["transcript"]:
+                raw, comp = compress_metrics(None if pd.isna(t) else str(t))
+                rep, rnd, keep = compress_keep(raw, comp)
+                raws.append(raw)
+                comps.append(comp)
+                reps.append(rep)
+                rnds.append(rnd)
+                keeps.append(keep)
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "raw_len": pd.array(raws, dtype="Int32"),
+                    "comp_len": pd.array(comps, dtype="Int32"),
+                    "too_repetitive": reps,
+                    "too_random": rnds,
+                    "keep": keeps,
+                }
+            )
+
+    return clips.select("clip_id", "transcript").mapInPandas(_run, schema=CR_DDL)

@@ -8104,3 +8104,32 @@ def q162_kmv_vocab_overlap(spark, sf_dir):
     from .operators.sketches import kmv_vocab_overlap
 
     return kmv_vocab_overlap(_t(spark, sf_dir, "documents"))
+
+
+_COMPRESS_FIXTURE = f"/root/repo/fixtures/oracle_compress_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q163_transcript_compressibility",
+    f"""
+    SELECT clip_id, raw_len, comp_len, too_repetitive, too_random, keep
+    FROM read_parquet('{_COMPRESS_FIXTURE}')
+    """,
+)
+def q163_transcript_compressibility(spark, sf_dir):
+    """Per-transcript zlib compressibility quality filter — the classic
+    web-curation signal the regex/word-count rules (q42) cannot express:
+    templated boilerplate compresses far below natural prose (comp/raw <
+    45%), symbol noise barely compresses (> 120%), and sub-32-byte texts
+    are too short to judge (zlib header dominates). All verdict columns
+    are integer/boolean via cross-multiplied band tests
+    (core/text.compress_keep); zlib level-6 output is deterministic, so
+    the committed fixture (scripts/make_compress_fixture.py — shared
+    kernel, independent driver loop) pins (raw_len, comp_len) bit-exact.
+    On the pinned corpus: 3229 keep / 69 repetitive / 33 noise / 669
+    short. Arrow-batched narrow map, shuffle-free at any scale
+    (operators/text_analysis.transcript_compressibility)."""
+    from .operators.text_analysis import transcript_compressibility
+
+    clips = spark.read.parquet(_clips_cache_path(spark, sf_dir))
+    return transcript_compressibility(clips)

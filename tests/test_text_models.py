@@ -347,3 +347,70 @@ def test_registry_has_q99(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q99_tfidf_top_terms" in QUERIES and "q99_tfidf_top_terms" in ORACLE_SQL
+
+
+class TestCompressibility:
+    """q163: zlib compressibility quality band (core/text.compress_*)."""
+
+    def test_kernel_bands(self):
+        from datasmith_spark.core.text import compress_keep, compress_metrics
+
+        raw, comp = compress_metrics("word " * 200)  # heavy repetition
+        assert compress_keep(raw, comp) == (True, False, False)
+        prose = "the quick brown fox jumps over the lazy dog near the river bank today"
+        raw, comp = compress_metrics(prose)
+        assert compress_keep(raw, comp) == (False, False, True)
+        # deterministic symbol noise just above the floor: zlib expands it
+        noise = "".join(chr(33 + ((i * i * 7 + i * 13) % 90)) for i in range(36))
+        raw, comp = compress_metrics(noise)
+        assert compress_keep(raw, comp) == (False, True, False)
+        assert compress_metrics(None) == (0, 0)
+        assert compress_keep(10, 10) == (False, False, False)  # too short
+
+    def test_operator_matches_kernel_rowwise(self, spark):
+        import pandas as pd
+
+        from datasmith_spark.core.text import compress_keep, compress_metrics
+        from datasmith_spark.operators.text_analysis import transcript_compressibility
+
+        rows = pd.DataFrame(
+            {
+                "clip_id": ["a", "b", "c", "d"],
+                "transcript": ["tok " * 100, "some ordinary sentence with words in it ok", None, "hi"],
+            }
+        )
+        got = (
+            transcript_compressibility(spark.createDataFrame(rows))
+            .toPandas()
+            .set_index("clip_id")
+        )
+        for cid, t in zip(rows.clip_id, rows.transcript):
+            raw, comp = compress_metrics(t)
+            rep, rnd, keep = compress_keep(raw, comp)
+            r = got.loc[cid]
+            assert (r.raw_len, r.comp_len, r.too_repetitive, r.too_random, r.keep) == (
+                raw, comp, rep, rnd, keep,
+            ), cid
+
+    def test_fixture_is_honest(self):
+        import sys
+
+        import pandas as pd
+
+        sys.path.insert(0, "/root/repo/scripts")
+        import make_compress_fixture as mcf
+
+        fix = pd.read_parquet("/root/repo/fixtures/oracle_compress_n4000.parquet")
+        idx = list(range(0, 4000, 37))
+        fresh = mcf.oracle_rows(idx).reset_index(drop=True)
+        sample = fix.iloc[idx].reset_index(drop=True)
+        for c in fresh.columns:
+            assert (sample[c].astype(str) == fresh[c].astype(str)).all(), c
+
+    def test_registry_has_q163(self):
+        from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+        assert (
+            "q163_transcript_compressibility" in QUERIES
+            and "q163_transcript_compressibility" in ORACLE_SQL
+        )
