@@ -2030,3 +2030,67 @@ def xcorr_align_clips(
             yield df
 
     return joined.mapInPandas(_run, schema=PAIR_ALIGN_DDL)
+
+
+PITCH_DDL = (
+    "clip_id string, ok boolean, n_frames int, n_voiced int, voiced_pct int, "
+    "med_lag int, f0_hz int"
+)
+
+
+def _pitch_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One pandas batch of clips -> pitch/voicing prosody stats batch
+    (core/pitch.pitch_stats; all-integer metrics). Undecodable rows emit
+    ok=False with zeroed stats."""
+    from ..core.pitch import pitch_stats
+
+    oks, nfs, nvs, vps, mls, f0s = [], [], [], [], [], []
+    for buf, sr, codec in zip(pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        if pcm is None or pcm.size == 0:
+            oks.append(False)
+            nfs.append(0); nvs.append(0); vps.append(0); mls.append(0); f0s.append(0)
+            continue
+        st = pitch_stats(pcm, int(sr))
+        oks.append(True)
+        nfs.append(st["n_frames"]); nvs.append(st["n_voiced"])
+        vps.append(st["voiced_pct"]); mls.append(st["med_lag"]); f0s.append(st["f0_hz"])
+    return pd.DataFrame(
+        {
+            "clip_id": pdf["clip_id"],
+            "ok": oks,
+            "n_frames": pd.array(nfs, dtype="Int32"),
+            "n_voiced": pd.array(nvs, dtype="Int32"),
+            "voiced_pct": pd.array(vps, dtype="Int32"),
+            "med_lag": pd.array(mls, dtype="Int32"),
+            "f0_hz": pd.array(f0s, dtype="Int32"),
+        }
+    )
+
+
+def pitch_stats_clips(clips: DataFrame) -> DataFrame:
+    """Per-clip autocorrelation pitch/voicing prosody statistics
+    (composable path) — the TTS-curation features next to VAD (q41) and
+    spectral quality (q46): voiced fraction, median F0 lag, integer Hz."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _pitch_pdf(pdf)
+
+    return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
+        _run, schema=PITCH_DDL
+    )
+
+
+def pitch_stats_scan(spark: SparkSession, input_dir: str) -> DataFrame:
+    """pitch_stats_clips over a parquet directory via the fused manifest
+    scan (q164's path) — FFT-kernel bound, full session parallelism."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        _pitch_pdf,
+        PITCH_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+        columns=["clip_id", "bytes", "sr_hz", "codec"],
+    )

@@ -8133,3 +8133,32 @@ def q163_transcript_compressibility(spark, sf_dir):
 
     clips = spark.read.parquet(_clips_cache_path(spark, sf_dir))
     return transcript_compressibility(clips)
+
+
+_PITCH_FIXTURE = f"/root/repo/fixtures/oracle_pitch_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q164_pitch_stats",
+    f"""
+    SELECT clip_id, ok, n_frames, n_voiced, voiced_pct, med_lag, f0_hz
+    FROM read_parquet('{_PITCH_FIXTURE}')
+    """,
+)
+def q164_pitch_stats(spark, sf_dir):
+    """Per-clip autocorrelation pitch / voicing prosody statistics
+    (Rabiner 1977): per 32 ms frame the FFT autocorrelation peak lag over
+    80-400 Hz, voiced iff the peak clears half the frame energy
+    (cross-multiplied 2*r(k*) > r(0), no division) — aggregated to voiced
+    fraction, lower-median lag, and integer F0 Hz. The TTS-curation
+    features next to VAD (q41) and spectral quality (q46): separates
+    pitched speech/tones from hum and hiss and buckets clips by register
+    before augmentation. All emitted metrics are integers (core/pitch.py
+    portability contract), so the committed fixture
+    (scripts/make_pitch_fixture.py — shared kernel, independent driver
+    loop) pins the whole computation with no digest needed. Fused manifest
+    scan, FFT-kernel bound, shuffle-free narrow map at any scale
+    (operators/audio_ops.pitch_stats_scan)."""
+    from .operators.audio_ops import pitch_stats_scan
+
+    return pitch_stats_scan(spark, _clips_cache_path(spark, sf_dir))

@@ -18,6 +18,7 @@ from datasmith_spark.core import (
     landmark,
     langid,
     lm,
+    pitch,
     rules,
     scrub,
     specsig,
@@ -27,9 +28,9 @@ from datasmith_spark.core import (
 )
 
 KERNEL_MODULES = (
-    audio, audio_fp, landmark, langid, lm, rules, scrub, specsig, spectral, text, vad,
+    audio, audio_fp, landmark, langid, lm, pitch, rules, scrub, specsig, spectral, text, vad,
 )
-MUST_HAVE_EXAMPLES = (audio, audio_fp, landmark, rules, scrub, specsig, spectral, text, vad)
+MUST_HAVE_EXAMPLES = (audio, audio_fp, landmark, pitch, rules, scrub, specsig, spectral, text, vad)
 
 
 @pytest.mark.parametrize("mod", KERNEL_MODULES, ids=lambda m: m.__name__)
