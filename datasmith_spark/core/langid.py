@@ -125,3 +125,80 @@ def model() -> LangIdModel:
             np.add.at(counts[li], idx, 1.0)
     logprob = np.log(counts / counts.sum(axis=1, keepdims=True))
     return LangIdModel(logprob, LANGS)
+
+
+# --- code-switching detection (q165) ----------------------------------------
+
+CS_WIN_WORDS = 8  # langid vote window (words)
+CS_HOP_WORDS = 4
+CS_MIN_WINDOWS = 2  # below this the transcript is too short to call mixed
+CS_SECONDARY_Q = 4  # mixed iff secondary windows >= n_windows / 4
+
+
+def codeswitch_stats(text: str | None) -> dict:
+    """Segment-level language-ID voting over a transcript: slide a
+    CS_WIN_WORDS-word window (hop CS_HOP_WORDS) and classify each window
+    with the frozen langid model, then report the majority language, the
+    strongest minority language, and the integer mixed verdict
+    (CS_SECONDARY_Q * n_secondary >= n_windows with at least
+    CS_MIN_WINDOWS windows) — the code-switching / wrong-langid-confidence
+    signal a monolingual whole-document classifier (the pipeline's langid
+    stage) cannot express. Ties break by (count desc, lang asc) so every
+    output is deterministic.
+
+    Transcripts shorter than one full window get a single all-words
+    window; blank/None yields n_windows = 0 and null languages.
+    """
+    if text is None or not str(text).strip():
+        return {
+            "n_windows": 0, "lang_primary": None, "n_primary": 0,
+            "lang_secondary": None, "n_secondary": 0, "mixed": False,
+        }
+    words = str(text).split()
+    if len(words) >= CS_WIN_WORDS:
+        spans = [
+            words[s : s + CS_WIN_WORDS]
+            for s in range(0, len(words) - CS_WIN_WORDS + 1, CS_HOP_WORDS)
+        ]
+    else:
+        spans = [words]
+    m = model()
+    votes: dict[str, int] = {}
+    for w in spans:
+        lang, _ = m.predict_one(" ".join(w))
+        if lang is not None:
+            votes[lang] = votes.get(lang, 0) + 1
+    if not votes:
+        return {
+            "n_windows": 0, "lang_primary": None, "n_primary": 0,
+            "lang_secondary": None, "n_secondary": 0, "mixed": False,
+        }
+    ranked = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+    n_windows = sum(votes.values())
+    lang_p, n_p = ranked[0]
+    lang_s, n_s = ranked[1] if len(ranked) > 1 else (None, 0)
+    mixed = n_windows >= CS_MIN_WINDOWS and CS_SECONDARY_Q * n_s >= n_windows
+    return {
+        "n_windows": n_windows, "lang_primary": lang_p, "n_primary": n_p,
+        "lang_secondary": lang_s, "n_secondary": n_s, "mixed": mixed,
+    }
+
+
+def mixed_variant(text: str, clip_id: str) -> str:
+    """Deterministic planted CODE-SWITCHED transcript: the original text
+    followed by an equal-length sentence in a DIFFERENT language, chosen by
+    id hash (next language in LANGS if the hash pick equals the model's
+    whole-text prediction). Ground truth for q165 — the text-lane analogue
+    of the audio planting lanes (delayed/noisy/speed variants)."""
+    import zlib
+
+    from .text import gen_sentence
+
+    base_lang, _ = model().predict_one(text)
+    h = zlib.crc32((clip_id + "#mix").encode())
+    pick = LANGS[h % len(LANGS)]
+    if pick == base_lang:
+        pick = LANGS[(h + 1) % len(LANGS)]
+    n_words = max(len(str(text).split()), CS_WIN_WORDS)
+    rng = np.random.default_rng([int(h), 4242])
+    return str(text) + " " + gen_sentence(rng, pick, n_words)

@@ -597,3 +597,55 @@ def transcript_compressibility(clips: DataFrame) -> DataFrame:
             )
 
     return clips.select("clip_id", "transcript").mapInPandas(_run, schema=CR_DDL)
+
+
+CS_DDL = (
+    "clip_id string, n_windows int, lang_primary string, n_primary int, "
+    "lang_secondary string, n_secondary int, mixed boolean"
+)
+
+
+def codeswitch_clips(clips: DataFrame, aug_every: int = 0) -> DataFrame:
+    """Segment-level language-ID voting over transcripts (q165): slide an
+    8-word window (hop 4), classify each with the frozen langid model, and
+    report majority/minority languages plus the integer mixed verdict
+    (core/langid.codeswitch_stats) — the code-switching signal the
+    pipeline's whole-transcript langid stage cannot express; mixed rows
+    are route-to-review candidates (wrong-language contamination, spliced
+    uploads).
+
+    aug_every > 0 plants a deterministic code-switched mx_ variant for
+    every aug_every-th datagen clip (core/langid.mixed_variant — the text
+    analogue of the audio planting lanes). The composable default
+    (aug_every=0) accepts ARBITRARY clip ids (the q38-family contract).
+    Arrow-batched narrow map; the model trains once per worker process
+    (the daemon preload covers it), nothing per-row at the Spark level."""
+    import pandas as pd
+
+    from ..core.langid import codeswitch_stats, mixed_variant
+
+    def _run(batches):
+        from .audio_fp import clip_index
+
+        cols = ("n_windows", "lang_primary", "n_primary", "lang_secondary", "n_secondary", "mixed")
+        for pdf in batches:
+            out = {c: [] for c in ("clip_id",) + cols}
+
+            def _emit(cid, st):
+                out["clip_id"].append(cid)
+                for c in cols:
+                    out[c].append(st[c])
+
+            for cid, t in zip(pdf["clip_id"], pdf["transcript"]):
+                t = None if pd.isna(t) else str(t)
+                _emit(cid, codeswitch_stats(t))
+                if aug_every and t and t.strip() and clip_index(cid) % aug_every == 0:
+                    i = clip_index(cid)
+                    _emit(f"mx_{i:012d}", codeswitch_stats(mixed_variant(t, cid)))
+            df = pd.DataFrame(out)
+            df["n_windows"] = df["n_windows"].astype("int32")
+            df["n_primary"] = df["n_primary"].astype("int32")
+            df["n_secondary"] = df["n_secondary"].astype("int32")
+            yield df
+
+    return clips.select("clip_id", "transcript").mapInPandas(_run, schema=CS_DDL)

@@ -8162,3 +8162,38 @@ def q164_pitch_stats(spark, sf_dir):
     from .operators.audio_ops import pitch_stats_scan
 
     return pitch_stats_scan(spark, _clips_cache_path(spark, sf_dir))
+
+
+_CODESWITCH_FIXTURE = f"/root/repo/fixtures/oracle_codeswitch_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q165_codeswitch_transcripts",
+    f"""
+    SELECT clip_id, n_windows, lang_primary, n_primary,
+           lang_secondary, n_secondary, mixed
+    FROM read_parquet('{_CODESWITCH_FIXTURE}')
+    """,
+)
+def q165_codeswitch_transcripts(spark, sf_dir):
+    """Segment-level CODE-SWITCHING detection over transcripts: 8-word
+    langid vote windows (hop 4) -> majority/minority language counts ->
+    integer mixed verdict (secondary windows >= 1/4 of total, >= 2
+    windows) — the contamination signal the whole-transcript langid stage
+    cannot express (spliced uploads, wrong-language runs inside a clip).
+    Planted ground truth like the audio lanes: every 40th clip also
+    yields a deterministic mx_ variant (original + equal-length
+    different-language sentence chosen by id hash,
+    core/langid.mixed_variant). Measured on the pinned corpus: 0/3914
+    non-blank base transcripts falsely mixed; 95/99 plants recovered —
+    the 4 misses are <= 4-word bases where the whole plant fits in one
+    window (sub-window texts cannot exhibit segment-level switching).
+
+    Oracle: committed fixture (scripts/make_codeswitch_fixture.py —
+    shared frozen-model kernel, independent driver loop). Arrow-batched
+    narrow map, model trained once per worker; shuffle-free at any scale
+    (operators/text_analysis.codeswitch_clips)."""
+    from .operators.text_analysis import codeswitch_clips
+
+    clips = spark.read.parquet(_clips_cache_path(spark, sf_dir))
+    return codeswitch_clips(clips, aug_every=40)

@@ -414,3 +414,77 @@ class TestCompressibility:
             "q163_transcript_compressibility" in QUERIES
             and "q163_transcript_compressibility" in ORACLE_SQL
         )
+
+
+class TestCodeSwitch:
+    """q165: segment-level langid voting (core/langid.codeswitch_stats)."""
+
+    def test_monolingual_not_mixed_and_plant_mixed(self):
+        import numpy as np
+
+        from datasmith_spark.core.langid import codeswitch_stats, mixed_variant
+        from datasmith_spark.core.text import gen_sentence
+
+        mono = gen_sentence(np.random.default_rng(1), "en", 40)
+        st = codeswitch_stats(mono)
+        assert st["lang_primary"] == "en" and not st["mixed"] and st["n_secondary"] == 0
+        stm = codeswitch_stats(mixed_variant(mono, "any-id"))
+        assert stm["mixed"] and stm["lang_secondary"] is not None
+        # determinism
+        assert mixed_variant(mono, "any-id") == mixed_variant(mono, "any-id")
+        assert mixed_variant(mono, "other") != mixed_variant(mono, "any-id")
+
+    def test_blank_and_short_edges(self):
+        from datasmith_spark.core.langid import codeswitch_stats
+
+        assert codeswitch_stats(None)["n_windows"] == 0
+        assert codeswitch_stats("   ")["n_windows"] == 0
+        st = codeswitch_stats("hello world")
+        assert st["n_windows"] == 1 and not st["mixed"]
+
+    def test_operator_arbitrary_ids(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from datasmith_spark.core.langid import mixed_variant
+        from datasmith_spark.core.text import gen_sentence
+        from datasmith_spark.operators.text_analysis import codeswitch_clips
+
+        mono = gen_sentence(np.random.default_rng(2), "fr", 30)
+        rows = pd.DataFrame(
+            {
+                "clip_id": ["s3://x/a b.wav", "uuid-77", "blank"],
+                "transcript": [mono, mixed_variant(mono, "uuid-77"), None],
+            }
+        )
+        got = codeswitch_clips(spark.createDataFrame(rows)).toPandas().set_index("clip_id")
+        assert not got.loc["s3://x/a b.wav"].mixed
+        assert got.loc["uuid-77"].mixed
+        assert got.loc["blank"].n_windows == 0
+
+    def test_fixture_is_honest(self):
+        import sys
+
+        import pandas as pd
+
+        sys.path.insert(0, "/root/repo/scripts")
+        import make_codeswitch_fixture as mcs
+
+        fix = pd.read_parquet("/root/repo/fixtures/oracle_codeswitch_n4000.parquet")
+        lo, hi = 960, 1160
+        fresh = mcs.oracle_rows(range(lo, hi)).reset_index(drop=True)
+        ids = {f"clip_{i:012d}" for i in range(lo, hi)} | {
+            f"mx_{i:012d}" for i in range(lo, hi)
+        }
+        sample = fix[fix.clip_id.isin(ids)].reset_index(drop=True)
+        assert len(sample) == len(fresh) > 0
+        for c in fresh.columns:
+            assert (sample[c].astype(str) == fresh[c].astype(str)).all(), c
+
+    def test_registry_has_q165(self):
+        from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+        assert (
+            "q165_codeswitch_transcripts" in QUERIES
+            and "q165_codeswitch_transcripts" in ORACLE_SQL
+        )
