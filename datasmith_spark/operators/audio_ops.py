@@ -2094,3 +2094,78 @@ def pitch_stats_scan(spark: SparkSession, input_dir: str) -> DataFrame:
         scan_parallelism=_kernel_parallelism(spark, input_dir),
         columns=["clip_id", "bytes", "sr_hz", "codec"],
     )
+
+
+INTEG_DDL = (
+    "clip_id string, ok boolean, n_samples int, max_zero_run int, "
+    "max_rep_run int, dropout boolean, stuck boolean, keep boolean"
+)
+
+INTEG_AUG_MIN_MS = 120  # plant only when the clip holds both artifacts
+
+
+def _integrity_pdf(pdf: pd.DataFrame, aug_every: int) -> pd.DataFrame:
+    """One pandas batch of clips -> sample-integrity audit batch
+    (core/integrity.integrity_metrics; all-integer metrics), plus planted
+    corrupted co_ variants for every aug_every-th datagen clip (q166's
+    ground truth). The composable default (aug_every=0) accepts ARBITRARY
+    clip ids — the q38-family contract."""
+    from ..core.integrity import corrupted_variant, integrity_metrics
+    from .audio_fp import clip_index
+
+    cols = ("n_samples", "max_zero_run", "max_rep_run", "dropout", "stuck", "keep")
+    out = {c: [] for c in ("clip_id", "ok") + cols}
+
+    def _emit(cid, ok, m):
+        out["clip_id"].append(cid)
+        out["ok"].append(ok)
+        for c in cols:
+            out[c].append(m[c] if m else (0 if c in cols[:3] else False))
+
+    for cid, buf, sr, codec in zip(pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        if pcm is None or pcm.size == 0:
+            _emit(cid, False, None)
+            continue
+        _emit(cid, True, integrity_metrics(pcm, sr))
+        if (
+            aug_every
+            and clip_index(cid) % aug_every == 0
+            and pcm.size * 1000 >= INTEG_AUG_MIN_MS * sr
+        ):
+            i = clip_index(cid)
+            y = corrupted_variant(pcm, sr, cid)
+            _emit(f"co_{i:012d}", True, integrity_metrics(y, sr))
+    df = pd.DataFrame(out)
+    for c in ("n_samples", "max_zero_run", "max_rep_run"):
+        df[c] = df[c].astype("int32")
+    return df
+
+
+def integrity_clips(clips: DataFrame, aug_every: int = 0) -> DataFrame:
+    """Per-clip sample-integrity audit (composable path): dropout /
+    stuck-sample run lengths and the rate-independent keep verdict — the
+    digital-artifact lane next to VAD (q41), spectral quality (q46), and
+    pitch (q164)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _integrity_pdf(pdf, aug_every)
+
+    return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
+        _run, schema=INTEG_DDL
+    )
+
+
+def integrity_scan(spark: SparkSession, input_dir: str, aug_every: int = 0) -> DataFrame:
+    """integrity_clips over a parquet directory via the fused manifest scan
+    (q166's path) — decode-bound, full session parallelism."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _integrity_pdf(pdf, aug_every),
+        INTEG_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+        columns=["clip_id", "bytes", "sr_hz", "codec"],
+    )

@@ -8197,3 +8197,35 @@ def q165_codeswitch_transcripts(spark, sf_dir):
 
     clips = spark.read.parquet(_clips_cache_path(spark, sf_dir))
     return codeswitch_clips(clips, aug_every=40)
+
+
+_INTEGRITY_FIXTURE = f"/root/repo/fixtures/oracle_integrity_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q166_integrity_audit",
+    f"""
+    SELECT clip_id, ok, n_samples, max_zero_run, max_rep_run,
+           dropout, stuck, keep
+    FROM read_parquet('{_INTEGRITY_FIXTURE}')
+    """,
+)
+def q166_integrity_audit(spark, sf_dir):
+    """Sample-level audio INTEGRITY audit: exact-zero dropout runs (buffer
+    underruns) and stuck-sample runs (repeating DAC/serializer values) —
+    digital artifacts the frame-energy (q41) and spectral (q46) lanes
+    cannot see when short, measured EXACTLY in the sample domain and
+    judged by rate-independent cross-multiplied ms thresholds
+    (core/integrity.py; natural corpus ceiling 0.75 ms vs the 10 ms
+    verdict line, 13x margin). Planted ground truth like the dup lanes:
+    every 40th decodable >= 120 ms clip yields a corrupted co_ variant
+    (12..39 ms dropout + 12..39 ms stuck run at id-hashed positions in
+    disjoint halves) — all 97 plants flagged, zero base false positives.
+
+    Oracle: committed all-integer fixture
+    (scripts/make_integrity_fixture.py — shared kernel, independent driver
+    loop). Fused manifest scan, decode-bound, shuffle-free narrow map
+    (operators/audio_ops.integrity_scan)."""
+    from .operators.audio_ops import integrity_scan
+
+    return integrity_scan(spark, _clips_cache_path(spark, sf_dir), aug_every=40)
