@@ -2169,3 +2169,83 @@ def integrity_scan(spark: SparkSession, input_dir: str, aug_every: int = 0) -> D
         scan_parallelism=_kernel_parallelism(spark, input_dir),
         columns=["clip_id", "bytes", "sr_hz", "codec"],
     )
+
+
+GATE_DDL = (
+    "clip_id string, ok boolean, vad_keep boolean, spectral_keep boolean, "
+    "rate_keep boolean, integrity_keep boolean, text_keep boolean, keep boolean"
+)
+
+
+def _quality_gate_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One pandas batch of clips -> the FUSED five-lane quality verdict:
+    ONE decode per clip feeds the VAD keep (q41 semantics, -20 dBFS floor),
+    the spectral SNR/bandwidth keep (q46), the speaking-rate keep (q47),
+    the sample-integrity keep (q166) and the transcript-compressibility
+    keep (q163); keep = decodable AND all five. Each lane calls the SAME
+    shared kernel its committed fixture used, so the q167 oracle is a pure
+    JOIN of the four lane fixtures — fusion changes the pass structure,
+    never a value."""
+    from ..core.integrity import integrity_metrics
+    from ..core.text import compress_keep, compress_metrics
+    from ..core.vad import Q41_ACTIVE_DB
+
+    out = {
+        "clip_id": pdf["clip_id"], "ok": [], "vad_keep": [], "spectral_keep": [],
+        "rate_keep": [], "integrity_keep": [], "text_keep": [], "keep": [],
+    }
+    for buf, sr, codec, tr in zip(
+        pdf["bytes"], pdf["sr_hz"], pdf["codec"], pdf["transcript"]
+    ):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        ok = pcm is not None
+        ns, nf, na, t0, t1, nc = vad_metrics(
+            pcm, sr if ok else 0, active_db=Q41_ACTIVE_DB
+        )
+        vkeep = vad_keep(ok, ns, nf, na, nc)
+        _, _, _, snr_ok, _, narrow = spectral_metrics(pcm)
+        skeep = ok and snr_ok and not narrow
+        _, _, n_active35, _, _, _ = vad_metrics(pcm, sr if ok else 0)
+        n_chars = 0 if tr is None or pd.isna(tr) else len(str(tr).strip())
+        active_ms = n_active35 * FRAME_MS if ok else None
+        rkeep = speaking_rate_keep(n_chars, active_ms)
+        ikeep = bool(integrity_metrics(pcm, sr)["keep"]) if ok else False
+        tkeep = compress_keep(*compress_metrics(None if tr is None or pd.isna(tr) else str(tr)))[2]
+        out["ok"].append(ok)
+        out["vad_keep"].append(vkeep)
+        out["spectral_keep"].append(skeep)
+        out["rate_keep"].append(rkeep)
+        out["integrity_keep"].append(ikeep)
+        out["text_keep"].append(tkeep)
+        out["keep"].append(ok and vkeep and skeep and rkeep and ikeep and tkeep)
+    return pd.DataFrame(out)
+
+
+def quality_gate_clips(clips: DataFrame) -> DataFrame:
+    """Fused five-lane audio+text quality gate (composable path): the
+    one-stop keep decision with per-lane attribution, one decode per clip."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _quality_gate_pdf(pdf)
+
+    return clips.select("clip_id", "bytes", "sr_hz", "codec", "transcript").mapInPandas(
+        _run, schema=GATE_DDL
+    )
+
+
+def quality_gate_scan(spark: SparkSession, input_dir: str) -> DataFrame:
+    """quality_gate_clips over a parquet directory via the fused manifest
+    scan (q167's path): at 10^12 clips the decode pass is the dominant
+    cost, and this operator pays it ONCE for five verdicts instead of five
+    times — the fusion you actually run in production, with the per-lane
+    queries (q41/q46/q47/q163/q166) as its audited components."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        _quality_gate_pdf,
+        GATE_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+        columns=["clip_id", "bytes", "sr_hz", "codec", "transcript"],
+    )

@@ -8229,3 +8229,42 @@ def q166_integrity_audit(spark, sf_dir):
     from .operators.audio_ops import integrity_scan
 
     return integrity_scan(spark, _clips_cache_path(spark, sf_dir), aug_every=40)
+
+
+@register(
+    "q167_quality_gate",
+    f"""
+    SELECT v.clip_id, v.ok,
+           v.keep AS vad_keep,
+           q.keep AS spectral_keep,
+           q.rate_keep AS rate_keep,
+           CASE WHEN v.ok THEN i.keep ELSE FALSE END AS integrity_keep,
+           c.keep AS text_keep,
+           (v.ok AND v.keep AND q.keep AND q.rate_keep AND i.keep AND c.keep)
+             AS keep
+    FROM read_parquet('{_AUDIO_VAD_FIXTURE}') v
+    JOIN read_parquet('{_AUDIO_QUALITY_FIXTURE}') q USING (clip_id)
+    JOIN (SELECT * FROM read_parquet('{_INTEGRITY_FIXTURE}')
+          WHERE clip_id NOT LIKE 'co_%') i USING (clip_id)
+    JOIN read_parquet('{_COMPRESS_FIXTURE}') c USING (clip_id)
+    """,
+)
+def q167_quality_gate(spark, sf_dir):
+    """The FUSED five-lane quality gate: one decode per clip feeds the VAD
+    keep (q41), spectral SNR/bandwidth keep (q46), speaking-rate keep
+    (q47), sample-integrity keep (q166), and transcript-compressibility
+    keep (q163); keep = decodable AND all five, with per-lane attribution
+    columns for drop diagnostics. This is the operator you actually run at
+    10^12 clips — the decode pass dominates cost there and is paid ONCE
+    for five verdicts instead of five times — while the per-lane queries
+    remain its independently-audited components.
+
+    Oracle: a pure JOIN of the four committed lane fixtures (vad, spectral
+    +rate, integrity base rows, compressibility) — every lane calls the
+    SAME shared kernel its fixture pinned, so fusion is proven to change
+    the pass structure and never a value. Fused manifest scan,
+    kernel-bound, shuffle-free narrow map
+    (operators/audio_ops.quality_gate_scan)."""
+    from .operators.audio_ops import quality_gate_scan
+
+    return quality_gate_scan(spark, _clips_cache_path(spark, sf_dir))
