@@ -65,6 +65,23 @@ def stream_audio_quality(
     return audio_quality(stream_clips(spark, input_dir, max_files_per_trigger))
 
 
+def stream_quality_gate(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Continuous-ingest FIVE-lane quality gate: q167's fused operator
+    (VAD + spectral + speaking-rate + sample-integrity + transcript
+    compressibility, one decode per clip) lifted onto a file-source
+    stream. Stateless Arrow-batched mapInPandas, so micro-batch results
+    are bit-identical to the batch operator over the same files — the
+    single codepath that serves backfill and live ingest
+    (tests/test_streaming.py::test_stream_quality_gate_matches_batch)."""
+    from .operators.audio_ops import quality_gate_clips
+
+    return quality_gate_clips(stream_clips(spark, input_dir, max_files_per_trigger))
+
+
 def stream_features(
     spark: SparkSession,
     input_dir: str,

@@ -843,3 +843,37 @@ def test_stream_disorder_audit_matches_batch(spark, tmp_path):
     assert got == want
     assert got[1][1] == 1 and got[1][2] == 120_000_000  # planted 2-min lateness
     assert got[2][1] == 0                               # clean stream clean
+
+
+def test_stream_quality_gate_matches_batch(spark, clips_path, stream_dirs, tmp_path):
+    """q167's five-lane fused gate lifted onto a stream reproduces the
+    batch operator bit-for-bit over the same files (stateless lanes)."""
+    from datasmith_spark.operators.audio_ops import quality_gate_clips
+    from datasmith_spark.streaming import stream_quality_gate
+
+    inp, _ = stream_dirs
+    q = (
+        stream_quality_gate(spark, inp, max_files_per_trigger=4)
+        .writeStream.format("memory")
+        .queryName("gate_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.table("gate_stream").toPandas().sort_values("clip_id").reset_index(drop=True)
+    )
+    want = (
+        quality_gate_clips(spark.read.parquet(inp))
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in want.columns:
+        assert (got[c] == want[c]).all(), f"{c} mismatch"
+    lanes = (
+        want.ok & want.vad_keep & want.spectral_keep & want.rate_keep
+        & want.integrity_keep & want.text_keep
+    )
+    assert (want.keep == lanes).all()
