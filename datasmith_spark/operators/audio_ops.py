@@ -2038,7 +2038,7 @@ PITCH_DDL = (
 )
 
 
-def _pitch_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+def _pitch_stats_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     """One pandas batch of clips -> pitch/voicing prosody stats batch
     (core/pitch.pitch_stats; all-integer metrics). Undecodable rows emit
     ok=False with zeroed stats."""
@@ -2076,7 +2076,7 @@ def pitch_stats_clips(clips: DataFrame) -> DataFrame:
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _pitch_pdf(pdf)
+            yield _pitch_stats_pdf(pdf)
 
     return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
         _run, schema=PITCH_DDL
@@ -2089,7 +2089,7 @@ def pitch_stats_scan(spark: SparkSession, input_dir: str) -> DataFrame:
     return _manifest_scan(
         spark,
         input_dir,
-        _pitch_pdf,
+        _pitch_stats_pdf,
         PITCH_DDL,
         scan_parallelism=_kernel_parallelism(spark, input_dir),
         columns=["clip_id", "bytes", "sr_hz", "codec"],

@@ -26,7 +26,7 @@ FIXTURE_DIR = os.path.join(
 
 def oracle_rows(indices) -> pd.DataFrame:
     """Pitch oracle for clip rows `indices` — mirrors
-    operators/audio_ops._pitch_pdf exactly."""
+    operators/audio_ops._pitch_stats_pdf exactly."""
     from datasmith_spark import datagen
     from datasmith_spark.core.audio import decode
     from datasmith_spark.core.pitch import pitch_stats
