@@ -8268,3 +8268,81 @@ def q167_quality_gate(spark, sf_dir):
     from .operators.audio_ops import quality_gate_scan
 
     return quality_gate_scan(spark, _clips_cache_path(spark, sf_dir))
+
+
+_GATE_ORACLE_JOIN = f"""
+    SELECT v.clip_id, v.ok,
+           v.keep AS vad_keep, q.keep AS spectral_keep, q.rate_keep AS rate_keep,
+           CASE WHEN v.ok THEN i.keep ELSE FALSE END AS integrity_keep,
+           c.keep AS text_keep
+    FROM read_parquet('{_AUDIO_VAD_FIXTURE}') v
+    JOIN read_parquet('{_AUDIO_QUALITY_FIXTURE}') q USING (clip_id)
+    JOIN (SELECT * FROM read_parquet('{_INTEGRITY_FIXTURE}')
+          WHERE clip_id NOT LIKE 'co_%') i USING (clip_id)
+    JOIN read_parquet('{_COMPRESS_FIXTURE}') c USING (clip_id)
+"""
+
+
+@register(
+    "q168_gate_attribution",
+    f"""
+    WITH g AS ({_GATE_ORACLE_JOIN}),
+    attr AS (
+      SELECT CASE
+        WHEN NOT ok THEN 0 WHEN NOT vad_keep THEN 1 WHEN NOT spectral_keep THEN 2
+        WHEN NOT rate_keep THEN 3 WHEN NOT integrity_keep THEN 4
+        WHEN NOT text_keep THEN 5 ELSE 6 END AS stage_order
+      FROM g
+    )
+    SELECT stage_order,
+           CASE stage_order WHEN 0 THEN 'decode' WHEN 1 THEN 'vad'
+             WHEN 2 THEN 'spectral' WHEN 3 THEN 'rate' WHEN 4 THEN 'integrity'
+             WHEN 5 THEN 'text' ELSE 'keep' END AS stage,
+           count(*)::BIGINT AS n_clips
+    FROM attr GROUP BY stage_order
+    """,
+)
+def q168_gate_attribution(spark, sf_dir):
+    """Drop-reason attribution for the fused gate (q167): every clip is
+    charged to its FIRST failing lane in the fixed audit order decode ->
+    vad -> spectral -> rate -> integrity -> text (survivors land in
+    'keep') — the curation dashboard that tells an operator where the
+    corpus is actually dying, and therefore which lane to tune first.
+    First-failure attribution (not per-lane totals) sums to the corpus
+    size, so drift in one lane is immediately visible as mass moving
+    between rows.
+
+    Spark side reuses the single-decode gate scan and reduces it with one
+    map-side-combinable GROUP BY; the DuckDB oracle re-derives the same
+    rollup over the four-fixture join. At 10^12 clips: narrow scan + a
+    7-row aggregate — nothing else."""
+    from pyspark.sql import functions as F
+
+    from .operators.audio_ops import quality_gate_scan
+
+    g = quality_gate_scan(spark, _clips_cache_path(spark, sf_dir))
+    stage_order = (
+        F.when(~F.col("ok"), 0)
+        .when(~F.col("vad_keep"), 1)
+        .when(~F.col("spectral_keep"), 2)
+        .when(~F.col("rate_keep"), 3)
+        .when(~F.col("integrity_keep"), 4)
+        .when(~F.col("text_keep"), 5)
+        .otherwise(6)
+    )
+    stage = (
+        F.when(F.col("stage_order") == 0, "decode")
+        .when(F.col("stage_order") == 1, "vad")
+        .when(F.col("stage_order") == 2, "spectral")
+        .when(F.col("stage_order") == 3, "rate")
+        .when(F.col("stage_order") == 4, "integrity")
+        .when(F.col("stage_order") == 5, "text")
+        .otherwise("keep")
+    )
+    return (
+        g.withColumn("stage_order", stage_order)
+        .groupBy("stage_order")
+        .agg(F.count("*").cast("bigint").alias("n_clips"))
+        .withColumn("stage", stage)
+        .select("stage_order", "stage", "n_clips")
+    )

@@ -68,3 +68,24 @@ class TestQualityGate:
         from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
         assert "q167_quality_gate" in QUERIES and "q167_quality_gate" in ORACLE_SQL
+
+
+class TestGateAttribution:
+    def test_attribution_sums_to_corpus_and_orders(self, spark):
+        from datasmith_spark.queries import QUERIES
+
+        got = (
+            QUERIES["q168_gate_attribution"](spark, "/root/testdata/sf0.01")
+            .toPandas()
+            .sort_values("stage_order")
+        )
+        assert got.n_clips.sum() == 4000
+        assert (got[got.stage == "keep"].n_clips > 0).all()
+        order = {s: o for s, o in zip(got.stage, got.stage_order)}
+        assert order.get("keep") == 6
+        assert all(0 <= o <= 6 for o in got.stage_order)
+
+    def test_registry_has_q168(self):
+        from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+        assert "q168_gate_attribution" in QUERIES and "q168_gate_attribution" in ORACLE_SQL
