@@ -187,7 +187,14 @@ def _sumsq_tree(x: np.ndarray) -> float:
     cache-friendly passes (measured ~2-3x a BLAS dot, vs ~50x for a full
     pairwise halving tree over n).
     """
-    s = x * x
+    return _tree_sum(x * x)
+
+
+def _tree_sum(s: np.ndarray) -> float:
+    """Fixed-order tree sum of s itself (see _sumsq_tree for the contract:
+    strict lane fold + balanced halving tree, bit-identical on any host).
+    Shared by the sum-of-squares above and plain-sum consumers (the DC
+    offset audit in core/electrical.py)."""
     n = s.size
     L = _SUMSQ_LANES
     acc = np.zeros(L, dtype=np.float64)

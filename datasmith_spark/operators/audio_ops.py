@@ -2249,3 +2249,78 @@ def quality_gate_scan(spark: SparkSession, input_dir: str) -> DataFrame:
         scan_parallelism=_kernel_parallelism(spark, input_dir),
         columns=["clip_id", "bytes", "sr_hz", "codec", "transcript"],
     )
+
+
+ELEC_DDL = (
+    "clip_id string, ok boolean, n_frames int, hum_log2 int, hum boolean, "
+    "dc_log2 int, dc boolean, keep boolean"
+)
+
+ELEC_AUG_MIN_MS = 400  # plant only when the clip holds >= 2 hum frames
+
+
+def _electrical_pdf(pdf: pd.DataFrame, aug_every: int) -> pd.DataFrame:
+    """One pandas batch of clips -> electrical-defect audit batch
+    (core/electrical.electrical_metrics: mains-hum band power + DC offset,
+    integer log2 bands), plus planted el_ variants (50/60 Hz square hum at
+    rms/2 + rms/8 offset) for every aug_every-th datagen clip — q170's
+    ground truth. The composable default (aug_every=0) accepts ARBITRARY
+    clip ids — the q38-family contract."""
+    from ..core.electrical import electrical_metrics, electrical_variant
+    from .audio_fp import clip_index
+
+    cols = ("n_frames", "hum_log2", "hum", "dc_log2", "dc", "keep")
+    out = {c: [] for c in ("clip_id", "ok") + cols}
+
+    def _emit(cid, ok, m):
+        out["clip_id"].append(cid)
+        out["ok"].append(ok)
+        for c in cols:
+            out[c].append(m[c])
+
+    for cid, buf, sr, codec in zip(pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        ok = pcm is not None and pcm.size > 0
+        _emit(cid, ok, electrical_metrics(pcm if ok else None, sr))
+        if (
+            aug_every
+            and ok
+            and clip_index(cid) % aug_every == 0
+            and pcm.size * 1000 >= ELEC_AUG_MIN_MS * sr
+        ):
+            y = electrical_variant(pcm, sr, cid)
+            if y is not None:
+                i = clip_index(cid)
+                _emit(f"el_{i:012d}", True, electrical_metrics(y, sr))
+    df = pd.DataFrame(out)
+    for c in ("n_frames", "hum_log2", "dc_log2"):
+        df[c] = pd.array(df[c], dtype="Int32")
+    return df
+
+
+def electrical_clips(clips: DataFrame, aug_every: int = 0) -> DataFrame:
+    """Per-clip electrical-defect audit (composable path): mains-hum band
+    ratio and DC-offset verdicts — the recording-chain lane next to
+    integrity (q166), VAD (q41), and spectral quality (q46)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _electrical_pdf(pdf, aug_every)
+
+    return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
+        _run, schema=ELEC_DDL
+    )
+
+
+def electrical_scan(spark: SparkSession, input_dir: str, aug_every: int = 0) -> DataFrame:
+    """electrical_clips over a parquet directory via the fused manifest
+    scan (q170's path) — decode+FFT bound, full session parallelism."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _electrical_pdf(pdf, aug_every),
+        ELEC_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+        columns=["clip_id", "bytes", "sr_hz", "codec"],
+    )

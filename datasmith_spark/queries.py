@@ -8346,3 +8346,43 @@ def q168_gate_attribution(spark, sf_dir):
         .withColumn("stage", stage)
         .select("stage_order", "stage", "n_clips")
     )
+
+
+_ELECTRICAL_FIXTURE = f"/root/repo/fixtures/oracle_electrical_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q170_electrical_audit",
+    f"""
+    SELECT clip_id, ok, n_frames, hum_log2, hum, dc_log2, dc, keep
+    FROM read_parquet('{_ELECTRICAL_FIXTURE}')
+    """,
+)
+def q170_electrical_audit(spark, sf_dir):
+    """Electrical-defect audio audit: mains HUM (power in the exact 50/60 Hz
+    DFT bins of 200 ms frames vs all non-DC spectral power — every valid
+    corpus sample rate is divisible by 5, so both mains fundamentals land
+    on exact 5 Hz bins with zero leakage) and DC OFFSET (sum^2 vs n*sumsq,
+    cross-multiplied) — the recording-chain defects the energy VAD (q41),
+    spectral SNR (q46), and sample-integrity (q166) lanes cannot express.
+    All verdicts are frexp log2 bands against power-of-two keep lines
+    (core/electrical.py; no libm transcendentals), so the committed fixture
+    pins the whole computation bit-exact.
+
+    Planted ground truth like the other audio lanes: every 40th decodable
+    >= 400 ms clip yields an el_ variant (id-hashed 50/60 Hz square hum at
+    rms/2 + DC offset rms/8, pure-integer phase — no libm sin). Measured on
+    the pinned corpus: natural hum ceiling 2^-8 vs the 2^-5 keep line vs
+    plants at 2^-3 (>= 4x margin both sides, zero base hum flags); all 97
+    plants dropped (95 flag both axes; 2 quiet pcm8 plants cancel the
+    codec's own -0.5/128 half-LSB bias and flag hum only). The 56 base dc
+    flags are REAL artifacts, not noise: quiet pcm8 clips whose uint8
+    half-LSB encode bias exceeds rms/16.
+
+    Oracle: committed fixture (scripts/make_electrical_fixture.py — shared
+    kernel, independent driver loop). Fused manifest scan, decode+FFT
+    bound, shuffle-free narrow map at any scale
+    (operators/audio_ops.electrical_scan)."""
+    from .operators.audio_ops import electrical_scan
+
+    return electrical_scan(spark, _clips_cache_path(spark, sf_dir), aug_every=40)
