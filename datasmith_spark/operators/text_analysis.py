@@ -649,3 +649,68 @@ def codeswitch_clips(clips: DataFrame, aug_every: int = 0) -> DataFrame:
             yield df
 
     return clips.select("clip_id", "transcript").mapInPandas(_run, schema=CS_DDL)
+
+
+# Latin -> Cyrillic confusable pairs (Unicode UTS#39 confusables: the six
+# letter shapes shared glyph-for-glyph across the two scripts, both cases)
+HOMOGLYPH_LATIN = "aeopcxAEOPCX"
+HOMOGLYPH_CYRILLIC = "аеорсхАЕОРСХ"
+_CYR_CLASS = "[Ѐ-ӿ]"
+_LAT_CLASS = "[A-Za-z]"
+
+
+def homoglyph_audit(docs: DataFrame, plant_every: int = 0) -> DataFrame:
+    """Per-document MIXED-SCRIPT / homoglyph audit: count words that mix
+    Latin and Cyrillic letters inside one token — the classic spam /
+    SEO-cloaking / filter-evasion signal (UTS#39 confusables: "pаypаl"
+    with Cyrillic а's passes a naive blocklist but no human keyboard
+    produces it). A word with BOTH scripts is deliberate obfuscation with
+    near-certainty; whole-word script switching (real multilingual text)
+    is NOT flagged — that is q165's code-switching lane.
+
+    Entirely JVM-native Column algebra (split + higher-order filter +
+    rlike; regexes are Java/RE2-identical), so the DuckDB oracle re-derives
+    the WHOLE computation — plants included — in pure SQL over the shared
+    `documents` view: no fixture, value-checked end to end.
+
+    plant_every > 0 adds a deterministic ho_ ground-truth variant of every
+    plant_every-th non-empty doc: translate() over the 6 confusable pairs
+    (both cases) — the full-substitution attack. Plants with NO flaggable
+    word exist in principle (a text whose every word maps entirely into
+    Cyrillic) but do not occur in the corpus; the registered query reports
+    the measured recall in its docstring.
+
+    Output (doc_key, n_words, n_mixed, n_cyr, suspect) — all longs /
+    boolean. At 10^12 docs: narrow map, no shuffle, no UDF.
+    """
+    def _audit(df: DataFrame, key: Column) -> DataFrame:
+        words = F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+            lambda w: w != F.lit(""),
+        )
+        mixed = F.filter(
+            words, lambda w: w.rlike(_LAT_CLASS) & w.rlike(_CYR_CLASS)
+        )
+        cyr = F.filter(words, lambda w: w.rlike(_CYR_CLASS))
+        return df.select(
+            key.alias("doc_key"),
+            F.size(words).cast("long").alias("n_words"),
+            F.size(mixed).cast("long").alias("n_mixed"),
+            F.size(cyr).cast("long").alias("n_cyr"),
+            (F.size(mixed) >= 1).alias("suspect"),
+        )
+
+    base = _audit(docs, F.concat(F.lit("doc_"), F.col("doc_id").cast("string")))
+    if not plant_every:
+        return base
+    plants = _audit(
+        docs.filter(
+            (F.col("doc_id") % plant_every == 0)
+            & F.col("text").isNotNull()
+            & (F.col("text") != "")
+        ).withColumn(
+            "text", F.translate(F.col("text"), HOMOGLYPH_LATIN, HOMOGLYPH_CYRILLIC)
+        ),
+        F.concat(F.lit("ho_"), F.col("doc_id").cast("string")),
+    )
+    return base.unionAll(plants)

@@ -8386,3 +8386,53 @@ def q170_electrical_audit(spark, sf_dir):
     from .operators.audio_ops import electrical_scan
 
     return electrical_scan(spark, _clips_cache_path(spark, sf_dir), aug_every=40)
+
+
+@register(
+    "q169_homoglyph_audit",
+    r"""
+    WITH base AS (
+      SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_key, text FROM documents
+      UNION ALL
+      SELECT 'ho_' || CAST(doc_id AS VARCHAR),
+             translate(text, 'aeopcxAEOPCX', 'аеорсхАЕОРСХ')
+      FROM documents
+      WHERE doc_id % 40 = 0 AND text IS NOT NULL AND text <> ''
+    ),
+    w AS (
+      SELECT doc_key,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                         x -> x <> '') AS ws
+      FROM base
+    )
+    SELECT doc_key,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')
+                                     AND regexp_matches(x, '[Ѐ-ӿ]'))) AS BIGINT)
+             AS n_mixed,
+           CAST(len(list_filter(ws, x -> regexp_matches(x, '[Ѐ-ӿ]'))) AS BIGINT)
+             AS n_cyr,
+           len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')
+                                 AND regexp_matches(x, '[Ѐ-ӿ]'))) >= 1 AS suspect
+    FROM w
+    """,
+)
+def q169_homoglyph_audit(spark, sf_dir):
+    """Mixed-script / HOMOGLYPH audit over the documents table: words that
+    mix Latin and Cyrillic letters inside one token (UTS#39 confusables —
+    "pаypаl" with Cyrillic а's) are deliberate spam/filter-evasion with
+    near-certainty; whole-word language switching (real multilingual text)
+    is deliberately NOT flagged — that is the code-switching lane (q165).
+    Planted ground truth: every 40th non-empty doc also yields its ho_
+    full-substitution variant via translate() over the six confusable
+    pairs. Measured at sf0.01: 0/500 base docs suspect (the corpus is
+    pure-ASCII), 13/13 plants suspect.
+
+    Oracle: the ENTIRE computation — plants included — in pure DuckDB SQL
+    over the shared documents view (translate/split/list_filter mirror the
+    JVM translate/split/filter exactly; regexes are Java/RE2-identical).
+    No fixture, no UDF; narrow shuffle-free map at any scale
+    (operators/text_analysis.homoglyph_audit)."""
+    from .operators.text_analysis import homoglyph_audit
+
+    return homoglyph_audit(_t(spark, sf_dir, "documents"), plant_every=40)

@@ -488,3 +488,55 @@ class TestCodeSwitch:
             "q165_codeswitch_transcripts" in QUERIES
             and "q165_codeswitch_transcripts" in ORACLE_SQL
         )
+
+
+class TestHomoglyphAudit:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_mixed_word_flagged_whole_word_switch_not(self, spark):
+        from datasmith_spark.operators.text_analysis import homoglyph_audit
+
+        rows = [
+            (1, "pure latin words only"),
+            (2, "чисто русские слова"),          # all-Cyrillic: not mixed
+            (3, "hello мир plain switch"),        # word-level switch: not mixed
+            (4, "pаypаl login here"),   # Cyrillic а inside latin word
+            (5, ""),
+            (6, None),
+        ]
+        out = {r.doc_key: r for r in homoglyph_audit(self._docs(spark, rows)).collect()}
+        assert not out["doc_1"].suspect and out["doc_1"].n_cyr == 0
+        assert not out["doc_2"].suspect and out["doc_2"].n_cyr == 3
+        assert not out["doc_3"].suspect and out["doc_3"].n_cyr == 1
+        assert out["doc_4"].suspect and out["doc_4"].n_mixed == 1
+        assert out["doc_5"].n_words == 0 and not out["doc_5"].suspect
+        assert out["doc_6"].n_words == 0 and not out["doc_6"].suspect
+
+    def test_plants_and_determinism(self, spark):
+        from datasmith_spark.operators.text_analysis import homoglyph_audit
+
+        rows = [(i, f"data scan merge row {i}") for i in range(0, 120)]
+        out = homoglyph_audit(self._docs(spark, rows), plant_every=40).toPandas()
+        plants = out[out.doc_key.str.startswith("ho_")]
+        base = out[out.doc_key.str.startswith("doc_")]
+        assert len(plants) == 3 and plants.suspect.all()
+        assert not base.suspect.any()
+        # translate is total: every Cyrillic-containing plant word counted
+        assert (plants.n_cyr >= plants.n_mixed).all()
+
+    def test_confusable_pairs_are_aligned(self):
+        from datasmith_spark.operators.text_analysis import (
+            HOMOGLYPH_CYRILLIC,
+            HOMOGLYPH_LATIN,
+        )
+
+        assert len(HOMOGLYPH_LATIN) == len(HOMOGLYPH_CYRILLIC) == 12
+        for lat, cyr in zip(HOMOGLYPH_LATIN, HOMOGLYPH_CYRILLIC):
+            assert 0x0400 <= ord(cyr) <= 0x04FF and ord(lat) < 128
+            assert lat.isupper() == cyr.isupper()
+
+    def test_registry_has_q169(self):
+        from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+        assert "q169_homoglyph_audit" in QUERIES and "q169_homoglyph_audit" in ORACLE_SQL
