@@ -2324,3 +2324,77 @@ def electrical_scan(spark: SparkSession, input_dir: str, aug_every: int = 0) -> 
         scan_parallelism=_kernel_parallelism(spark, input_dir),
         columns=["clip_id", "bytes", "sr_hz", "codec"],
     )
+
+
+# ------------------------------------------------------- clipping audit
+
+CLIPA_DDL = (
+    "clip_id string, ok boolean, n_samples int, n_clipped int, "
+    "n_clip_runs int, max_clip_run int, clip_log2 int, clipped boolean, "
+    "keep boolean"
+)
+
+
+def _clipping_pdf(pdf: pd.DataFrame, aug_every: int) -> pd.DataFrame:
+    """One pandas batch of clips -> clipping/saturation audit batch
+    (core/clipping.clipping_metrics: exact decoded-domain saturation-bound
+    equality classes, integer run/fraction verdicts), plus planted cl_
+    hard-clip variants (amplitude-relative 8x/16x power-of-two overdrive)
+    for every aug_every-th datagen clip — q171's ground truth. The
+    composable default (aug_every=0) accepts ARBITRARY clip ids — the
+    q38-family contract."""
+    from ..core.clipping import clipping_metrics, clipping_variant
+    from .audio_fp import clip_index
+
+    cols = ("n_samples", "n_clipped", "n_clip_runs", "max_clip_run",
+            "clip_log2", "clipped", "keep")
+    out = {c: [] for c in ("clip_id", "ok") + cols}
+
+    def _emit(cid, ok, m):
+        out["clip_id"].append(cid)
+        out["ok"].append(ok)
+        for c in cols:
+            out[c].append(m[c])
+
+    for cid, buf, sr, codec in zip(pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        ok = pcm is not None and pcm.size > 0
+        _emit(cid, ok, clipping_metrics(pcm if ok else None, codec))
+        if aug_every and ok and clip_index(cid) % aug_every == 0:
+            y = clipping_variant(pcm, codec, cid)
+            if y is not None:
+                _emit(f"cl_{clip_index(cid):012d}", True, clipping_metrics(y, codec))
+    df = pd.DataFrame(out)
+    for c in ("n_samples", "n_clipped", "n_clip_runs", "max_clip_run"):
+        df[c] = df[c].astype("int32")
+    df["clip_log2"] = pd.array(df["clip_log2"], dtype="Int32")
+    return df
+
+
+def clipping_clips(clips: DataFrame, aug_every: int = 0) -> DataFrame:
+    """Per-clip clipping/saturation audit (composable path): exact
+    saturated-sample counts, flat-top run lengths and the two-axis keep
+    verdict — the amplitude-domain lane next to integrity (q166) and
+    electrical (q170)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _clipping_pdf(pdf, aug_every)
+
+    return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
+        _run, schema=CLIPA_DDL
+    )
+
+
+def clipping_scan(spark: SparkSession, input_dir: str, aug_every: int = 0) -> DataFrame:
+    """clipping_clips over a parquet directory via the fused manifest scan
+    (q171's path) — decode-bound, full session parallelism."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _clipping_pdf(pdf, aug_every),
+        CLIPA_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+        columns=["clip_id", "bytes", "sr_hz", "codec"],
+    )

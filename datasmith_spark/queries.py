@@ -8436,3 +8436,44 @@ def q169_homoglyph_audit(spark, sf_dir):
     from .operators.text_analysis import homoglyph_audit
 
     return homoglyph_audit(_t(spark, sf_dir, "documents"), plant_every=40)
+
+
+_CLIPPING_FIXTURE = f"/root/repo/fixtures/oracle_clipping_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q171_clipping_audit",
+    f"""
+    SELECT clip_id, ok, n_samples, n_clipped, n_clip_runs, max_clip_run,
+           clip_log2, clipped, keep
+    FROM read_parquet('{_CLIPPING_FIXTURE}')
+    """,
+)
+def q171_clipping_audit(spark, sf_dir):
+    """Clipping / saturation audit: runs of samples pinned exactly AT the
+    codec's digital full-scale codes — an overdriven gain stage's flat-top
+    signature, the amplitude-domain defect the integrity (q166, value runs
+    anywhere in range), electrical (q170, spectral/bias), and spectral-SNR
+    (q46) lanes cannot express. Saturation bounds are the exact float64
+    values each codec's top/bottom code decodes to (core/clipping.py
+    SAT_BOUNDS from the core/audio.py decode maps), so "saturated" is an
+    equality-class test, not a tolerance. Verdict = flat-top run >= 4
+    samples AND saturated fraction >= 2^-6, both cross-multiplied integer
+    compares.
+
+    Planted ground truth like the other audio lanes: every 40th decodable
+    non-silent clip yields a cl_ variant overdriven to an id-hashed 8x/16x
+    of its own saturation bound by a power-of-two gain (IEEE-exact) and
+    clamped. Measured on the pinned corpus: natural flat-top ceiling is 1
+    sample / fraction 2^-7 (isolated coarse-codec top-code touches on
+    mulaw/alaw/pcm8; pcm16/float32 never reach full scale) vs plants at
+    >= 24-sample runs / fraction >= 2^-1 — 97/97 plants dropped, 0 base
+    false positives.
+
+    Oracle: committed fixture (scripts/make_clipping_fixture.py — shared
+    kernel, independent driver loop). Fused manifest scan, decode-bound,
+    shuffle-free narrow map at any scale
+    (operators/audio_ops.clipping_scan)."""
+    from .operators.audio_ops import clipping_scan
+
+    return clipping_scan(spark, _clips_cache_path(spark, sf_dir), aug_every=40)
