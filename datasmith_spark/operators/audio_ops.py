@@ -2398,3 +2398,75 @@ def clipping_scan(spark: SparkSession, input_dir: str, aug_every: int = 0) -> Da
         scan_parallelism=_kernel_parallelism(spark, input_dir),
         columns=["clip_id", "bytes", "sr_hz", "codec"],
     )
+
+
+# ------------------------------------------------------ bit-depth audit
+
+BITD_DDL = (
+    "clip_id string, ok boolean, n_nonzero int, grid_gcd bigint, "
+    "eff_bits int, nominal_bits int, depth_fraud boolean, keep boolean"
+)
+
+
+def _bitdepth_pdf(pdf: pd.DataFrame, aug_every: int) -> pd.DataFrame:
+    """One pandas batch of clips -> effective-bit-depth audit batch
+    (core/bitdepth.bitdepth_metrics: gcd of the decoded 16-bit-grid
+    magnitudes, all-integer), plus planted bd_ bit-crush variants
+    (id-hashed 6/4-bit power-of-two grids) for every aug_every-th datagen
+    clip — q172's ground truth. The composable default (aug_every=0)
+    accepts ARBITRARY clip ids — the q38-family contract."""
+    from ..core.bitdepth import bitdepth_metrics, bitdepth_variant
+    from .audio_fp import clip_index
+
+    cols = ("n_nonzero", "grid_gcd", "eff_bits", "nominal_bits",
+            "depth_fraud", "keep")
+    out = {c: [] for c in ("clip_id", "ok") + cols}
+
+    def _emit(cid, ok, m):
+        out["clip_id"].append(cid)
+        out["ok"].append(ok)
+        for c in cols:
+            out[c].append(m[c])
+
+    for cid, buf, sr, codec in zip(pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        ok = pcm is not None and pcm.size > 0
+        _emit(cid, ok, bitdepth_metrics(pcm if ok else None, codec))
+        if aug_every and ok and clip_index(cid) % aug_every == 0:
+            y = bitdepth_variant(pcm, codec, cid)
+            if y is not None:
+                _emit(f"bd_{clip_index(cid):012d}", True, bitdepth_metrics(y, codec))
+    df = pd.DataFrame(out)
+    df["n_nonzero"] = df["n_nonzero"].astype("int32")
+    df["grid_gcd"] = pd.array(df["grid_gcd"], dtype="Int64")
+    for c in ("eff_bits", "nominal_bits"):
+        df[c] = pd.array(df[c], dtype="Int32")
+    return df
+
+
+def bitdepth_clips(clips: DataFrame, aug_every: int = 0) -> DataFrame:
+    """Per-clip effective-bit-depth audit (composable path): decoded-grid
+    gcd, measured vs nominal depth and the fraud verdict — the resolution-
+    domain lane next to clipping (q171) and spectral bandwidth (q46)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _bitdepth_pdf(pdf, aug_every)
+
+    return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
+        _run, schema=BITD_DDL
+    )
+
+
+def bitdepth_scan(spark: SparkSession, input_dir: str, aug_every: int = 0) -> DataFrame:
+    """bitdepth_clips over a parquet directory via the fused manifest scan
+    (q172's path) — decode-bound, full session parallelism."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _bitdepth_pdf(pdf, aug_every),
+        BITD_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+        columns=["clip_id", "bytes", "sr_hz", "codec"],
+    )

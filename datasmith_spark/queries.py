@@ -8477,3 +8477,43 @@ def q171_clipping_audit(spark, sf_dir):
     from .operators.audio_ops import clipping_scan
 
     return clipping_scan(spark, _clips_cache_path(spark, sf_dir), aug_every=40)
+
+
+_BITDEPTH_FIXTURE = f"/root/repo/fixtures/oracle_bitdepth_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q172_bitdepth_audit",
+    f"""
+    SELECT clip_id, ok, n_nonzero, grid_gcd, eff_bits, nominal_bits,
+           depth_fraud, keep
+    FROM read_parquet('{_BITDEPTH_FIXTURE}')
+    """,
+)
+def q172_bitdepth_audit(spark, sf_dir):
+    """Effective-bit-depth fraud audit: payloads whose container claims
+    16-bit (or float) precision but whose samples all sit on a coarser
+    quantization grid were bit-crushed or round-tripped through a lower-
+    resolution encode — the bit-depth analogue of the narrowband fake-
+    sample-rate transcode q46 flags, and the resolution-domain lane the
+    clipping (q171) / integrity (q166) / electrical (q170) audits cannot
+    express. Exactly detectable: gcd of |rint(x * 32767)| over nonzero
+    samples (the inverse of the linear decode maps, IEEE-exact); a 2^k-step
+    grid makes the gcd divisible by 2^k, genuine content has gcd 1. Linear
+    codecs only — companded mulaw/alaw decode to a deliberately nonuniform
+    grid and are emitted unjudged.
+
+    Planted ground truth like the other audio lanes: every 40th decodable
+    linear-codec clip yields a bd_ variant re-quantized to an id-hashed
+    6- or 4-bit power-of-two grid. Measured on the pinned corpus: every
+    natural clip measures EXACTLY its nominal depth (pcm16/float32 gcd 1,
+    pcm8 gcd 256 — the decode grid itself), so the >= 2-bit-deficit verdict
+    has zero base false positives while all 78 plants are dropped.
+
+    Oracle: committed fixture (scripts/make_bitdepth_fixture.py — shared
+    kernel, independent driver loop). Fused manifest scan, decode-bound,
+    shuffle-free narrow map at any scale
+    (operators/audio_ops.bitdepth_scan)."""
+    from .operators.audio_ops import bitdepth_scan
+
+    return bitdepth_scan(spark, _clips_cache_path(spark, sf_dir), aug_every=40)
