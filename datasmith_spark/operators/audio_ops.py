@@ -2540,3 +2540,82 @@ def looping_scan(spark: SparkSession, input_dir: str, aug_every: int = 0) -> Dat
         scan_parallelism=_kernel_parallelism(spark, input_dir),
         columns=["clip_id", "bytes", "sr_hz", "codec"],
     )
+
+
+# ----------------------------------------------- fused defect-audit gate
+
+DEFECT_DDL = (
+    "clip_id string, ok boolean, integrity_keep boolean, "
+    "electrical_keep boolean, clipping_keep boolean, bitdepth_keep boolean, "
+    "looping_keep boolean, keep boolean, drop_lane string"
+)
+
+# fixed audit order for first-failing-lane attribution (q168 convention)
+DEFECT_LANES = ("integrity", "electrical", "clipping", "bitdepth", "looping")
+
+
+def _defect_gate_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One pandas batch of clips -> the FUSED five-lane recording-defect
+    verdict: ONE decode per clip feeds the integrity (q166), electrical
+    (q170), clipping (q171), bit-depth (q172), and looping (q173) kernels —
+    five audits for one pass over the bytes, the q167 fusion shape applied
+    to the defect family. drop_lane charges each dropped clip to its FIRST
+    failing lane in the fixed audit order (q168 convention); kept clips
+    and undecodable rows carry null. Accepts ARBITRARY clip ids (no
+    planting on the fused path — each lane's own query owns its plants)."""
+    from ..core.bitdepth import bitdepth_metrics
+    from ..core.clipping import clipping_metrics
+    from ..core.electrical import electrical_metrics
+    from ..core.integrity import integrity_metrics
+    from ..core.looping import looping_metrics
+
+    out = {c: [] for c in ("clip_id", "ok") + tuple(f"{l}_keep" for l in DEFECT_LANES)
+           + ("keep", "drop_lane")}
+    for cid, buf, sr, codec in zip(pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        ok = pcm is not None and pcm.size > 0
+        keeps = {
+            "integrity": integrity_metrics(pcm, sr)["keep"] if ok else True,
+            "electrical": electrical_metrics(pcm if ok else None, sr)["keep"],
+            "clipping": clipping_metrics(pcm if ok else None, codec)["keep"],
+            "bitdepth": bitdepth_metrics(pcm if ok else None, codec)["keep"],
+            "looping": looping_metrics(pcm if ok else None)["keep"],
+        }
+        out["clip_id"].append(cid)
+        out["ok"].append(ok)
+        for lane in DEFECT_LANES:
+            out[f"{lane}_keep"].append(keeps[lane])
+        keep = all(keeps.values())
+        out["keep"].append(keep)
+        out["drop_lane"].append(
+            None if keep else next(l for l in DEFECT_LANES if not keeps[l])
+        )
+    return pd.DataFrame(out)
+
+
+def defect_gate_clips(clips: DataFrame) -> DataFrame:
+    """Per-clip fused defect gate (composable path): five sample-domain
+    audits off one decode, with first-failing-lane attribution."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _defect_gate_pdf(pdf)
+
+    return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
+        _run, schema=DEFECT_DDL
+    )
+
+
+def defect_gate_scan(spark: SparkSession, input_dir: str) -> DataFrame:
+    """defect_gate_clips over a parquet directory via the fused manifest
+    scan (q174's path) — one decode+FFT pass for all five lanes, full
+    session parallelism."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        _defect_gate_pdf,
+        DEFECT_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+        columns=["clip_id", "bytes", "sr_hz", "codec"],
+    )

@@ -8553,3 +8553,63 @@ def q173_looping_audit(spark, sf_dir):
     from .operators.audio_ops import looping_scan
 
     return looping_scan(spark, _clips_cache_path(spark, sf_dir), aug_every=40)
+
+
+_INTEGRITY_FIXTURE = f"/root/repo/fixtures/oracle_integrity_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q174_defect_gate",
+    f"""
+    WITH i AS (
+      SELECT clip_id, ok,
+             CASE WHEN ok THEN keep ELSE TRUE END AS lane_keep
+      FROM read_parquet('{_INTEGRITY_FIXTURE}') WHERE clip_id LIKE 'clip_%'
+    ),
+    e AS (SELECT clip_id, keep AS lane_keep
+          FROM read_parquet('{_ELECTRICAL_FIXTURE}') WHERE clip_id LIKE 'clip_%'),
+    c AS (SELECT clip_id, keep AS lane_keep
+          FROM read_parquet('{_CLIPPING_FIXTURE}') WHERE clip_id LIKE 'clip_%'),
+    b AS (SELECT clip_id, keep AS lane_keep
+          FROM read_parquet('{_BITDEPTH_FIXTURE}') WHERE clip_id LIKE 'clip_%'),
+    l AS (SELECT clip_id, keep AS lane_keep
+          FROM read_parquet('{_LOOPING_FIXTURE}') WHERE clip_id LIKE 'clip_%')
+    SELECT i.clip_id, i.ok,
+           i.lane_keep AS integrity_keep,
+           e.lane_keep AS electrical_keep,
+           c.lane_keep AS clipping_keep,
+           b.lane_keep AS bitdepth_keep,
+           l.lane_keep AS looping_keep,
+           (i.lane_keep AND e.lane_keep AND c.lane_keep AND b.lane_keep
+            AND l.lane_keep) AS keep,
+           CASE
+             WHEN NOT i.lane_keep THEN 'integrity'
+             WHEN NOT e.lane_keep THEN 'electrical'
+             WHEN NOT c.lane_keep THEN 'clipping'
+             WHEN NOT b.lane_keep THEN 'bitdepth'
+             WHEN NOT l.lane_keep THEN 'looping'
+           END AS drop_lane
+    FROM i JOIN e USING (clip_id) JOIN c USING (clip_id)
+           JOIN b USING (clip_id) JOIN l USING (clip_id)
+    """,
+)
+def q174_defect_gate(spark, sf_dir):
+    """FUSED five-lane recording-defect gate: ONE decode per clip feeds the
+    integrity (q166), electrical (q170), clipping (q171), bit-depth (q172),
+    and looping (q173) kernels — five audits for one pass over the bytes,
+    the q167 fusion shape applied to the defect family; at 10^12 clips this
+    collapses five byte-bound scans into one. drop_lane charges each
+    dropped clip to its FIRST failing lane in the fixed audit order (the
+    q168 attribution convention); undecodable rows are unjudged by every
+    lane (ok=false, all keeps true — decodability is the q167/q27 decode
+    lane's verdict, not a defect audit's).
+
+    Oracle: pure SQL over the five lanes' OWN committed fixtures joined on
+    clip_id (base rows only — each lane's query owns its plants), with the
+    integrity lane's undecodable-keep quirk normalized in both engines.
+    Cross-checks the fused implementation against five independently-
+    derived per-lane fixtures at once. Fused manifest scan, decode+FFT
+    bound, shuffle-free narrow map (operators/audio_ops.defect_gate_scan)."""
+    from .operators.audio_ops import defect_gate_scan
+
+    return defect_gate_scan(spark, _clips_cache_path(spark, sf_dir))
