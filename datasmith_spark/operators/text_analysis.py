@@ -714,3 +714,81 @@ def homoglyph_audit(docs: DataFrame, plant_every: int = 0) -> DataFrame:
         F.concat(F.lit("ho_"), F.col("doc_id").cast("string")),
     )
     return base.unionAll(plants)
+
+
+BOILER_SENTENCE = "Subscribe to our newsletter today"
+
+
+def boilerplate_audit(docs: DataFrame, plant_every: int = 0, min_docs: int = 3) -> DataFrame:
+    """Per-document BOILERPLATE audit: sentences shared verbatim by >=
+    min_docs distinct documents are template chrome (footers, cookie
+    banners, "all rights reserved"), not content — the classic curation
+    signal that per-doc quality scores (q42) and cross-doc near-dup pairs
+    (q21/q22) both miss: boilerplate contaminates MOST docs a little
+    rather than making any pair near-identical.
+
+    Shape at 10^12 docs: explode to (doc, sentence), ONE count-distinct
+    aggregation per sentence (map-side partial dedup absorbs the hot
+    boilerplate keys), then the small flagged-sentence set broadcasts back
+    over the exploded frame — no second wide shuffle. Entirely JVM-native
+    (split + transform + filter + explode), so the DuckDB oracle re-derives
+    the WHOLE computation — plants included — in pure SQL over the shared
+    `documents` view: no fixture, value-checked end to end.
+
+    plant_every > 0 adds a deterministic bo_ ground-truth variant of every
+    plant_every-th non-empty doc with BOILER_SENTENCE appended — the
+    planted template sentence lands in n/plant_every docs (25 at sf0.01)
+    while measured natural cross-doc sentence sharing is ZERO, so min_docs
+    = 3 separates with nothing in between (a base sentence reaches at most
+    2 docs: itself and its own bo_ copy).
+
+    Output (doc_key, n_sentences, n_boiler, suspect) — longs / boolean.
+    """
+    sent_list = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col("text"), F.lit("")), r"\. "),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != F.lit(""),
+    )
+
+    base = docs.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("doc_key"),
+        F.col("text"),
+    )
+    corpus = base
+    if plant_every:
+        plants = docs.filter(
+            (F.col("doc_id") % plant_every == 0)
+            & F.col("text").isNotNull()
+            & (F.col("text") != "")
+        ).select(
+            F.concat(F.lit("bo_"), F.col("doc_id").cast("string")).alias("doc_key"),
+            F.concat(F.col("text"), F.lit(f". {BOILER_SENTENCE}.")).alias("text"),
+        )
+        corpus = base.unionAll(plants)
+
+    sents = corpus.select(
+        "doc_key", F.explode(sent_list.alias("ss")).alias("sent")
+    )
+    boiler = (
+        sents.groupBy("sent")
+        .agg(F.countDistinct("doc_key").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("sent")
+    )
+    per_doc = (
+        sents.join(F.broadcast(boiler), "sent")
+        .groupBy("doc_key")
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    return (
+        corpus.select("doc_key", F.size(sent_list).cast("long").alias("n_sentences"))
+        .join(per_doc, "doc_key", "left")
+        .select(
+            "doc_key",
+            "n_sentences",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+            (F.coalesce(F.col("n_boiler"), F.lit(0)) >= 1).alias("suspect"),
+        )
+    )

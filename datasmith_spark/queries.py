@@ -8613,3 +8613,58 @@ def q174_defect_gate(spark, sf_dir):
     from .operators.audio_ops import defect_gate_scan
 
     return defect_gate_scan(spark, _clips_cache_path(spark, sf_dir))
+
+
+@register(
+    "q175_boilerplate_audit",
+    r"""
+    WITH corpus AS (
+      SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_key, text FROM documents
+      UNION ALL
+      SELECT 'bo_' || CAST(doc_id AS VARCHAR),
+             text || '. Subscribe to our newsletter today.'
+      FROM documents
+      WHERE doc_id % 20 = 0 AND text IS NOT NULL AND text <> ''
+    ),
+    s AS (
+      SELECT doc_key,
+             list_filter(list_transform(string_split_regex(coalesce(text, ''),
+                                                           '\. '),
+                                        x -> trim(x)),
+                         x -> x <> '') AS ss
+      FROM corpus
+    ),
+    e AS (SELECT doc_key, unnest(ss) AS sent FROM s),
+    b AS (SELECT sent FROM e GROUP BY sent
+          HAVING count(DISTINCT doc_key) >= 3),
+    f AS (SELECT e.doc_key, count(*) AS n_boiler
+          FROM e JOIN b USING (sent) GROUP BY e.doc_key)
+    SELECT s.doc_key,
+           CAST(len(ss) AS BIGINT) AS n_sentences,
+           CAST(coalesce(f.n_boiler, 0) AS BIGINT) AS n_boiler,
+           coalesce(f.n_boiler, 0) >= 1 AS suspect
+    FROM s LEFT JOIN f USING (doc_key)
+    """,
+)
+def q175_boilerplate_audit(spark, sf_dir):
+    """Boilerplate-sentence audit over the documents table: sentences
+    shared verbatim by >= 3 distinct documents are template chrome
+    (footers, cookie banners, "subscribe" calls) — the curation signal
+    per-doc quality scores (q42) and cross-doc near-dup pairs (q21/q22)
+    both miss, because boilerplate contaminates most docs a little rather
+    than making any pair near-identical. Planted ground truth: every 20th
+    non-empty doc yields a bo_ variant with the template sentence appended
+    — 25 sharing docs at sf0.01 vs measured ZERO natural cross-doc
+    sentence sharing (a base sentence reaches at most 2 docs: itself and
+    its own bo_ copy; the verdict line sits at 3).
+
+    Scale shape: one count-distinct agg per sentence (map-side partial
+    dedup absorbs the hot boilerplate keys) + the small flagged set
+    broadcast back over the exploded frame — no second wide shuffle.
+    Oracle: the ENTIRE computation incl. plants in pure DuckDB SQL over
+    the shared documents view (split/trim/filter/agg mirror the JVM ops
+    exactly; NO fixture, no UDF)
+    (operators/text_analysis.boilerplate_audit)."""
+    from .operators.text_analysis import boilerplate_audit
+
+    return boilerplate_audit(_t(spark, sf_dir, "documents"), plant_every=20)
