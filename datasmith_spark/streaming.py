@@ -82,6 +82,23 @@ def stream_quality_gate(
     return quality_gate_clips(stream_clips(spark, input_dir, max_files_per_trigger))
 
 
+def stream_defect_gate(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Continuous-ingest FIVE-lane recording-defect gate: q174's fused
+    operator (integrity + electrical + clipping + bit-depth + looping, one
+    decode per clip) lifted onto a file-source stream. Stateless
+    Arrow-batched mapInPandas, so micro-batch results are bit-identical to
+    the batch operator over the same files — live ingest rejects defective
+    recordings with the exact batch-audit semantics
+    (tests/test_streaming.py::test_stream_defect_gate_matches_batch)."""
+    from .operators.audio_ops import defect_gate_clips
+
+    return defect_gate_clips(stream_clips(spark, input_dir, max_files_per_trigger))
+
+
 def stream_features(
     spark: SparkSession,
     input_dir: str,

@@ -877,3 +877,34 @@ def test_stream_quality_gate_matches_batch(spark, clips_path, stream_dirs, tmp_p
         & want.integrity_keep & want.text_keep
     )
     assert (want.keep == lanes).all()
+
+
+def test_stream_defect_gate_matches_batch(spark, clips_path, stream_dirs, tmp_path):
+    """q174's five-lane fused defect gate lifted onto a stream reproduces
+    the batch operator bit-for-bit over the same files (stateless lanes)."""
+    from datasmith_spark.operators.audio_ops import DEFECT_LANES, defect_gate_clips
+    from datasmith_spark.streaming import stream_defect_gate
+
+    inp, _ = stream_dirs
+    q = (
+        stream_defect_gate(spark, inp, max_files_per_trigger=4)
+        .writeStream.format("memory")
+        .queryName("defect_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.table("defect_stream").toPandas().sort_values("clip_id").reset_index(drop=True)
+    )
+    want = (
+        defect_gate_clips(spark.read.parquet(inp))
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in want.columns:
+        assert (got[c].fillna("<null>") == want[c].fillna("<null>")).all(), f"{c} mismatch"
+    lanes = want[[f"{l}_keep" for l in DEFECT_LANES]].all(axis=1)
+    assert (want.keep == lanes).all()
