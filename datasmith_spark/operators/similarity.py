@@ -418,3 +418,82 @@ def lsh_ann_search(emb: DataFrame, n_queries: int = 20, k: int = 3, dims: int = 
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos")
     )
+
+
+def embedding_hygiene(
+    embs: DataFrame, expected_dim: int = 64, plant_every: int = 0
+) -> DataFrame:
+    """Per-vector EMBEDDING HYGIENE audit: dimension mismatches, non-finite
+    entries (NaN/Inf from overflowed encoders or corrupt parquet), and
+    all-zero vectors (failed inference emitting the zero initialization) —
+    the ingest-validation lane every ANN/semdedup consumer in this module
+    assumes has already run; a single NaN silently poisons every cosine it
+    touches and an all-zero vector matches nothing yet survives top-k.
+
+    Entirely JVM-native Column algebra (size + higher-order filter), all
+    EMITTED metrics integers/booleans — no float crosses the oracle
+    boundary, so the DuckDB oracle re-derives the WHOLE computation,
+    plants included, in pure SQL over the shared `embeddings` view (no
+    fixture, no UDF). Narrow shuffle-free map at any scale.
+
+    plant_every > 0 adds three deterministic ground-truth variants per
+    plant_every-th vector, each an SQL-expressible corruption:
+    nf_ (element 0 replaced by NaN), sh_ (truncated to expected_dim*3/4),
+    zr_ (all entries zeroed).
+
+    Output (vec_key, dim, n_nonfinite, n_zero, dim_ok, finite_ok,
+    nonzero_ok, keep).
+    """
+    inf = float("inf")
+
+    def _audit(df: DataFrame, key: Column) -> DataFrame:
+        e = F.coalesce(F.col("embedding"), F.array().cast("array<float>"))
+        bad = F.filter(e, lambda x: F.isnan(x) | (F.abs(x) == F.lit(inf)))
+        zero = F.filter(e, lambda x: x == F.lit(0.0))
+        dim = F.size(e)
+        return df.select(
+            key.alias("vec_key"),
+            dim.cast("long").alias("dim"),
+            F.size(bad).cast("long").alias("n_nonfinite"),
+            F.size(zero).cast("long").alias("n_zero"),
+            (dim == expected_dim).alias("dim_ok"),
+            (F.size(bad) == 0).alias("finite_ok"),
+            ((dim > 0) & (F.size(zero) < dim)).alias("nonzero_ok"),
+            (
+                (dim == expected_dim)
+                & (F.size(bad) == 0)
+                & (F.size(zero) < dim)
+            ).alias("keep"),
+        )
+
+    key = F.col("vec_id").cast("string")
+    base = _audit(embs, F.concat(F.lit("vec_"), key))
+    if not plant_every:
+        return base
+    planted = embs.filter(
+        (F.col("vec_id") % plant_every == 0) & F.col("embedding").isNotNull()
+    )
+    nf = _audit(
+        planted.withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: F.when(i == 0, F.lit(float("nan")).cast("float")).otherwise(x),
+            ),
+        ),
+        F.concat(F.lit("nf_"), key),
+    )
+    sh = _audit(
+        planted.withColumn(
+            "embedding", F.slice(F.col("embedding"), 1, expected_dim * 3 // 4)
+        ),
+        F.concat(F.lit("sh_"), key),
+    )
+    zr = _audit(
+        planted.withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda x: F.lit(0.0).cast("float")),
+        ),
+        F.concat(F.lit("zr_"), key),
+    )
+    return base.unionAll(nf).unionAll(sh).unionAll(zr)

@@ -8668,3 +8668,70 @@ def q175_boilerplate_audit(spark, sf_dir):
     from .operators.text_analysis import boilerplate_audit
 
     return boilerplate_audit(_t(spark, sf_dir, "documents"), plant_every=20)
+
+
+@register(
+    "q176_embedding_hygiene",
+    r"""
+    WITH base AS (
+      SELECT 'vec_' || CAST(vec_id AS VARCHAR) AS vec_key, embedding
+      FROM embeddings
+      UNION ALL
+      SELECT 'nf_' || CAST(vec_id AS VARCHAR),
+             list_transform(embedding,
+                            (x, i) -> CASE WHEN i = 1 THEN 'nan'::FLOAT
+                                           ELSE x END)
+      FROM embeddings WHERE vec_id % 30 = 0 AND embedding IS NOT NULL
+      UNION ALL
+      SELECT 'sh_' || CAST(vec_id AS VARCHAR), embedding[1:48]
+      FROM embeddings WHERE vec_id % 30 = 0 AND embedding IS NOT NULL
+      UNION ALL
+      SELECT 'zr_' || CAST(vec_id AS VARCHAR),
+             list_transform(embedding, x -> 0.0::FLOAT)
+      FROM embeddings WHERE vec_id % 30 = 0 AND embedding IS NOT NULL
+    ),
+    m AS (
+      SELECT vec_key,
+             coalesce(embedding, []::FLOAT[]) AS e
+      FROM base
+    )
+    SELECT vec_key,
+           CAST(len(e) AS BIGINT) AS dim,
+           CAST(len(list_filter(e, x -> isnan(x) OR NOT isfinite(x)))
+                AS BIGINT) AS n_nonfinite,
+           CAST(len(list_filter(e, x -> x = 0)) AS BIGINT) AS n_zero,
+           len(e) = 64 AS dim_ok,
+           len(list_filter(e, x -> isnan(x) OR NOT isfinite(x))) = 0
+             AS finite_ok,
+           len(e) > 0 AND len(list_filter(e, x -> x = 0)) < len(e)
+             AS nonzero_ok,
+           (len(e) = 64
+            AND len(list_filter(e, x -> isnan(x) OR NOT isfinite(x))) = 0
+            AND len(e) > 0
+            AND len(list_filter(e, x -> x = 0)) < len(e)) AS keep
+    FROM m
+    """,
+)
+def q176_embedding_hygiene(spark, sf_dir):
+    """Embedding HYGIENE audit over the embeddings table: dimension
+    mismatches, non-finite entries (NaN/Inf from overflowed encoders or
+    corrupt parquet), all-zero vectors (failed inference emitting the zero
+    init) — the ingest-validation lane every ANN / semdedup consumer
+    (q23-q35, q74) assumes has already run: one NaN silently poisons every
+    cosine it touches, an all-zero vector matches nothing yet survives
+    top-k. All emitted metrics are integers/booleans — no float crosses
+    the oracle boundary. Planted ground truth: every 30th vector yields
+    three SQL-expressible corruptions — nf_ (NaN at element 0), sh_
+    (truncated to 48 dims), zr_ (zeroed) — 17 of each at sf0.01; the base
+    corpus is measured fully clean.
+
+    Oracle: the ENTIRE computation incl. plants in pure DuckDB SQL over
+    the shared embeddings view (list_transform/list_filter/slice mirror
+    the JVM transform/filter/slice exactly; NO fixture, no UDF). Narrow
+    shuffle-free map at any scale
+    (operators/similarity.embedding_hygiene)."""
+    from .operators.similarity import embedding_hygiene
+
+    return embedding_hygiene(
+        _t(spark, sf_dir, "embeddings"), expected_dim=64, plant_every=30
+    )
