@@ -33,6 +33,7 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..core.audio import ITEMSIZE, decode, encode
 from ..core.resample import (
@@ -2618,4 +2619,71 @@ def defect_gate_scan(spark: SparkSession, input_dir: str) -> DataFrame:
         DEFECT_DDL,
         scan_parallelism=_kernel_parallelism(spark, input_dir),
         columns=["clip_id", "bytes", "sr_hz", "codec"],
+    )
+
+
+# ------------------------------------------------ transcript-reuse audit
+
+REUSE_MIN_LEN = 20  # audit only substantive transcripts: short utterances
+#                     ("yes", "okay") legitimately repeat across clips
+
+
+def transcript_reuse(
+    clips: DataFrame, plant_every: int = 0, min_len: int = REUSE_MIN_LEN
+) -> DataFrame:
+    """Cross-modal LABEL-REUSE audit: groups of clips sharing one
+    substantive transcript verbatim. Two distinct failure stories split by
+    the audio payload: n_distinct_audio == 1 is a true duplicate (the q20
+    exact-dedup case seen from the label side), while n_distinct_audio >=
+    2 means one transcript was attached to DIFFERENT recordings — label
+    reuse from a broken scrape join or copy-paste annotation, which
+    poisons supervised training twice (wrong label for at least one clip,
+    and a spurious "easy" pair for contrastive objectives). Neither audio
+    dedup (q38: same AUDIO) nor text dedup (q20/q21: documents) expresses
+    this transcript-keyed, audio-distinguished group shape.
+
+    Entirely JVM-native (md5 / crc32 / group-agg — no decode, no UDF):
+    one shuffle on the transcript key with map-side partial aggregation;
+    only groups with >= 2 clips are emitted (the audit's subjects).
+    Measured on the pinned corpus: ZERO natural groups at min_len=20
+    (short-transcript repeats are excluded by design), so every emitted
+    row is ground truth.
+
+    plant_every > 0 adds a deterministic tr_ label-reuse twin for every
+    clip with crc32(clip_id) % plant_every == 0 (id-HASH selection — the
+    q156 rule, arbitrary ids): same transcript, audio payload extended by
+    one 0x00 byte (a different recording under the same label).
+
+    Output (transcript_md5, n_clips, n_distinct_audio, mislabel,
+    exact_dup) — strings/longs/booleans.
+    """
+    eligible = clips.filter(
+        F.col("transcript").isNotNull() & (F.length("transcript") >= min_len)
+    )
+    rows = eligible.select(
+        "clip_id", "transcript", F.md5(F.col("bytes")).alias("audio_md5")
+    )
+    if plant_every:
+        plants = eligible.filter(
+            F.pmod(F.crc32(F.col("clip_id").cast("binary")), F.lit(plant_every)) == 0
+        ).select(
+            F.concat(F.lit("tr_"), F.col("clip_id")).alias("clip_id"),
+            "transcript",
+            F.md5(F.concat(F.col("bytes"), F.lit(b"\x00"))).alias("audio_md5"),
+        )
+        rows = rows.unionAll(plants)
+    return (
+        rows.groupBy("transcript")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.countDistinct("audio_md5").alias("n_distinct_audio"),
+        )
+        .filter(F.col("n_clips") >= 2)
+        .select(
+            F.md5(F.col("transcript").cast("binary")).alias("transcript_md5"),
+            F.col("n_clips").cast("long").alias("n_clips"),
+            F.col("n_distinct_audio").cast("long").alias("n_distinct_audio"),
+            (F.col("n_distinct_audio") >= 2).alias("mislabel"),
+            ((F.col("n_clips") >= 2) & (F.col("n_distinct_audio") == 1)).alias("exact_dup"),
+        )
     )

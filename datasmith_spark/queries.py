@@ -8735,3 +8735,41 @@ def q176_embedding_hygiene(spark, sf_dir):
     return embedding_hygiene(
         _t(spark, sf_dir, "embeddings"), expected_dim=64, plant_every=30
     )
+
+
+_REUSE_FIXTURE = f"/root/repo/fixtures/oracle_reuse_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q177_transcript_reuse",
+    f"""
+    SELECT transcript_md5, n_clips, n_distinct_audio, mislabel, exact_dup
+    FROM read_parquet('{_REUSE_FIXTURE}')
+    """,
+)
+def q177_transcript_reuse(spark, sf_dir):
+    """Cross-modal LABEL-REUSE audit: groups of clips sharing one
+    substantive transcript verbatim (len >= 20 — short utterances
+    legitimately repeat), split by the audio payload into true duplicates
+    (one distinct audio md5: q20's case seen from the label side) vs
+    LABEL REUSE (>= 2 distinct audios under one transcript — a broken
+    scrape join or copy-paste annotation, poisoning supervised training
+    twice: a wrong label for at least one clip plus a spurious easy pair
+    for contrastive objectives). Neither audio dedup (q38) nor text dedup
+    (q20/q21) expresses this transcript-keyed, audio-distinguished shape.
+
+    All-JVM (md5/crc32/group-agg, no decode, no UDF): ONE shuffle on the
+    transcript key with map-side partial agg; only n_clips >= 2 groups
+    emitted. Measured on the pinned corpus: ZERO natural groups at the
+    length floor, so every emitted row is a plant — the tr_ twins (same
+    transcript, payload extended by one 0x00 byte) selected by
+    crc32(clip_id) % 40 (id-hash — defined for arbitrary ids).
+
+    Oracle: committed fixture (scripts/make_reuse_fixture.py —
+    INDEPENDENT hashlib/zlib/pandas derivation, no shared operator code)
+    (operators/audio_ops.transcript_reuse)."""
+    from .operators.audio_ops import transcript_reuse
+
+    return transcript_reuse(
+        spark.read.parquet(_clips_cache_path(spark, sf_dir)), plant_every=40
+    )
