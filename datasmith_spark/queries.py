@@ -8773,3 +8773,70 @@ def q177_transcript_reuse(spark, sf_dir):
     return transcript_reuse(
         spark.read.parquet(_clips_cache_path(spark, sf_dir)), plant_every=40
     )
+
+
+@register(
+    "q178_defect_attribution",
+    f"""
+    WITH i AS (
+      SELECT clip_id, ok,
+             CASE WHEN ok THEN keep ELSE TRUE END AS lane_keep
+      FROM read_parquet('{_INTEGRITY_FIXTURE}') WHERE clip_id LIKE 'clip_%'
+    ),
+    e AS (SELECT clip_id, keep AS lane_keep
+          FROM read_parquet('{_ELECTRICAL_FIXTURE}') WHERE clip_id LIKE 'clip_%'),
+    c AS (SELECT clip_id, keep AS lane_keep
+          FROM read_parquet('{_CLIPPING_FIXTURE}') WHERE clip_id LIKE 'clip_%'),
+    b AS (SELECT clip_id, keep AS lane_keep
+          FROM read_parquet('{_BITDEPTH_FIXTURE}') WHERE clip_id LIKE 'clip_%'),
+    l AS (SELECT clip_id, keep AS lane_keep
+          FROM read_parquet('{_LOOPING_FIXTURE}') WHERE clip_id LIKE 'clip_%'),
+    attr AS (
+      SELECT CASE
+        WHEN NOT i.lane_keep THEN 0 WHEN NOT e.lane_keep THEN 1
+        WHEN NOT c.lane_keep THEN 2 WHEN NOT b.lane_keep THEN 3
+        WHEN NOT l.lane_keep THEN 4 ELSE 5 END AS lane_order
+      FROM i JOIN e USING (clip_id) JOIN c USING (clip_id)
+             JOIN b USING (clip_id) JOIN l USING (clip_id)
+    )
+    SELECT lane_order,
+           CASE lane_order WHEN 0 THEN 'integrity' WHEN 1 THEN 'electrical'
+             WHEN 2 THEN 'clipping' WHEN 3 THEN 'bitdepth'
+             WHEN 4 THEN 'looping' ELSE 'keep' END AS lane,
+           count(*)::BIGINT AS n_clips
+    FROM attr GROUP BY lane_order
+    """,
+)
+def q178_defect_attribution(spark, sf_dir):
+    """Drop-reason attribution for the fused defect gate (q174): every
+    clip charged to its FIRST failing defect lane in the fixed audit order
+    integrity -> electrical -> clipping -> bitdepth -> looping (survivors
+    land in 'keep') — the q168 dashboard applied to the recording-defect
+    family: first-failure attribution sums to the corpus size, so drift in
+    one lane shows as mass moving between rows.
+
+    Spark side reuses the single-decode defect-gate scan and reduces it
+    with one map-side-combinable GROUP BY; the DuckDB oracle re-derives
+    the same rollup over the five-fixture join. At 10^12 clips: narrow
+    scan + a 6-row aggregate — nothing else."""
+    from pyspark.sql import functions as F
+
+    from .operators.audio_ops import DEFECT_LANES, defect_gate_scan
+
+    g = defect_gate_scan(spark, _clips_cache_path(spark, sf_dir))
+    lane_order = F.lit(len(DEFECT_LANES))
+    for idx in range(len(DEFECT_LANES) - 1, -1, -1):
+        lane_order = F.when(
+            ~F.col(f"{DEFECT_LANES[idx]}_keep"), idx
+        ).otherwise(lane_order)
+    lane = F.element_at(
+        F.array(*[F.lit(x) for x in DEFECT_LANES + ("keep",)]),
+        F.col("lane_order") + 1,
+    )
+    return (
+        g.withColumn("lane_order", lane_order)
+        .groupBy("lane_order")
+        .agg(F.count("*").cast("bigint").alias("n_clips"))
+        .withColumn("lane", lane)
+        .select("lane_order", "lane", "n_clips")
+    )

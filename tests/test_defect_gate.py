@@ -74,3 +74,23 @@ def test_registry_has_q174():
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q174_defect_gate" in QUERIES and "q174_defect_gate" in ORACLE_SQL
+
+
+def test_defect_attribution_sums_to_corpus(spark):
+    from datasmith_spark.queries import QUERIES
+
+    rows = QUERIES["q178_defect_attribution"](spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.n_clips for r in rows)
+    assert total == 4000  # pinned clips table size (not sf-scaled)
+    lanes = {r.lane for r in rows}
+    assert "keep" in lanes and lanes <= {
+        "integrity", "electrical", "clipping", "bitdepth", "looping", "keep"
+    }
+    orders = {r.lane: r.lane_order for r in rows}
+    assert orders["keep"] == 5
+
+
+def test_registry_has_q178():
+    from datasmith_spark.queries import ORACLE_SQL, QUERIES
+
+    assert "q178_defect_attribution" in QUERIES and "q178_defect_attribution" in ORACLE_SQL
