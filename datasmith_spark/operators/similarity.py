@@ -497,3 +497,97 @@ def embedding_hygiene(
         F.concat(F.lit("zr_"), key),
     )
     return base.unionAll(nf).unionAll(sh).unionAll(zr)
+
+
+def ann_recall_audit(emb: DataFrame, n_queries: int = 40, k: int = 3) -> DataFrame:
+    """Index-quality audit: recall@k of the IVF nprobe=1 path (ivf_ann_search)
+    against the exact brute-force top-k (cosine_topk) for a bounded query set.
+
+    The evaluation every ANN deployment runs before trusting the index at
+    scale: nprobe=1 misses exactly the true neighbors that fall outside the
+    query's coarse cell, and this measures that loss per query in EXACT
+    integers (n_hit of n_exact ground-truth neighbors recovered, recall in
+    basis points via integer division) — no float crosses the oracle
+    boundary. Both rankings use the same rounded-cosine + id tie-break, so
+    the top-k SETS are deterministic and engine-reproducible.
+
+    Scale shape: ground truth is computed only for the BOUNDED query panel
+    (broadcast side of cosine_topk), never all-pairs; the IVF side is the
+    production cell equi-join. The hit join keys on (query_id, neighbor_id)
+    — k rows per query both sides."""
+    exact = cosine_topk(emb, n_queries, k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_gt")
+    )
+    approx = ivf_ann_search(emb, n_queries, k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    per_q = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("_hit").cast("bigint").alias("n_hit"),
+        )
+    )
+    return per_q.select(
+        "query_id",
+        "n_exact",
+        "n_hit",
+        ((F.lit(10000) * F.col("n_hit")) / F.col("n_exact"))
+        .cast("bigint")
+        .alias("recall_bp"),
+    )
+
+
+def knn_hubness(emb: DataFrame, k: int = 3) -> DataFrame:
+    """k-occurrence hubness audit over the IVF kNN graph: for EVERY vector,
+    how many other vectors cite it in their in-cell top-k (same rounded-
+    cosine + id tie-break ranking as ivf_ann_search, queries = the whole
+    corpus). High-dimensional corpora develop HUBS (vectors cited far more
+    than k times) and ANTIHUBS (never cited) — hubs dominate retrieval
+    results and poison semdedup clustering; antihubs are unreachable
+    through the kNN graph. n_occ is an exact integer; vectors never cited
+    surface with n_occ=0 through the left join (the antihub finding a
+    citation-side rollup alone would silently drop).
+
+    Scale shape: the per-cell quadratic is the standard IVF trade (cell
+    count grows ~sqrt(N)); the citation rollup is ONE map-side-combinable
+    groupBy on the id, then a broadcast-free left join back to the corpus
+    keyed on the same id."""
+    cents = ivf_centroids(64)
+    cell_udf = make_ivf_cell_udf(cents)
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        cell_udf(F.col("embedding")).alias("cell"),
+        seq_dot_udf(F.col("embedding"), F.col("embedding")).alias("n2"),
+    )
+    q = base.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        "cell", F.col("n2").alias("q2"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"),
+        "cell", F.col("n2").alias("c2"),
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            F.round(seq_dot_udf(F.col("qe"), F.col("ce")) / F.sqrt(F.col("q2") * F.col("c2")), 4),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    cited = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .groupBy("neighbor_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    )
+    return (
+        base.select("vec_id", "cell")
+        .join(cited.withColumnRenamed("neighbor_id", "vec_id"), "vec_id", "left")
+        .fillna(0, ["n_occ"])
+        .select("vec_id", "cell", "n_occ")
+    )

@@ -8840,3 +8840,186 @@ def q178_defect_attribution(spark, sf_dir):
         .withColumn("lane", lane)
         .select("lane_order", "lane", "n_clips")
     )
+
+@register(
+    "q179_t_closeness_audit",
+    """
+    WITH q AS (
+      SELECT c.c_mktsegment AS seg, c.c_nationkey AS nation,
+             o.o_orderpriority AS sensitive
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    tot AS (SELECT count(*) AS n FROM q),
+    gl AS (SELECT sensitive, count(*) AS gs FROM q GROUP BY 1),
+    cls AS (SELECT seg, nation, count(*) AS class_size FROM q GROUP BY 1, 2),
+    cell AS (SELECT seg, nation, sensitive, count(*) AS cs
+             FROM q GROUP BY 1, 2, 3),
+    grid AS (
+      SELECT c.seg, c.nation, c.class_size, g.gs, coalesce(l.cs, 0) AS cs, t.n
+      FROM cls c CROSS JOIN gl g CROSS JOIN tot t
+      LEFT JOIN cell l ON l.seg = c.seg AND l.nation = c.nation
+                      AND l.sensitive = g.sensitive
+    )
+    SELECT seg, nation, CAST(class_size AS BIGINT) AS class_size,
+           CAST(sum(abs(cs * n - gs * class_size)) AS BIGINT) AS tvd_num,
+           (5 * sum(abs(cs * n - gs * class_size))
+              > class_size * any_value(n)) AS at_risk
+    FROM grid GROUP BY seg, nation, class_size
+    """,
+)
+def q179_t_closeness_audit(spark, sf_dir):
+    """t-closeness audit — the third privacy release screen after q125's
+    k-anonymity and q136's l-diversity: a class can be large AND diverse
+    yet still leak if its SENSITIVE-attribute distribution deviates far
+    from the global one (an attacker learns P(sensitive|class) - P(
+    sensitive)). Quasi-identifier class = (mktsegment, nationkey) over
+    orders joined to customers; sensitive = o_orderpriority (bounded
+    5-value alphabet — the textbook t-closeness shape). Distance is total
+    variation, kept EXACT in integers by cross-multiplication:
+
+        TVD(class) = sum_s |cs*N - gs*class_size| / (2*class_size*N)
+
+    so tvd_num = sum_s |cs*N - gs*class_size| is a BIGINT and the t=1/10
+    release threshold tests 10*tvd_num > 2*class_size*N, reduced to
+    5*tvd_num > class_size*N — no float ever crosses the oracle boundary.
+    Flags 25 of 125 classes at sf0.01 (TVD spread measured 0.002-0.149).
+
+    Scale shape: one shuffle join orders->customer on the customer key,
+    then map-side-partial groupBys; the global distribution (|alphabet|
+    rows) and the total (1 row) BROADCAST back over the per-class frame,
+    and the grid is |classes| x |alphabet| — never row-scale. Absences
+    (cs=0) enter the sum via the broadcast cross-grid + zero-fill, which
+    a naive per-present-cell rollup would silently miss."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_nationkey")
+    q = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("o_orderpriority").alias("sensitive"),
+    )
+    tot = q.agg(F.count(F.lit(1)).alias("n"))
+    gl = q.groupBy("sensitive").agg(F.count(F.lit(1)).alias("gs"))
+    cls = q.groupBy("seg", "nation").agg(F.count(F.lit(1)).alias("class_size"))
+    cell = q.groupBy("seg", "nation", "sensitive").agg(F.count(F.lit(1)).alias("cs"))
+    grid = (
+        cls.crossJoin(F.broadcast(gl))
+        .crossJoin(F.broadcast(tot))
+        .join(cell, ["seg", "nation", "sensitive"], "left")
+        .fillna(0, ["cs"])
+    )
+    dev = F.abs(F.col("cs") * F.col("n") - F.col("gs") * F.col("class_size"))
+    return grid.groupBy("seg", "nation", "class_size").agg(
+        F.sum(dev).cast("bigint").alias("tvd_num"),
+        (F.lit(5) * F.sum(dev) > F.col("class_size") * F.first("n")).alias("at_risk"),
+    ).select(
+        "seg", "nation", F.col("class_size").cast("bigint").alias("class_size"),
+        "tvd_num", "at_risk",
+    )
+
+
+@register(
+    "q180_ann_recall_audit",
+    f"""
+    WITH d AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2,
+             {_IVF_DOTS_SQL}
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, e, n2, {_IVF_CASE_SQL} AS cell FROM d),
+    ex_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.e, c.e) / sqrt(q.n2 * c.n2), 4) AS cos
+      FROM b q JOIN b c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 40
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM ex_scored
+      ) WHERE rk <= 3
+    ),
+    iv_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.e, c.e) / sqrt(q.n2 * c.n2), 4) AS cos
+      FROM b q JOIN b c ON c.cell = q.cell AND c.vec_id != q.vec_id
+      WHERE q.vec_id < 40
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM iv_scored
+      ) WHERE rk <= 3
+    )
+    SELECT e.query_id,
+           count(*)::BIGINT AS n_exact,
+           count(a.neighbor_id)::BIGINT AS n_hit,
+           CAST(10000 * count(a.neighbor_id) // count(*) AS BIGINT) AS recall_bp
+    FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """,
+)
+def q180_ann_recall_audit(spark, sf_dir):
+    """Recall@k audit of the IVF nprobe=1 index (q35's production path)
+    against exact brute-force ground truth (q23's construction) for a
+    40-query panel — the index-quality evaluation every ANN deployment
+    runs before trusting approximate retrieval at 10^12 rows. Per query:
+    how many of the k true neighbors the coarse-cell search recovered,
+    in EXACT integers (basis points via integer division — no float
+    crosses the oracle boundary). Both rankings share the rounded-cosine
+    + id tie-break, so the compared top-k SETS are deterministic.
+
+    Ground truth stays affordable because it is computed ONLY for the
+    bounded broadcast query panel; the IVF side is the cell equi-join.
+    The DuckDB oracle re-derives BOTH paths from the same frozen centroid
+    literals and joins them (operators/similarity.ann_recall_audit)."""
+    from .operators.similarity import ann_recall_audit
+
+    return ann_recall_audit(_t(spark, sf_dir, "embeddings"), n_queries=40, k=3)
+
+
+@register(
+    "q181_knn_hubness",
+    f"""
+    WITH d AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2,
+             {_IVF_DOTS_SQL}
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, e, n2, {_IVF_CASE_SQL} AS cell FROM d),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.e, c.e) / sqrt(q.n2 * c.n2), 4) AS cos
+      FROM b q JOIN b c ON c.cell = q.cell AND c.vec_id != q.vec_id
+    ),
+    cited AS (
+      SELECT neighbor_id AS vec_id, count(*)::BIGINT AS n_occ FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM scored
+      ) WHERE rk <= 3 GROUP BY neighbor_id
+    )
+    SELECT b.vec_id, b.cell, coalesce(c.n_occ, 0)::BIGINT AS n_occ
+    FROM b LEFT JOIN cited c USING (vec_id)
+    """,
+)
+def q181_knn_hubness(spark, sf_dir):
+    """k-occurrence HUBNESS audit over the IVF kNN graph: for every
+    vector, how many other vectors cite it in their in-cell top-3. High-
+    dimensional corpora concentrate citations onto HUBS (n_occ >> k) that
+    dominate retrieval and semdedup clustering, while ANTIHUBS (n_occ=0)
+    become unreachable through the graph — a distribution-level embedding
+    pathology q176's per-vector hygiene cannot see. Exact integers end to
+    end; never-cited vectors surface through the left join with n_occ=0
+    (a citation-side rollup alone would drop exactly the antihub finding).
+
+    Scale shape: per-cell quadratic (the standard IVF trade, cell count
+    ~sqrt(N)), one map-side-combinable groupBy on the cited id, one
+    same-key left join back to the corpus — no global window, nothing
+    all-pairs (operators/similarity.knn_hubness)."""
+    from .operators.similarity import knn_hubness
+
+    return knn_hubness(_t(spark, sf_dir, "embeddings"), k=3)
