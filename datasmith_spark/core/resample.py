@@ -648,3 +648,70 @@ def mix_overlay(
         f = 1.0 / f
     scale = np.sqrt(sig_ss / ovl_ss) / f
     return x + scale * o
+
+
+# fixed-point scale for corpus-level feature statistics: log-mel values are
+# quantized to q = rint(value * 2^12) BEFORE summation so the global
+# sums are exact integers — order-independent across any shuffle/reduce
+# schedule, which float partial sums are not. 2^12 keeps sumsq comfortably
+# inside int64 at the pinned corpus (and ~10^7 clips); beyond that the
+# aggregation column widens to decimal(38,0), the values do not change.
+QSTATS_SCALE = 4096
+
+
+def logmel_qstats(
+    pcm: np.ndarray,
+    sr: int,
+    n_fft: int = 512,
+    hop: int = 256,
+    n_mels: int = 40,
+    scale: int = QSTATS_SCALE,
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """Per-clip fixed-point log-mel statistics: (n_frames, sum_q[int64
+    per mel bin], sumsq_q[int64 per bin]) with q = rint(logmel * scale).
+
+    The partial-aggregate kernel for CORPUS-level feature normalization
+    (global CMVN): quantizing before summation makes every downstream
+    sum exact in integers, so the global statistics are reproducible
+    bit-for-bit regardless of aggregation order — the property that lets
+    a distributed reduce and a single-process oracle agree exactly.
+    rint is round-half-even (IEEE), deterministic per element."""
+    m = logmel(pcm, sr, n_fft=n_fft, hop=hop, n_mels=n_mels)
+    q = np.rint(m * scale).astype(np.int64)
+    return int(m.shape[0]), q.sum(axis=0), (q * q).sum(axis=0)
+
+
+def corpus_cmvn_apply(
+    pcm: np.ndarray,
+    sr: int,
+    mean_q: np.ndarray,
+    istd_q: np.ndarray,
+    n_fft: int = 512,
+    hop: int = 256,
+    n_mels: int = 40,
+    scale: int = QSTATS_SCALE,
+) -> np.ndarray:
+    """Corpus-CMVN log-mel: (q_ij - mean_q[b]) * istd_q[b] per element,
+    computed in the SAME quantized domain the statistics were collected
+    in (q = rint(logmel * scale) as float64). mean_q / istd_q come from
+    the global q-statistics via corpus_cmvn_constants — because both
+    engines derive them from identical integers with identical IEEE
+    ops, the normalized features (and their digests) are bit-exact."""
+    m = logmel(pcm, sr, n_fft=n_fft, hop=hop, n_mels=n_mels)
+    q = np.rint(m * scale)
+    return (q - mean_q[None, :]) * istd_q[None, :]
+
+
+def corpus_cmvn_constants(
+    n: int, sum_q: np.ndarray, sumsq_q: np.ndarray, var_floor: float = 1e-10
+) -> tuple[np.ndarray, np.ndarray]:
+    """(mean_q, istd_q) float64 per bin from exact global integer stats.
+
+    mean = sum/n and var = sumsq/n - mean^2 are single IEEE ops on exact
+    integers, so every engine that holds the same (n, sum_q, sumsq_q)
+    derives bit-identical constants. istd = 1/sqrt(var + var_floor) with
+    the engine-wide 1e-10 epsilon (negative rounding residue clamped)."""
+    mean = sum_q.astype(np.float64) / float(n)
+    var = sumsq_q.astype(np.float64) / float(n) - mean * mean
+    var = np.maximum(var, 0.0)
+    return mean, 1.0 / np.sqrt(var + var_floor)

@@ -2687,3 +2687,186 @@ def transcript_reuse(
             ((F.col("n_clips") >= 2) & (F.col("n_distinct_audio") == 1)).alias("exact_dup"),
         )
     )
+
+
+# ------------------------------------------- corpus-level feature statistics
+
+FEATURE_QSTATS_DDL = (
+    "clip_id string, bin int, n_frames int, sum_q long, sumsq_q long"
+)
+
+GLOBAL_STATS_DDL = (
+    "bin int, n_clips long, n_frames long, sum_q long, sumsq_q long"
+)
+
+CORPUS_CMVN_DIGEST_DDL = (
+    "clip_id string, ok boolean, n_frames int, n_mels int, feats_md5 string"
+)
+
+
+def _feature_qstats_pdf(
+    pdf: pd.DataFrame, n_fft: int, hop: int, n_mels: int
+) -> pd.DataFrame:
+    """One pandas batch of clips -> per-clip per-bin fixed-point log-mel
+    partial statistics (core/resample.logmel_qstats). Undecodable and
+    shorter-than-one-window clips contribute no rows — they carry no
+    frames, so their absence IS their exact contribution."""
+    from ..core.resample import logmel_qstats
+
+    ids, bins, nfs, sums, sqs = [], [], [], [], []
+    for cid, buf, sr, codec in zip(
+        pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"]
+    ):
+        sr = None if pd.isna(sr) else int(sr)
+        pcm = decode(buf, codec) if sr and sr > 0 else None
+        if pcm is None:
+            continue
+        nf, sum_q, sumsq_q = logmel_qstats(
+            pcm, sr, n_fft=n_fft, hop=hop, n_mels=n_mels
+        )
+        if nf == 0:
+            continue
+        ids.extend([cid] * n_mels)
+        bins.extend(range(n_mels))
+        nfs.extend([nf] * n_mels)
+        sums.extend(sum_q.tolist())
+        sqs.extend(sumsq_q.tolist())
+    return pd.DataFrame(
+        {
+            "clip_id": ids,
+            "bin": pd.array(bins, dtype="int32"),
+            "n_frames": pd.array(nfs, dtype="int32"),
+            "sum_q": pd.array(sums, dtype="int64"),
+            "sumsq_q": pd.array(sqs, dtype="int64"),
+        }
+    )
+
+
+def feature_qstats_clips(
+    clips: DataFrame, n_fft: int = 512, hop: int = 256, n_mels: int = 40
+) -> DataFrame:
+    """Per-clip fixed-point feature-statistics partials (composable path).
+    Shuffle-free narrow map; the fan-out to n_mels rows per clip happens
+    inside the Arrow batch."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _feature_qstats_pdf(pdf, n_fft, hop, n_mels)
+
+    return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
+        _run, schema=FEATURE_QSTATS_DDL
+    )
+
+
+def feature_qstats_scan(
+    spark: SparkSession, input_dir: str,
+    n_fft: int = 512, hop: int = 256, n_mels: int = 40,
+) -> DataFrame:
+    """feature_qstats_clips over a parquet directory via the fused manifest
+    scan (kernel parallelism — FFT-bound like q37)."""
+    return _manifest_scan(
+        spark,
+        input_dir,
+        lambda pdf: _feature_qstats_pdf(pdf, n_fft, hop, n_mels),
+        FEATURE_QSTATS_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+        columns=["clip_id", "bytes", "sr_hz", "codec"],
+    )
+
+
+def global_feature_stats(
+    spark: SparkSession, input_dir: str,
+    n_fft: int = 512, hop: int = 256, n_mels: int = 40,
+) -> DataFrame:
+    """CORPUS-level log-mel statistics: per mel bin, the exact integer
+    (n_clips, n_frames, sum_q, sumsq_q) over every decodable clip — the
+    first pass of corpus CMVN (q56 normalizes per UTTERANCE; training
+    recipes that share one normalization across the corpus need these
+    global constants instead).
+
+    Because the per-clip partials are already integers (fixed-point
+    quantization in core/resample.logmel_qstats), the groupBy sum is
+    EXACT and order-independent — a float sum here would differ run to
+    run with the shuffle schedule and could never be oracle-checked.
+    Scale shape: narrow decode scan -> ONE map-side-combinable groupBy
+    on the bin (n_mels groups) -> an n_mels-row result that broadcasts
+    back for the apply pass. At ~10^9+ clips sumsq_q approaches int64
+    range at this scale factor: widen the agg to decimal(38,0) — the
+    quantized values themselves are unchanged."""
+    parts = feature_qstats_scan(spark, input_dir, n_fft, hop, n_mels)
+    return parts.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.sum("n_frames").cast("long").alias("n_frames"),
+        F.sum("sum_q").cast("long").alias("sum_q"),
+        F.sum("sumsq_q").cast("long").alias("sumsq_q"),
+    )
+
+
+def corpus_cmvn_digest_scan(
+    spark: SparkSession, input_dir: str,
+    n_fft: int = 512, hop: int = 256, n_mels: int = 40,
+) -> DataFrame:
+    """Corpus-CMVN features, digest mode: pass 1 reduces the exact global
+    statistics (n_mels rows — bounded METADATA, the one collect this
+    operator makes), pass 2 re-decodes and normalizes every clip with the
+    broadcast constants, hashing the float64 features in the same Arrow
+    batch. Both engines derive (mean, istd) from identical integers with
+    identical IEEE ops, so the digests are bit-exact (q183's oracle).
+
+    At 10^12 clips this is the canonical two-pass normalization: a
+    map-side-combined n_mels-row aggregate, a driver-side constant fold,
+    and a second shuffle-free narrow map — no row-scale state anywhere."""
+    import hashlib
+
+    import numpy as np
+
+    from ..core.resample import corpus_cmvn_apply, corpus_cmvn_constants
+
+    stats = {
+        r["bin"]: r
+        for r in global_feature_stats(spark, input_dir, n_fft, hop, n_mels).collect()
+    }
+    n = int(stats[0]["n_frames"]) if stats else 0
+    sum_q = np.array([stats[b]["sum_q"] for b in range(n_mels)], dtype=np.int64)
+    sumsq_q = np.array([stats[b]["sumsq_q"] for b in range(n_mels)], dtype=np.int64)
+    mean_q, istd_q = corpus_cmvn_constants(n, sum_q, sumsq_q)
+
+    def _pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+        oks, nfs, digs = [], [], []
+        for buf, sr, codec in zip(pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
+            sr = None if pd.isna(sr) else int(sr)
+            pcm = decode(buf, codec) if sr and sr > 0 else None
+            if pcm is None:
+                oks.append(False)
+                nfs.append(0)
+                a = np.zeros((0, n_mels))
+            else:
+                a = corpus_cmvn_apply(
+                    pcm, sr, mean_q, istd_q,
+                    n_fft=n_fft, hop=hop, n_mels=n_mels,
+                )
+                oks.append(True)
+                nfs.append(a.shape[0])
+            digs.append(
+                hashlib.md5(
+                    np.ascontiguousarray(a.reshape(-1), dtype="<f8").tobytes()
+                ).hexdigest()
+            )
+        return pd.DataFrame(
+            {
+                "clip_id": pdf["clip_id"],
+                "ok": oks,
+                "n_frames": pd.array(nfs, dtype="Int32"),
+                "n_mels": pd.array([n_mels] * len(pdf), dtype="Int32"),
+                "feats_md5": digs,
+            }
+        )
+
+    return _manifest_scan(
+        spark,
+        input_dir,
+        _pdf,
+        CORPUS_CMVN_DIGEST_DDL,
+        scan_parallelism=_kernel_parallelism(spark, input_dir),
+        columns=["clip_id", "bytes", "sr_hz", "codec"],
+    )

@@ -9023,3 +9023,66 @@ def q181_knn_hubness(spark, sf_dir):
     from .operators.similarity import knn_hubness
 
     return knn_hubness(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+_FEATURE_QSTATS_FIXTURE = f"/root/repo/fixtures/oracle_feature_qstats_n{_CLIPS_N}.parquet"
+_CORPUS_CMVN_FIXTURE = f"/root/repo/fixtures/oracle_corpus_cmvn_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q182_global_feature_stats",
+    f"""
+    SELECT bin, count(*)::BIGINT AS n_clips,
+           CAST(sum(n_frames) AS BIGINT) AS n_frames,
+           CAST(sum(sum_q) AS BIGINT) AS sum_q,
+           CAST(sum(sumsq_q) AS BIGINT) AS sumsq_q
+    FROM read_parquet('{_FEATURE_QSTATS_FIXTURE}')
+    GROUP BY bin
+    """,
+)
+def q182_global_feature_stats(spark, sf_dir):
+    """CORPUS-level log-mel statistics — pass 1 of corpus CMVN: per mel
+    bin, the EXACT integer (n_clips, n_frames, sum_q, sumsq_q) over every
+    decodable clip, q = rint(logmel * 2^12). q56 normalizes per utterance
+    (needs no corpus state); training recipes that share ONE normalization
+    across the corpus need this global reduce instead — the only audio
+    lane whose value is a cross-corpus aggregate rather than a per-clip
+    function, i.e. the shape that actually exercises the shuffle.
+
+    Fixed-point quantization BEFORE summation is what makes it testable
+    at all: float partial sums differ with the aggregation schedule, but
+    integer sums are order-independent, so Spark's shuffle-scheduled
+    reduce is value-checked against an independent single-process pass
+    (committed per-clip fixture, aggregated by the oracle's own GROUP BY).
+    Scale: narrow FFT scan -> ONE map-side-combinable n_mels-group
+    aggregate; sumsq widens to decimal(38,0) past ~10^9 clips
+    (operators/audio_ops.global_feature_stats)."""
+    from .operators.audio_ops import global_feature_stats
+
+    return global_feature_stats(spark, _clips_cache_path(spark, sf_dir))
+
+
+@register(
+    "q183_corpus_cmvn",
+    f"""
+    SELECT clip_id, ok, n_frames, n_mels, feats_md5
+    FROM read_parquet('{_CORPUS_CMVN_FIXTURE}')
+    """,
+)
+def q183_corpus_cmvn(spark, sf_dir):
+    """Corpus-CMVN featurization — pass 2: every clip's quantized log-mel
+    normalized by the GLOBAL (mean, 1/std) per bin derived from q182's
+    exact integer statistics, digest-exact (md5 of the float64 features,
+    hashed inside the Arrow batch). Because both engines fold identical
+    integers through identical single IEEE ops (core/resample.
+    corpus_cmvn_constants), the committed single-process oracle digests
+    match Spark's bit-for-bit — a determinism guarantee per-corpus float
+    averaging could never give.
+
+    Scale shape: the canonical two-pass normalization at 10^12 clips —
+    an n_mels-row aggregate collected as bounded metadata, constants
+    broadcast into a second shuffle-free narrow map
+    (operators/audio_ops.corpus_cmvn_digest_scan)."""
+    from .operators.audio_ops import corpus_cmvn_digest_scan
+
+    return corpus_cmvn_digest_scan(spark, _clips_cache_path(spark, sf_dir))
