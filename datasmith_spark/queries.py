@@ -9086,3 +9086,110 @@ def q183_corpus_cmvn(spark, sf_dir):
     from .operators.audio_ops import corpus_cmvn_digest_scan
 
     return corpus_cmvn_digest_scan(spark, _clips_cache_path(spark, sf_dir))
+
+
+@register(
+    "q184_feature_drift",
+    f"""
+    WITH h AS (
+      SELECT bin,
+             CASE WHEN substr(md5(clip_id), 1, 1) IN
+               ('0','1','2','3','4','5','6','7') THEN 'a' ELSE 'b' END AS half,
+             n_frames, sum_q
+      FROM read_parquet('{_FEATURE_QSTATS_FIXTURE}')
+    ),
+    g AS (SELECT half, bin, CAST(sum(n_frames) AS BIGINT) AS n,
+                 CAST(sum(sum_q) AS BIGINT) AS s
+          FROM h GROUP BY 1, 2)
+    SELECT a.bin, a.n AS n_a, b.n AS n_b, a.s AS sum_a, b.s AS sum_b,
+           CAST(abs(a.s * b.n - b.s * a.n) AS BIGINT) AS diff_num,
+           (abs(a.s * b.n - b.s * a.n) > 200 * a.n * b.n) AS drift
+    FROM g a JOIN g b ON a.bin = b.bin AND a.half = 'a' AND b.half = 'b'
+    """,
+)
+def q184_feature_drift(spark, sf_dir):
+    """Per-mel-bin feature drift between two deterministic md5 corpus
+    halves — the audio-feature twin of q123's source-distribution drift:
+    a mean shift in any band flags a front-end change (resampler, codec
+    mix, loudness) between ingest eras before it skews training. Exact
+    integer verdict by cross-multiplication on the q182 fixed-point
+    statistics (|sum_a*n_b - sum_b*n_a| > tau_q*n_a*n_b, tau_q=200 ~
+    0.049 log10 units) — flags 12/40 bins on the pinned corpus's halves
+    (content variance, the honest mixed verdict set). Oracle aggregates
+    the committed per-clip fixture under the same md5 split in pure SQL
+    (operators/audio_ops.feature_drift)."""
+    from .operators.audio_ops import feature_drift
+
+    return feature_drift(spark, _clips_cache_path(spark, sf_dir))
+
+
+def _pagerank_iter_sql(k: int) -> str:
+    """One unrolled integer-PageRank stage as a CTE body (rank table r{k-1}
+    -> r{k}): contribution (17*r*w) // (20*W_u) is EXACT integer floor
+    division, so the stage is reproducible regardless of evaluation order."""
+    prev = f"r{k - 1}"
+    return (
+        f"r{k} AS (SELECT e.v, 150000 + CAST(sum((17 * {prev}.r * e.w) "
+        f"// (20 * wout.wu)) AS BIGINT) AS r "
+        f"FROM e JOIN {prev} ON {prev}.v = e.u "
+        f"JOIN wout ON wout.u = e.u GROUP BY e.v)"
+    )
+
+
+@register(
+    "q185_pagerank_copurchase",
+    f"""
+    WITH pr AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT a.p AS u, b.p AS v, count(*)::BIGINT AS w
+      FROM pr a JOIN pr b ON a.o = b.o AND a.p <> b.p GROUP BY 1, 2
+    ),
+    wout AS (SELECT u, CAST(sum(w) AS BIGINT) AS wu FROM e GROUP BY 1),
+    r0 AS (SELECT u AS v, CAST(1000000 AS BIGINT) AS r FROM wout),
+    {_pagerank_iter_sql(1)},
+    {_pagerank_iter_sql(2)},
+    {_pagerank_iter_sql(3)}
+    SELECT v AS part_key, r AS rank_i FROM r3
+    """,
+)
+def q185_pagerank_copurchase(spark, sf_dir):
+    """INTEGER-arithmetic PageRank (3 unrolled power iterations, damping
+    17/20) over the part co-purchase graph — the iterative-graph-algorithm
+    class, made exactly reproducible by construction: every edge
+    contribution is the integer floor (17*r*w) // (20*W_u), so partial
+    sums commute and the distributed reduce equals the oracle bit-for-bit
+    — float PageRank can only ever be compared approximately, which is
+    why engine test suites usually skip it. Scaled ranks start at 10^6
+    with teleport base 150000 (= 0.15 * 10^6).
+
+    Graph build: per-order distinct parts self-joined into weighted
+    symmetric edges — fan-out bounded by order size (TPC-H <= 7 items),
+    never corpus-quadratic. Each iteration is one equi-join on the source
+    + one map-side-combinable groupBy on the destination; hot vertices
+    (high in-degree) are absorbed by partial aggregation. At web scale
+    this is exactly Pregel-on-DataFrames with deterministic state."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = li.select(F.col("o"), F.col("p").alias("u"))
+    b = li.select(F.col("o"), F.col("p").alias("v"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    wout = e.groupBy("u").agg(F.sum("w").cast("long").alias("wu"))
+    ew = e.join(wout, "u")
+    ranks = wout.select(F.col("u").alias("v"), F.lit(1000000).cast("long").alias("r"))
+    for _ in range(3):
+        contrib = ew.join(ranks.withColumnRenamed("v", "u"), "u").select(
+            "v",
+            F.expr("(17 * r * w) div (20 * wu)").alias("c"),
+        )
+        ranks = contrib.groupBy("v").agg(
+            (F.lit(150000) + F.sum("c")).cast("long").alias("r")
+        )
+    return ranks.select(F.col("v").alias("part_key"), F.col("r").alias("rank_i"))
