@@ -2794,6 +2794,16 @@ def global_feature_stats(
     range at this scale factor: widen the agg to decimal(38,0) — the
     quantized values themselves are unchanged."""
     parts = feature_qstats_scan(spark, input_dir, n_fft, hop, n_mels)
+    return aggregate_feature_qstats(parts)
+
+
+def aggregate_feature_qstats(parts: DataFrame) -> DataFrame:
+    """The global reduce over per-clip q-stats partials — shared by the
+    batch scan (global_feature_stats) and the streaming twin
+    (streaming.stream_feature_qstats), which can only exist because the
+    partials are exact integers: an incremental complete-mode aggregate
+    provably equals the batch one, where float stats would drift with
+    the micro-batch schedule."""
     return parts.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n_clips"),
         F.sum("n_frames").cast("long").alias("n_frames"),

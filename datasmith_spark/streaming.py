@@ -118,6 +118,29 @@ def stream_features(
     return op(stream_clips(spark, input_dir, max_files_per_trigger))
 
 
+def stream_feature_qstats(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Continuous-ingest CORPUS feature statistics: q182's exact global
+    log-mel reduce lifted onto a file-source stream as an unwatermarked
+    complete-mode aggregation (n_mels groups — bounded state by
+    construction, no eviction needed). Because the per-clip partials are
+    fixed-point INTEGERS (core/resample.logmel_qstats), the incremental
+    aggregate is provably bit-identical to the batch reduce over the same
+    files regardless of micro-batch boundaries
+    (tests/test_streaming.py::test_stream_feature_qstats_matches_batch) —
+    float statistics would drift with the trigger schedule and could
+    never make that promise. The live normalization constants for corpus
+    CMVN (q183) can therefore be refreshed mid-ingest with exact
+    batch-equivalent semantics."""
+    from .operators.audio_ops import aggregate_feature_qstats, feature_qstats_clips
+
+    parts = feature_qstats_clips(stream_clips(spark, input_dir, max_files_per_trigger))
+    return aggregate_feature_qstats(parts)
+
+
 def make_batch_sink(tl: TableLayer):
     """foreachBatch sink with idempotent-per-batch semantics.
 

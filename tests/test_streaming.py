@@ -908,3 +908,41 @@ def test_stream_defect_gate_matches_batch(spark, clips_path, stream_dirs, tmp_pa
         assert (got[c].fillna("<null>") == want[c].fillna("<null>")).all(), f"{c} mismatch"
     lanes = want[[f"{l}_keep" for l in DEFECT_LANES]].all(axis=1)
     assert (want.keep == lanes).all()
+
+
+def test_stream_feature_qstats_matches_batch(spark, clips_path, stream_dirs):
+    """q182's exact global feature reduce, incrementally maintained on a
+    stream in complete mode, equals the batch reduce bit-for-bit over the
+    same files — the promise only integer partials can make (float stats
+    would drift with the micro-batch schedule)."""
+    from datasmith_spark.operators.audio_ops import (
+        aggregate_feature_qstats,
+        feature_qstats_clips,
+    )
+    from datasmith_spark.streaming import stream_feature_qstats
+
+    inp, _ = stream_dirs
+    q = (
+        stream_feature_qstats(spark, inp, max_files_per_trigger=3)
+        .writeStream.format("memory")
+        .queryName("qstats_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.table("qstats_stream")
+        .toPandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    want = (
+        aggregate_feature_qstats(feature_qstats_clips(spark.read.parquet(inp)))
+        .toPandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in ("bin", "n_clips", "n_frames", "sum_q", "sumsq_q"):
+        assert got[c].tolist() == want[c].tolist(), f"{c} mismatch"
