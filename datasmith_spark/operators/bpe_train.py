@@ -151,3 +151,68 @@ def bpe_encode_counts(
     topk = cnt.orderBy(F.desc("n"), F.asc("token")).limit(top)
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     return topk.select(F.row_number().over(w).alias("rank"), "token", "n")
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language tokenizer FERTILITY (subword tokens per character,
+    milli-units by exact integer division) of a trained merge list — the
+    tokenizer-fairness audit: a BPE trained on a skewed language mix
+    under-serves minority languages, which then burn more tokens per
+    character (higher training/inference cost per unit of text) and
+    effectively see a shorter context window. Emits per language the exact
+    integer (n_words, n_tokens, n_chars, fertility_milli = 1000*n_tokens
+    // n_chars); token counts include the </w> end-of-word marker the
+    encoder emits (both engines count it identically).
+
+    Shape: one corpus pass to the (lang, word) frequency table; encoding
+    runs ONCE per distinct word (bounded vocabulary, Arrow-batched narrow
+    map with the merge list captured as a broadcast-sized constant — the
+    q76 shape); then one join on the word and one map-side-combinable
+    per-language sum. The corpus is never re-tokenized per language."""
+    from ..core.bpe import encode_word
+    from .text_analysis import tokens_col
+
+    wl = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(lang_col).alias("lang"),
+            F.explode(tokens_col(F.col(text_col))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    dw = wl.select("w").distinct()
+
+    def _enc(batches, _ms=tuple(merges)):
+        ms = list(_ms)
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "n_toks": pd.array(
+                        [len(encode_word(w, ms)) for w in pdf["w"]], dtype="int32"
+                    ),
+                    "n_chars": pd.array([len(w) for w in pdf["w"]], dtype="int32"),
+                }
+            )
+
+    enc = dw.mapInPandas(_enc, schema="w string, n_toks int, n_chars int")
+    return (
+        wl.join(enc, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("freq").cast("long").alias("n_words"),
+            F.sum(F.col("freq") * F.col("n_toks")).cast("long").alias("n_tokens"),
+            F.sum(F.col("freq") * F.col("n_chars")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang", "n_words", "n_tokens", "n_chars",
+            F.expr("(1000 * n_tokens) div n_chars").alias("fertility_milli"),
+        )
+    )

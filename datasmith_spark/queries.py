@@ -9193,3 +9193,45 @@ def q185_pagerank_copurchase(spark, sf_dir):
             (F.lit(150000) + F.sum("c")).cast("long").alias("r")
         )
     return ranks.select(F.col("v").alias("part_key"), F.col("r").alias("rank_i"))
+
+
+_BPE_FERTILITY_FIXTURE = (
+    f"/root/repo/fixtures/oracle_bpe_fertility_n{_CLIPS_N}_m{_BPE_MERGES_N}.parquet"
+)
+
+
+@register(
+    "q186_bpe_fertility",
+    f"""
+    SELECT lang, n_words, n_tokens, n_chars, fertility_milli
+    FROM read_parquet('{_BPE_FERTILITY_FIXTURE}')
+    """,
+)
+def q186_bpe_fertility(spark, sf_dir):
+    """Per-language tokenizer FERTILITY audit (subword tokens per
+    character, exact milli-integers) of the q75-trained BPE over the
+    language-labeled pipeline output — the tokenizer-fairness measure: a
+    merge table trained on a skewed mix under-serves minority languages,
+    which burn more tokens per character (higher cost per unit text, a
+    shorter effective context window). On the pinned corpus the signal is
+    real: en 694 milli (merges mostly learned from the majority language)
+    vs ru 1081 / zh 1131 — the >1.5x disparity a mixture rebalance (q87)
+    or per-language merge budget would close.
+
+    Inputs are two already-value-checked artifacts (q27's labels for
+    lang + scrubbed text, q75's merge table), so this composes verified
+    lanes rather than re-deriving them. Scale: encoding once per DISTINCT
+    word over the bounded vocabulary, one word join, one map-side-
+    combinable per-language sum (operators/bpe_train.bpe_fertility);
+    oracle is the committed independent single-process aggregation
+    (scripts/make_bpe_fertility_fixture.py)."""
+    import pandas as pd
+
+    from .operators.bpe_train import bpe_fertility
+
+    merges_fx = pd.read_parquet(_BPE_FIXTURE)
+    merges = [(r["left"], r["right"]) for _, r in merges_fx.iterrows()]
+    labels = _clips_labels(spark, sf_dir)
+    return bpe_fertility(
+        labels.select("lang", F.col("scrubbed_transcript").alias("text")), merges
+    )

@@ -126,3 +126,77 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+class TestBpeFertility:
+    def test_hand_corpus_exact(self, spark):
+        """Fertility on a 2-language toy corpus matches hand counting."""
+        from datasmith_spark.core.bpe import bpe_train
+        from datasmith_spark.operators.bpe_train import bpe_fertility
+
+        merges = [(m[1], m[2]) for m in bpe_train({"low": 5, "lower": 2}, 4)]
+        docs = spark.createDataFrame(
+            [("en", "low low lower"), ("xx", "abc de")],
+            "lang string, text string",
+        )
+        out = {r.lang: r for r in bpe_fertility(docs, merges).collect()}
+        from datasmith_spark.core.bpe import encode_word
+
+        # en: 'low' x2 + 'lower' x1
+        n_tok_en = 2 * len(encode_word("low", merges)) + len(
+            encode_word("lower", merges)
+        )
+        assert out["en"].n_words == 3
+        assert out["en"].n_tokens == n_tok_en
+        assert out["en"].n_chars == 2 * 3 + 5
+        assert out["en"].fertility_milli == (1000 * n_tok_en) // 11
+        # xx: untrained chars explode to char+EOW tokens
+        n_tok_xx = len(encode_word("abc", merges)) + len(encode_word("de", merges))
+        assert out["xx"].n_tokens == n_tok_xx == 4 + 3
+        assert out["xx"].fertility_milli == (1000 * 7) // 5
+
+    def test_shared_words_counted_per_language(self, spark):
+        """A word appearing in two languages contributes to both rows
+        (the join fans the single encode back out by language)."""
+        from datasmith_spark.operators.bpe_train import bpe_fertility
+
+        docs = spark.createDataFrame(
+            [("a", "word word"), ("b", "word")], "lang string, text string"
+        )
+        out = {r.lang: r for r in bpe_fertility(docs, []).collect()}
+        assert out["a"].n_words == 2 and out["b"].n_words == 1
+        assert out["a"].n_tokens == 2 * out["b"].n_tokens
+
+    def test_fixture_honesty(self):
+        """Committed fixture re-derivable from the two source artifacts."""
+        import re
+
+        import pandas as pd
+
+        from datasmith_spark.core.bpe import encode_word
+
+        fx = pd.read_parquet(
+            "/root/repo/fixtures/oracle_bpe_fertility_n4000_m24.parquet"
+        ).set_index("lang")
+        labels = pd.read_parquet("/root/repo/fixtures/oracle_labels_n4000.parquet")
+        merges_fx = pd.read_parquet("/root/repo/fixtures/oracle_bpe_n4000_m24.parquet")
+        merges = [(r["left"], r["right"]) for _, r in merges_fx.iterrows()]
+        sub = labels[labels.lang == "ru"]
+        n_words = n_tokens = n_chars = 0
+        cache = {}
+        for text in sub.scrubbed_transcript:
+            if text is None:
+                continue
+            for w in re.split(r"\s+", str(text).strip()):
+                if not w:
+                    continue
+                if w not in cache:
+                    cache[w] = len(encode_word(w, merges))
+                n_words += 1
+                n_tokens += cache[w]
+                n_chars += len(w)
+        row = fx.loc["ru"]
+        assert (row.n_words, row.n_tokens, row.n_chars) == (
+            n_words, n_tokens, n_chars,
+        )
+        assert row.fertility_milli == (1000 * n_tokens) // n_chars
