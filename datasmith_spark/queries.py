@@ -9235,3 +9235,70 @@ def q186_bpe_fertility(spark, sf_dir):
     return bpe_fertility(
         labels.select("lang", F.col("scrubbed_transcript").alias("text")), merges
     )
+
+
+@register(
+    "q187_epoch_shuffle",
+    """
+    WITH base AS (SELECT doc_id FROM documents),
+    ep AS (SELECT e.epoch, doc_id
+           FROM base, (SELECT unnest([0, 1, 2]) AS epoch) e),
+    keyed AS (
+      SELECT epoch, doc_id,
+             md5('ep' || CAST(epoch AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR))
+               AS skey
+      FROM ep
+    ),
+    bucketed AS (
+      SELECT epoch, doc_id, skey,
+             CAST(('0x' || substr(skey, 1, 4))::INTEGER % 8 AS INTEGER) AS bucket
+      FROM keyed
+    )
+    SELECT epoch, bucket,
+           CAST(row_number() OVER (PARTITION BY epoch, bucket
+                                   ORDER BY skey, doc_id) AS BIGINT) AS pos,
+           doc_id
+    FROM bucketed
+    """,
+)
+def q187_epoch_shuffle(spark, sf_dir):
+    """Deterministic EPOCH SHUFFLE for training-data delivery: each epoch
+    e assigns every document a fresh pseudo-random order via
+    md5('ep<e>|<id>') — different permutation every epoch (decorrelated
+    batches), yet fully reproducible on any engine with no RNG state to
+    checkpoint (resume = recompute). The order is materialized as
+    (epoch, bucket, pos, doc_id): 8 hash buckets from the key's first 16
+    bits, position by row_number WITHIN the bucket — consumers stream
+    buckets in any order and rows by pos, which is exactly how a data
+    loader shards an epoch across workers.
+
+    Scale shape: the window is partitioned by (epoch, bucket) — at 10^12
+    docs you raise the bucket count with the corpus (buckets ~ total/
+    target-shard-size) and NO global total order is ever imposed; a naive
+    row_number over the whole epoch would funnel the corpus through one
+    partition. All emitted columns exact integers/strings."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    ep = d.crossJoin(
+        F.broadcast(
+            spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+        )
+    )
+    keyed = ep.select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit("ep"), F.col("epoch").cast("string"),
+                F.lit("|"), F.col("doc_id").cast("string"),
+            ).cast("binary")
+        ).alias("skey"),
+    )
+    bucketed = keyed.withColumn(
+        "bucket", F.pmod(F.conv(F.substring("skey", 1, 4), 16, 10).cast("int"), F.lit(8))
+    )
+    w = Window.partitionBy("epoch", "bucket").orderBy(F.asc("skey"), F.asc("doc_id"))
+    return bucketed.select(
+        "epoch", "bucket",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "doc_id",
+    )

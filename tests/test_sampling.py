@@ -84,3 +84,35 @@ def test_registry_has_q91(spark):
 
     assert "q91_pps_weighted_sample" in QUERIES
     assert "q91_pps_weighted_sample" in ORACLE_SQL
+
+
+class TestEpochShuffle:
+    def test_each_epoch_is_a_permutation_and_epochs_differ(self, spark):
+        from datasmith_spark.queries import QUERIES
+
+        out = QUERIES["q187_epoch_shuffle"](spark, "/root/testdata/sf0.001").toPandas()
+        n_docs = out.doc_id.nunique()
+        assert set(out.epoch) == {0, 1, 2}
+        assert set(out.bucket) <= set(range(8))
+        orders = {}
+        for e, sub in out.groupby("epoch"):
+            # bijection: every doc exactly once per epoch
+            assert len(sub) == n_docs == sub.doc_id.nunique()
+            # pos is 1..n within each bucket, no gaps
+            for _, bsub in sub.groupby("bucket"):
+                assert sorted(bsub.pos) == list(range(1, len(bsub) + 1))
+            orders[e] = tuple(
+                sub.sort_values(["bucket", "pos"]).doc_id.tolist()
+            )
+        # different epochs produce different permutations
+        assert orders[0] != orders[1] != orders[2]
+
+    def test_reproducible_no_rng_state(self, spark):
+        from datasmith_spark.queries import QUERIES
+
+        a = QUERIES["q187_epoch_shuffle"](spark, "/root/testdata/sf0.001").toPandas()
+        b = QUERIES["q187_epoch_shuffle"](spark, "/root/testdata/sf0.001").toPandas()
+        key = ["epoch", "bucket", "pos"]
+        assert (
+            a.sort_values(key).doc_id.tolist() == b.sort_values(key).doc_id.tolist()
+        )
