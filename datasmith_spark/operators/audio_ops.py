@@ -2815,6 +2815,7 @@ def aggregate_feature_qstats(parts: DataFrame) -> DataFrame:
 def corpus_cmvn_digest_scan(
     spark: SparkSession, input_dir: str,
     n_fft: int = 512, hop: int = 256, n_mels: int = 40,
+    stats_df: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-CMVN features, digest mode: pass 1 reduces the exact global
     statistics (n_mels rows — bounded METADATA, the one collect this
@@ -2832,10 +2833,9 @@ def corpus_cmvn_digest_scan(
 
     from ..core.resample import corpus_cmvn_apply, corpus_cmvn_constants
 
-    stats = {
-        r["bin"]: r
-        for r in global_feature_stats(spark, input_dir, n_fft, hop, n_mels).collect()
-    }
+    if stats_df is None:
+        stats_df = global_feature_stats(spark, input_dir, n_fft, hop, n_mels)
+    stats = {r["bin"]: r for r in stats_df.collect()}
     n = int(stats[0]["n_frames"]) if stats else 0
     sum_q = np.array([stats[b]["sum_q"] for b in range(n_mels)], dtype=np.int64)
     sumsq_q = np.array([stats[b]["sumsq_q"] for b in range(n_mels)], dtype=np.int64)
@@ -2911,6 +2911,14 @@ def feature_drift(
     scan with one extra (half, bin) group key — 2*n_mels groups, map-side
     combined; the a-vs-b join is n_mels rows."""
     parts = feature_qstats_scan(spark, input_dir, n_fft, hop, n_mels)
+    return feature_drift_from_parts(parts, tau_q)
+
+
+def feature_drift_from_parts(
+    parts: DataFrame, tau_q: int = FEATURE_DRIFT_TAU_Q
+) -> DataFrame:
+    """feature_drift over an existing per-clip q-stats partials frame —
+    lets q182/q183/q184 share ONE kernel-bound stats scan per session."""
     halves = parts.withColumn(
         "half",
         F.when(

@@ -9025,6 +9025,30 @@ def q181_knn_hubness(spark, sf_dir):
     return knn_hubness(_t(spark, sf_dir, "embeddings"), k=3)
 
 
+_QSTATS_CACHE: dict = {}
+
+
+def _qstats_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip fixed-point log-mel partials for the pinned clips table,
+    persisted once per session: q182 (global reduce), q183 (constants for
+    the apply pass), and q184 (md5-half drift) all consume the SAME
+    kernel-bound FFT scan instead of each re-decoding the corpus — the
+    partials are ~156k short integer rows. Same app-bounded cache
+    discipline as _clips_post_decode / _fp_keys_cached."""
+    from pyspark import StorageLevel
+
+    from .operators.audio_ops import feature_qstats_scan
+
+    path = _clips_cache_path(spark, sf_dir)
+
+    def build():
+        return feature_qstats_scan(spark, path).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+
+    return _session_cached(_QSTATS_CACHE, spark, path, build)
+
+
 _FEATURE_QSTATS_FIXTURE = f"/root/repo/fixtures/oracle_feature_qstats_n{_CLIPS_N}.parquet"
 _CORPUS_CMVN_FIXTURE = f"/root/repo/fixtures/oracle_corpus_cmvn_n{_CLIPS_N}.parquet"
 
@@ -9056,10 +9080,11 @@ def q182_global_feature_stats(spark, sf_dir):
     (committed per-clip fixture, aggregated by the oracle's own GROUP BY).
     Scale: narrow FFT scan -> ONE map-side-combinable n_mels-group
     aggregate; sumsq widens to decimal(38,0) past ~10^9 clips
-    (operators/audio_ops.global_feature_stats)."""
-    from .operators.audio_ops import global_feature_stats
+    (operators/audio_ops.global_feature_stats). q182/q183/q184 share ONE
+    session-persisted partials scan (_qstats_cached)."""
+    from .operators.audio_ops import aggregate_feature_qstats
 
-    return global_feature_stats(spark, _clips_cache_path(spark, sf_dir))
+    return aggregate_feature_qstats(_qstats_cached(spark, sf_dir))
 
 
 @register(
@@ -9083,9 +9108,16 @@ def q183_corpus_cmvn(spark, sf_dir):
     an n_mels-row aggregate collected as bounded metadata, constants
     broadcast into a second shuffle-free narrow map
     (operators/audio_ops.corpus_cmvn_digest_scan)."""
-    from .operators.audio_ops import corpus_cmvn_digest_scan
+    from .operators.audio_ops import (
+        aggregate_feature_qstats,
+        corpus_cmvn_digest_scan,
+    )
 
-    return corpus_cmvn_digest_scan(spark, _clips_cache_path(spark, sf_dir))
+    return corpus_cmvn_digest_scan(
+        spark,
+        _clips_cache_path(spark, sf_dir),
+        stats_df=aggregate_feature_qstats(_qstats_cached(spark, sf_dir)),
+    )
 
 
 @register(
@@ -9117,10 +9149,11 @@ def q184_feature_drift(spark, sf_dir):
     0.049 log10 units) — flags 12/40 bins on the pinned corpus's halves
     (content variance, the honest mixed verdict set). Oracle aggregates
     the committed per-clip fixture under the same md5 split in pure SQL
-    (operators/audio_ops.feature_drift)."""
-    from .operators.audio_ops import feature_drift
+    (operators/audio_ops.feature_drift); shares the session-persisted
+    partials scan with q182/q183."""
+    from .operators.audio_ops import feature_drift_from_parts
 
-    return feature_drift(spark, _clips_cache_path(spark, sf_dir))
+    return feature_drift_from_parts(_qstats_cached(spark, sf_dir))
 
 
 def _pagerank_iter_sql(k: int) -> str:
