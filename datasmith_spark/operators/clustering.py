@@ -86,36 +86,91 @@ def kmeans_assign(
     md5 init. dist is the exact int64 lattice distance to the final
     centroid (a free per-row quality signal, and it pins the centroid
     values through the value check without emitting 64-wide arrays)."""
-    spark = embs.sparkSession
     pts = quantized_points(embs).persist()
     try:
-        if dims is None:  # one first() of one int — bounded metadata
-            dims = int(pts.select(F.size("xq")).first()[0])
-        init = (
-            pts.orderBy(F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc())
-            .limit(k)
-            .collect()
-        )
-        cents = {i: [int(v) for v in r["xq"]] for i, r in enumerate(init)}
+        cents = _fit_centroids(pts, k, iters, dims)
         assigned = _assign(pts, cents)
-        for _ in range(iters):
-            sums = (
-                assigned.groupBy("cluster")
-                .agg(
-                    F.count("*").alias("n"),
-                    *[
-                        F.sum(F.element_at("xq", d + 1)).alias(f"s{d}")
-                        for d in range(dims)
-                    ],
-                )
-                .collect()
-            )
-            for r in sums:  # empty clusters keep their previous centroid
-                n = int(r["n"])
-                cents[int(r["cluster"])] = [int(r[f"s{d}"]) // n for d in range(dims)]
-            assigned = _assign(pts, cents)
         # materialize before unpersisting the lineage source
         out = assigned.select("vec_id", "cluster", "dist").localCheckpoint(eager=True)
+        return out
+    finally:
+        pts.unpersist()
+
+
+def _fit_centroids(
+    pts: DataFrame, k: int, iters: int, dims: int | None
+) -> dict[int, list[int]]:
+    """Seedless md5 init + `iters` Lloyd rounds over a persisted quantized
+    points frame; returns the final centroid table (k x dims ints, bounded
+    metadata). Extracted so kmeans_assign and kmeans_quality share the
+    identical iteration bit-for-bit."""
+    if dims is None:  # one first() of one int — bounded metadata
+        dims = int(pts.select(F.size("xq")).first()[0])
+    init = (
+        pts.orderBy(F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc())
+        .limit(k)
+        .collect()
+    )
+    cents = {i: [int(v) for v in r["xq"]] for i, r in enumerate(init)}
+    assigned = _assign(pts, cents)
+    for _ in range(iters):
+        sums = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("xq", d + 1)).alias(f"s{d}")
+                    for d in range(dims)
+                ],
+            )
+            .collect()
+        )
+        for r in sums:  # empty clusters keep their previous centroid
+            n = int(r["n"])
+            cents[int(r["cluster"])] = [int(r[f"s{d}"]) // n for d in range(dims)]
+        assigned = _assign(pts, cents)
+    return cents
+
+
+def kmeans_quality(
+    embs: DataFrame, k: int = KM_K, iters: int = KM_ITERS, dims: int | None = None
+) -> DataFrame:
+    """Per-cluster QUALITY audit of the exact k-means: (cluster, n,
+    n_boundary, sse) where sse = exact int64 sum of squared lattice
+    distances to the own centroid and a point is BOUNDARY when its
+    second-closest centroid is less than twice as far (squared units):
+    d2 < 2*d1, the simplified-silhouette margin test kept exact by
+    cross-multiplication. High boundary fractions mean the clustering is
+    not separating the corpus (semdedup q74 inherits exactly that risk:
+    near-dups split across two touching clusters are never compared).
+
+    Same fit as kmeans_assign (shared _fit_centroids — bit-identical
+    centroids); the final pass computes the SORTED per-point distance
+    array against the k broadcast centroids (narrow map), then ONE
+    map-side-combinable rollup. Everything integer-exact, so the DuckDB
+    oracle re-derives fit AND audit bit-for-bit."""
+    pts = quantized_points(embs).persist()
+    try:
+        cents = _fit_centroids(pts, k, iters, dims)
+        cids = sorted(cents)
+        dists = F.array(*[_dist_to(cents[c]) for c in cids])
+        sorted_d = F.array_sort(dists)
+        per_point = pts.select(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cluster"),
+            F.element_at(sorted_d, 1).alias("d1"),
+            F.element_at(sorted_d, 2).alias("d2"),
+        )
+        out = (
+            per_point.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum((F.col("d2") < 2 * F.col("d1")).cast("long"))
+                .cast("long")
+                .alias("n_boundary"),
+                F.sum("d1").cast("long").alias("sse"),
+            )
+            .localCheckpoint(eager=True)
+        )
         return out
     finally:
         pts.unpersist()

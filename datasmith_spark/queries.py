@@ -9335,3 +9335,44 @@ def q187_epoch_shuffle(spark, sf_dir):
         F.row_number().over(w).cast("bigint").alias("pos"),
         "doc_id",
     )
+
+
+@register(
+    "q188_cluster_quality",
+    f"""
+    WITH {_kmeans_sql_ctes("embeddings", 10, 3)}
+    , rkq AS (
+      SELECT vec_id, cid, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+      FROM dfin
+    ),
+    ppq AS (
+      SELECT a.vec_id, a.cid AS cluster, a.dist AS d1, b.dist AS d2
+      FROM rkq a JOIN rkq b ON a.vec_id = b.vec_id AND a.rk = 1 AND b.rk = 2
+    )
+    SELECT cluster::INT AS cluster, count(*)::BIGINT AS n,
+           CAST(sum(CASE WHEN d2 < 2 * d1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boundary,
+           CAST(sum(d1) AS BIGINT) AS sse
+    FROM ppq GROUP BY cluster
+    """,
+)
+def q188_cluster_quality(spark, sf_dir):
+    """Cluster-quality audit of the exact k-means (q73): per cluster the
+    exact integer (n, n_boundary, sse) — a point is BOUNDARY when its
+    second-closest centroid is less than twice as far in squared lattice
+    units (d2 < 2*d1, the simplified-silhouette margin kept exact by
+    cross-multiplication). The fraction of boundary points is the
+    go/no-go signal for every cluster-bounded consumer: semdedup (q74)
+    never compares near-dups that fall across two touching clusters, so
+    a high boundary share means the cluster prefilter is leaking recall.
+
+    Fit is SHARED with q73 (same seedless init, same integer Lloyd
+    rounds — bit-identical centroids); the audit pass is one narrow map
+    computing the sorted per-point distance array against k broadcast
+    centroids + ONE map-side-combinable rollup. The DuckDB oracle
+    re-derives fit AND audit from the same CTE chain
+    (operators/clustering.kmeans_quality)."""
+    from .operators.clustering import kmeans_quality
+
+    return kmeans_quality(_t(spark, sf_dir, "embeddings"))

@@ -159,3 +159,43 @@ def test_registry_has_q120(spark):
     from datasmith_spark.queries import ORACLE_SQL, QUERIES
 
     assert "q120_cluster_canonical" in QUERIES and "q120_cluster_canonical" in ORACLE_SQL
+
+
+class TestKmeansQuality:
+    def test_counts_and_sse_vs_assign(self, spark):
+        """Mass conservation and sse consistency against kmeans_assign:
+        shared fit => per-cluster n and sum(dist) must agree exactly."""
+        from datasmith_spark.operators.clustering import (
+            kmeans_assign,
+            kmeans_quality,
+        )
+
+        embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = kmeans_quality(embs).toPandas().set_index("cluster").sort_index()
+        a = kmeans_assign(embs).toPandas()
+        want = a.groupby("cluster").agg(n=("vec_id", "count"), sse=("dist", "sum"))
+        assert q.n.to_dict() == want.n.to_dict()
+        assert q.sse.to_dict() == {k: int(v) for k, v in want.sse.to_dict().items()}
+        assert ((q.n_boundary >= 0) & (q.n_boundary <= q.n)).all()
+
+    def test_boundary_detects_touching_clusters(self, spark):
+        """Two tight blobs + midpoint stragglers: the stragglers must flag
+        as boundary, the blob cores must not."""
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        a = rng.normal(0.5, 0.005, size=(20, 64))
+        b = rng.normal(-0.5, 0.005, size=(20, 64))
+        mid = rng.normal(0.0, 0.005, size=(4, 64))
+        rows = [
+            (i, [float(x) for x in v])
+            for i, v in enumerate(np.vstack([a, b, mid]))
+        ]
+        embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        from datasmith_spark.operators.clustering import kmeans_quality
+
+        out = kmeans_quality(embs, k=2, iters=3).toPandas()
+        assert out.n.sum() == 44
+        # the 4 midpoint stragglers sit near the decision surface of the
+        # two blob centroids -> exactly they flag as boundary
+        assert out.n_boundary.sum() == 4
