@@ -9376,3 +9376,133 @@ def q188_cluster_quality(spark, sf_dir):
     from .operators.clustering import kmeans_quality
 
     return kmeans_quality(_t(spark, sf_dir, "embeddings"))
+
+
+def _mw_lane(d, lane: str):
+    """Doubled-rank Mann-Whitney over a (half, v) frame -> one exact row.
+
+    Value-histogram construction: ranks are derived per DISTINCT value
+    (avg rank of a tie group doubles to the integer 2*cum_below+cnt+1),
+    so the only window runs over the bounded value domain — the corpus
+    itself is never globally sorted. Verdict at ~2 sigma with the exact
+    tie-corrected variance, cross-multiplied in decimal(38,0):
+
+        drift <=> 12*n*(n-1) * D^2  >  16 * nA*nB*((n+1)*n*(n-1) - T)
+
+    with D = 2U_A - nA*nB and T = sum(t^3 - t) over tie groups."""
+    hist = d.groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum((F.col("half") == "a").cast("long")).alias("cnt_a"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    h = hist.withColumn("cum_below", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    agg = h.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("long").alias("n_b"),
+        F.sum(
+            F.col("cnt_a") * (2 * F.col("cum_below") + F.col("cnt") + 1)
+        ).cast("long").alias("r2_a"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).cast("long").alias("tie_cube"),
+    )
+    dec = "decimal(38,0)"
+    return agg.select(
+        F.lit(lane).alias("lane"), "n_a", "n_b",
+        "r2_a",
+        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)).cast("long").alias("u2_a"),
+        "tie_cube",
+        (
+            F.lit(12).cast(dec) * (F.col("n_a") + F.col("n_b")).cast(dec)
+            * (F.col("n_a") + F.col("n_b") - 1).cast(dec)
+            * (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)
+               - F.col("n_a") * F.col("n_b")).cast(dec)
+            * (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)
+               - F.col("n_a") * F.col("n_b")).cast(dec)
+            > F.lit(16).cast(dec) * (F.col("n_a") * F.col("n_b")).cast(dec)
+            * (
+                ((F.col("n_a") + F.col("n_b") + 1).cast(dec)
+                 * (F.col("n_a") + F.col("n_b")).cast(dec)
+                 * (F.col("n_a") + F.col("n_b") - 1).cast(dec))
+                - F.col("tie_cube").cast(dec)
+            )
+        ).alias("drift"),
+    )
+
+
+@register(
+    "q189_mannwhitney_drift",
+    """
+    WITH src AS (
+      SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+               ('0','1','2','3','4','5','6','7') THEN 'a' ELSE 'b' END AS half,
+             n_chars
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    lanes AS (
+      SELECT 'observed' AS lane, half, CAST(n_chars AS BIGINT) AS v FROM src
+      UNION ALL
+      SELECT 'planted', half,
+             CASE WHEN half = 'b' THEN (CAST(n_chars AS BIGINT) * 5) // 4
+                  ELSE CAST(n_chars AS BIGINT) END
+      FROM src
+    ),
+    hist AS (
+      SELECT lane, v, count(*)::BIGINT AS cnt,
+             CAST(sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a
+      FROM lanes GROUP BY lane, v
+    ),
+    h AS (
+      SELECT lane, v, cnt, cnt_a,
+             coalesce(sum(cnt) OVER (PARTITION BY lane ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_below
+      FROM hist
+    ),
+    agg AS (
+      SELECT lane,
+             CAST(sum(cnt_a) AS BIGINT) AS n_a,
+             CAST(sum(cnt - cnt_a) AS BIGINT) AS n_b,
+             CAST(sum(cnt_a * (2 * cum_below + cnt + 1)) AS BIGINT) AS r2_a,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_cube
+      FROM h GROUP BY lane
+    )
+    SELECT lane, n_a, n_b, r2_a,
+           CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           tie_cube,
+           (12::HUGEINT * (n_a + n_b) * (n_a + n_b - 1)
+              * (r2_a - n_a * (n_a + 1) - n_a * n_b)::HUGEINT
+              * (r2_a - n_a * (n_a + 1) - n_a * n_b)::HUGEINT
+            > 16::HUGEINT * n_a * n_b
+              * ((n_a + n_b + 1)::HUGEINT * (n_a + n_b) * (n_a + n_b - 1)
+                 - tie_cube)) AS drift
+    FROM agg
+    """,
+)
+def q189_mannwhitney_drift(spark, sf_dir):
+    """Exact Mann-Whitney U location-drift test between the md5 corpus
+    halves on document length — the rank-based companion to the KS shape
+    test (q155): KS reacts to any CDF gap, MW specifically to a location
+    shift, the common real-world corruption (a scraper era that truncates
+    or pads). EXACT integers throughout via the value-histogram rank
+    construction (doubled average ranks are integers; the only window
+    runs over the bounded distinct-value domain, never a global corpus
+    sort) and the tie-corrected ~2-sigma verdict cross-multiplied in
+    decimal(38,0)/HUGEINT — no float, no sqrt. Two lanes: 'observed'
+    (same-distribution halves — expect no drift) and 'planted' (half b
+    lengths scaled 21/20 — a 5% shift the test must flag), so BOTH
+    verdict polarities are value-checked."""
+    d0 = _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull()).select(
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+            .isin(*"01234567"),
+            F.lit("a"),
+        ).otherwise(F.lit("b")).alias("half"),
+        F.col("n_chars").cast("long").alias("v"),
+    )
+    planted = d0.withColumn(
+        "v",
+        F.when(
+            F.col("half") == "b", F.expr("(v * 5) div 4")
+        ).otherwise(F.col("v")),
+    )
+    return _mw_lane(d0, "observed").unionByName(_mw_lane(planted, "planted"))

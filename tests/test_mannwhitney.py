@@ -1,0 +1,58 @@
+"""Exact Mann-Whitney drift test (q189): hand-computed U on a tiny
+sample, rank-mass conservation, verdict polarity on the pinned corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datasmith_spark.queries import QUERIES, _mw_lane
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "half string, v long")
+
+
+def test_hand_computed_u_with_ties(spark):
+    """a = [1, 3, 3], b = [2, 3] — ties across groups exercise the
+    doubled average-rank construction. Hand ranks: 1->1, 2->2,
+    three 3s share avg rank (3+4+5)/3 = 4. R_a = 1 + 4 + 4 = 9,
+    U_a = R_a - n_a(n_a+1)/2 = 9 - 6 = 3."""
+    rows = [("a", 1), ("a", 3), ("a", 3), ("b", 2), ("b", 3)]
+    r = _mw_lane(_frame(spark, rows), "t").collect()[0]
+    assert (r.n_a, r.n_b) == (3, 2)
+    assert r.r2_a == 18          # 2 * R_a
+    assert r.u2_a == 6           # 2 * U_a
+    assert r.tie_cube == 3**3 - 3  # one tie group of size 3
+
+
+def test_rank_mass_conservation(spark):
+    """r2_a + r2_b == n(n+1) exactly, for any sample (the doubled rank
+    total) — checked by swapping the half labels."""
+    rows = [("a", v) for v in (5, 7, 7, 9)] + [("b", v) for v in (6, 7, 10)]
+    swapped = [("b" if h == "a" else "a", v) for h, v in rows]
+    ra = _mw_lane(_frame(spark, rows), "t").collect()[0]
+    rb = _mw_lane(_frame(spark, swapped), "t").collect()[0]
+    n = ra.n_a + ra.n_b
+    assert ra.r2_a + rb.r2_a == n * (n + 1)
+
+
+def test_identical_distributions_do_not_drift(spark):
+    """Same multiset in both halves => U exactly at its null mean, no
+    drift regardless of sample size."""
+    vals = list(range(100)) * 2
+    rows = [("a", v) for v in vals] + [("b", v) for v in vals]
+    r = _mw_lane(_frame(spark, rows), "t").collect()[0]
+    assert r.u2_a == r.n_a * r.n_b  # 2U == 2 * (nA*nB/2)
+    assert not r.drift
+
+
+def test_pinned_corpus_polarity(spark):
+    out = {
+        r.lane: r
+        for r in QUERIES["q189_mannwhitney_drift"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert not out["observed"].drift
+    assert out["planted"].drift
+    assert out["observed"].n_a + out["observed"].n_b == 500
