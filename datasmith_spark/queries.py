@@ -9506,3 +9506,128 @@ def q189_mannwhitney_drift(spark, sf_dir):
         ).otherwise(F.col("v")),
     )
     return _mw_lane(d0, "observed").unionByName(_mw_lane(planted, "planted"))
+
+
+def _spearman_lane(d, lane: str, num_t: int = 1, den_t: int = 10):
+    """Tie-corrected Spearman rank correlation over an (x, y) frame ->
+    one exact row. Doubled average ranks per DISTINCT value (the q189
+    histogram construction — windows over the bounded value domains
+    only), Pearson-on-ranks assembled from exact integer sums, and the
+    |rho| > num_t/den_t verdict cross-multiplied in decimal(38,0):
+
+        corr_pos <=> num > 0 AND den_t^2*num^2 > num_t^2*denx*deny
+        (num = n*Sxy - Sx*Sy, denx = n*Sxx - Sx^2, deny = n*Syy - Sy^2)
+
+    Past ~10^5 rows the squared terms outgrow decimal(38,0) — rescale
+    doubled ranks to a bounded quantile grid first (same construction,
+    coarser domain); exactness is unchanged."""
+
+    def _ranked(col):
+        h = d.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return h.withColumn(
+            f"r_{col}",
+            (2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.col("cnt") + 1
+             ).cast("long"),
+        ).select(col, f"r_{col}")
+
+    rr = d.join(_ranked("x"), "x").join(_ranked("y"), "y")
+    agg = rr.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r_x").cast("long").alias("sx"),
+        F.sum("r_y").cast("long").alias("sy"),
+        F.sum(F.col("r_x") * F.col("r_x")).cast("long").alias("sxx"),
+        F.sum(F.col("r_y") * F.col("r_y")).cast("long").alias("syy"),
+        F.sum(F.col("r_x") * F.col("r_y")).cast("long").alias("sxy"),
+    )
+    dec = "decimal(38,0)"
+    numc = (F.col("n").cast(dec) * F.col("sxy").cast(dec)
+            - F.col("sx").cast(dec) * F.col("sy").cast(dec))
+    denx = (F.col("n").cast(dec) * F.col("sxx").cast(dec)
+            - F.col("sx").cast(dec) * F.col("sx").cast(dec))
+    deny = (F.col("n").cast(dec) * F.col("syy").cast(dec)
+            - F.col("sy").cast(dec) * F.col("sy").cast(dec))
+    return agg.select(
+        F.lit(lane).alias("lane"), "n", "sx", "sy", "sxx", "syy", "sxy",
+        (
+            (numc > F.lit(0).cast(dec))
+            & (F.lit(den_t * den_t).cast(dec) * numc * numc
+               > F.lit(num_t * num_t).cast(dec) * denx * deny)
+        ).alias("corr_pos"),
+    )
+
+
+@register(
+    "q190_spearman_corr",
+    """
+    WITH pr AS (
+      SELECT c.c_custkey, CAST(round(c.c_acctbal * 100) AS BIGINT) AS x,
+             CAST(count(o.o_orderkey) AS BIGINT) AS y
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    lanes AS (
+      SELECT 'observed' AS lane, x, y FROM pr
+      UNION ALL
+      SELECT 'planted', x, x // 100000 FROM pr
+    ),
+    rx AS (
+      SELECT lane, x,
+             (2 * coalesce(sum(cnt) OVER (PARTITION BY lane ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + cnt + 1)::BIGINT AS r_x
+      FROM (SELECT lane, x, count(*)::BIGINT AS cnt FROM lanes GROUP BY 1, 2)
+    ),
+    ry AS (
+      SELECT lane, y,
+             (2 * coalesce(sum(cnt) OVER (PARTITION BY lane ORDER BY y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + cnt + 1)::BIGINT AS r_y
+      FROM (SELECT lane, y, count(*)::BIGINT AS cnt FROM lanes GROUP BY 1, 2)
+    ),
+    rr AS (SELECT l.lane, r_x, r_y FROM lanes l
+           JOIN rx ON rx.lane = l.lane AND rx.x = l.x
+           JOIN ry ON ry.lane = l.lane AND ry.y = l.y),
+    agg AS (
+      SELECT lane, count(*)::BIGINT AS n,
+             CAST(sum(r_x) AS BIGINT) AS sx, CAST(sum(r_y) AS BIGINT) AS sy,
+             CAST(sum(r_x * r_x) AS BIGINT) AS sxx,
+             CAST(sum(r_y * r_y) AS BIGINT) AS syy,
+             CAST(sum(r_x * r_y) AS BIGINT) AS sxy
+      FROM rr GROUP BY lane
+    )
+    SELECT lane, n, sx, sy, sxx, syy, sxy,
+           ((n::HUGEINT * sxy - sx::HUGEINT * sy) > 0
+            AND 100::HUGEINT * (n::HUGEINT * sxy - sx::HUGEINT * sy)
+                             * (n::HUGEINT * sxy - sx::HUGEINT * sy)
+              > (n::HUGEINT * sxx - sx::HUGEINT * sx)
+                * (n::HUGEINT * syy - sy::HUGEINT * sy)) AS corr_pos
+    FROM agg
+    """,
+)
+def q190_spearman_corr(spark, sf_dir):
+    """Exact tie-corrected SPEARMAN rank correlation — the monotone-
+    association audit beside chi2 independence (q139, categorical) and
+    the drift tests (q155/q189, two-sample): does customer wealth
+    (account balance, cents) predict order count? All-integer via the
+    doubled-rank histogram construction (q189's shape — windows over the
+    bounded distinct-value domains, never a corpus sort), Pearson-on-
+    ranks assembled from six exact integer sums, |rho| > 1/10 verdict
+    cross-multiplied in decimal(38,0)/HUGEINT. Two lanes pin BOTH
+    polarities: 'observed' (measured rho ~ -0.02 -> no positive
+    correlation) and 'planted' (y = coarse bucket of x — near-monotone,
+    must flag). Rank-mass invariant sx = sy = n(n+1) on every lane."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    pr = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.count("o_orderkey").cast("long").alias("y"))
+        .select(
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("x"), "y"
+        )
+    )
+    planted = pr.select("x", F.expr("x div 100000").alias("y"))
+    return _spearman_lane(pr, "observed").unionByName(
+        _spearman_lane(planted, "planted")
+    )

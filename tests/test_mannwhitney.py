@@ -56,3 +56,58 @@ def test_pinned_corpus_polarity(spark):
     assert not out["observed"].drift
     assert out["planted"].drift
     assert out["observed"].n_a + out["observed"].n_b == 500
+
+
+class TestSpearman:
+    def test_perfect_monotone_and_anti(self, spark):
+        from datasmith_spark.queries import _spearman_lane
+
+        up = spark.createDataFrame(
+            [(i, i * 7) for i in range(20)], "x long, y long"
+        )
+        r = _spearman_lane(up, "t").collect()[0]
+        # rho = +1: num^2 * den_t^2 > num_t^2 * denx*deny and positive
+        assert r.corr_pos
+        assert r.sx == r.sy == r.n * (r.n + 1)
+        assert r.sxx == r.syy == r.sxy  # identical rank vectors
+        down = spark.createDataFrame(
+            [(i, -i) for i in range(20)], "x long, y long"
+        )
+        assert not _spearman_lane(down, "t").collect()[0].corr_pos
+
+    def test_constant_y_not_flagged(self, spark):
+        """Zero variance in y -> deny = 0 -> verdict must be False (no
+        division ever happens, so no crash either)."""
+        from datasmith_spark.queries import _spearman_lane
+
+        d = spark.createDataFrame([(i, 5) for i in range(10)], "x long, y long")
+        r = _spearman_lane(d, "t").collect()[0]
+        assert not r.corr_pos
+        assert r.sy == r.n * (r.n + 1)  # one big tie group still sums right
+
+    def test_hand_computed_tied_case(self, spark):
+        """x = [1,2,2,3], y = [10,10,20,20]: doubled ranks
+        rx = [2,5,5,8], ry = [3,3,7,7]; verify all six sums exactly."""
+        from datasmith_spark.queries import _spearman_lane
+
+        d = spark.createDataFrame(
+            [(1, 10), (2, 10), (2, 20), (3, 20)], "x long, y long"
+        )
+        r = _spearman_lane(d, "t").collect()[0]
+        rx, ry = [2, 5, 5, 8], [3, 3, 7, 7]
+        assert r.sx == sum(rx) and r.sy == sum(ry)
+        assert r.sxx == sum(v * v for v in rx)
+        assert r.syy == sum(v * v for v in ry)
+        assert r.sxy == sum(a * b for a, b in zip(rx, ry))
+
+    def test_pinned_corpus_polarity(self, spark):
+        from datasmith_spark.queries import QUERIES
+
+        out = {
+            r.lane: r
+            for r in QUERIES["q190_spearman_corr"](
+                spark, "/root/testdata/sf0.01"
+            ).collect()
+        }
+        assert not out["observed"].corr_pos
+        assert out["planted"].corr_pos
