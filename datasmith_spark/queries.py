@@ -9631,3 +9631,98 @@ def q190_spearman_corr(spark, sf_dir):
     return _spearman_lane(pr, "observed").unionByName(
         _spearman_lane(planted, "planted")
     )
+
+
+@register(
+    "q191_kaplan_meier_table",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rk
+      FROM orders
+    ),
+    horizon AS (SELECT max(d) AS h FROM ranked),
+    subj AS (
+      SELECT f.o_custkey,
+             CAST(CASE WHEN s.d IS NOT NULL
+                  THEN date_diff('day', f.d, s.d)
+                  ELSE date_diff('day', f.d, h.h) END AS BIGINT) AS dur,
+             (s.d IS NOT NULL) AS event
+      FROM ranked f CROSS JOIN horizon h
+      LEFT JOIN ranked s ON s.o_custkey = f.o_custkey AND s.rk = 2
+      WHERE f.rk = 1
+    ),
+    hist AS (
+      SELECT dur, count(*)::BIGINT AS cnt,
+             CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+      FROM subj GROUP BY dur
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist)
+    SELECT h.dur AS t,
+           CAST(t.n - coalesce(sum(h.cnt) OVER (ORDER BY h.dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS n_risk,
+           h.n_events, h.n_censored
+    FROM hist h CROSS JOIN tot t
+    QUALIFY h.n_events > 0
+    """,
+)
+def q191_kaplan_meier_table(spark, sf_dir):
+    """Kaplan-Meier RISK TABLE for customer repeat-purchase timing — the
+    censoring-aware survival analysis the plain duration histogram (q81)
+    and forward as-of join (q118) cannot express: subjects with only one
+    order are CENSORED at the observation horizon (max order date), not
+    dropped — dropping them biases retention estimates optimistic. Per
+    distinct event time t (days from first to second order): n_risk =
+    subjects still under observation at t, n_events, n_censored-at-t —
+    ALL exact integers (the KM survival curve is a derived product over
+    these rows; the risk table is the canonical exchange format). Dates
+    compared at DATE granularity in both engines.
+
+    Scale shape: one window per customer (first/second order), then the
+    value-histogram construction — the at-risk window runs over the
+    bounded distinct-duration domain, never the subject table."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("d"), F.asc("o_orderkey"))
+    ranked = o.withColumn("rk", F.row_number().over(w))
+    first = ranked.filter(F.col("rk") == 1).select(
+        "o_custkey", F.col("d").alias("d1")
+    )
+    second = ranked.filter(F.col("rk") == 2).select(
+        "o_custkey", F.col("d").alias("d2")
+    )
+    horizon = ranked.agg(F.max("d").alias("h"))
+    subj = (
+        first.join(second, "o_custkey", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("d2").isNotNull(), F.datediff(F.col("d2"), F.col("d1"))
+            ).otherwise(F.datediff(F.col("h"), F.col("d1")))
+            .cast("long")
+            .alias("dur"),
+            F.col("d2").isNotNull().alias("event"),
+        )
+    )
+    hist = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("event").cast("long")).cast("long").alias("n_events"),
+        F.sum((~F.col("event")).cast("long")).cast("long").alias("n_censored"),
+    )
+    tot = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    wv = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            (F.col("n") - F.coalesce(F.sum("cnt").over(wv), F.lit(0))).cast("long"),
+        )
+        .filter(F.col("n_events") > 0)
+    )
+    return risk.select(
+        F.col("dur").alias("t"), "n_risk", "n_events", "n_censored"
+    )
