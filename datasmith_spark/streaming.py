@@ -141,6 +141,69 @@ def stream_feature_qstats(
     return aggregate_feature_qstats(parts)
 
 
+EVENTS_SCHEMA_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Click->purchase attribution join shared by the batch and streaming
+    paths: purchases attach to every click by the same user within the
+    following 7 days (event-time range equi-join on user_id). Column set
+    is the attribution record (click_id, purchase_id, user_id, both
+    timestamps) — deterministic, no floats."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 7 DAYS")),
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+
+
+def stream_click_purchase_join(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+    watermark: str = "3650 days",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — the §2.9 class beside the
+    stream-vs-static-store patterns: clicks and purchases arrive as two
+    independent streams over the same event-log drop directory; each
+    purchase joins every click by the same user in the preceding 7 days.
+    Both sides carry an event-time watermark plus the time-range join
+    condition, which is exactly what lets Structured Streaming BOUND the
+    join state (clicks older than watermark + 7 days are evicted; without
+    the range condition state grows forever). The default watermark here
+    is deliberately huge so the backfill test can pin stream == batch
+    bit-for-bit on unordered file drops (no on-time row is ever evicted
+    early); a live deployment sets it to its real lateness budget and
+    trades completeness-on-late-data for bounded state
+    (tests/test_streaming.py::test_stream_stream_join_matches_batch)."""
+
+    def _src(ev_type: str) -> DataFrame:
+        reader = spark.readStream.schema(EVENTS_SCHEMA_DDL)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return (
+            reader.parquet(input_dir)
+            .filter(F.col("event_type") == ev_type)
+            .withWatermark("ts", watermark)
+        )
+
+    return click_purchase_join(_src("click"), _src("purchase"))
+
+
 def make_batch_sink(tl: TableLayer):
     """foreachBatch sink with idempotent-per-batch semantics.
 

@@ -946,3 +946,52 @@ def test_stream_feature_qstats_matches_batch(spark, clips_path, stream_dirs):
     assert len(got) == len(want) > 0
     for c in ("bin", "n_clips", "n_frames", "sum_q", "sumsq_q"):
         assert got[c].tolist() == want[c].tolist(), f"{c} mismatch"
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream click->purchase join over multi-file
+    drops reproduces the batch join exactly (inner join, watermark wide
+    enough that no on-time row evicts early)."""
+    from datasmith_spark.streaming import (
+        click_purchase_join,
+        stream_click_purchase_join,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    inp = str(tmp_path / "events_drops")
+    ev = spark.read.parquet(src)
+    # three unordered drops so the join state must carry across batches
+    ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == 1).write.parquet(inp + "/d1")
+    ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == 2).write.parquet(inp + "/d2")
+    ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == 0).write.parquet(inp + "/d3")
+    import glob
+    import shutil
+
+    for i, f in enumerate(sorted(glob.glob(inp + "/d*/part-*.parquet"))):
+        shutil.move(f, f"{inp}/drop{i}.parquet")
+    for d in ("d1", "d2", "d3"):
+        shutil.rmtree(f"{inp}/{d}")
+
+    q = (
+        stream_click_purchase_join(spark, inp, max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    key = ["click_id", "purchase_id"]
+    got = spark.table("ss_join").toPandas().sort_values(key).reset_index(drop=True)
+    full = spark.read.parquet(inp)
+    want = (
+        click_purchase_join(
+            full.filter(F.col("event_type") == "click"),
+            full.filter(F.col("event_type") == "purchase"),
+        )
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in want.columns:
+        assert (got[c] == want[c]).all(), f"{c} mismatch"
