@@ -9726,3 +9726,107 @@ def q191_kaplan_meier_table(spark, sf_dir):
     return risk.select(
         F.col("dur").alias("t"), "n_risk", "n_events", "n_censored"
     )
+
+
+@register(
+    "q192_data_contract",
+    """
+    WITH corrupt AS (
+      SELECT * FROM orders
+      UNION ALL
+      SELECT o_orderkey, NULL, o_orderstatus, -o_totalprice, o_orderdate,
+             'X-BOGUS'
+      FROM orders WHERE o_orderkey % 1000 = 1
+      UNION ALL
+      SELECT o_orderkey, 999999999, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 2000 = 3
+    ),
+    nn AS (SELECT count(*) FILTER (o_custkey IS NULL) AS v FROM corrupt),
+    rng AS (SELECT count(*) FILTER (o_totalprice IS NOT NULL
+                                    AND o_totalprice <= 0) AS v FROM corrupt),
+    dom AS (SELECT count(*) FILTER (o_orderpriority IS NOT NULL
+              AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM',
+                                          '4-NOT SPECIFIED','5-LOW')) AS v
+            FROM corrupt),
+    uq AS (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v
+           FROM corrupt),
+    fk AS (SELECT count(*) AS v FROM corrupt c
+           LEFT JOIN customer k ON k.c_custkey = c.o_custkey
+           WHERE c.o_custkey IS NOT NULL AND k.c_custkey IS NULL)
+    SELECT * FROM (
+      SELECT 'not_null'  AS kind, 'o_custkey'       AS col, CAST(v AS BIGINT) AS n_violations, v = 0 AS pass FROM nn
+      UNION ALL
+      SELECT 'range_gt0', 'o_totalprice',    CAST(v AS BIGINT), v = 0 FROM rng
+      UNION ALL
+      SELECT 'in_set',    'o_orderpriority', CAST(v AS BIGINT), v = 0 FROM dom
+      UNION ALL
+      SELECT 'unique',    'o_orderkey',      CAST(v AS BIGINT), v = 0 FROM uq
+      UNION ALL
+      SELECT 'fk',        'o_custkey',       CAST(v AS BIGINT), v = 0 FROM fk
+    )
+    """,
+)
+def q192_data_contract(spark, sf_dir):
+    """Declarative DATA-CONTRACT validation — the ingestion gate (dbt
+    tests / Great Expectations class) run as ONE pass over the table:
+    five constraint kinds (not-null, range, domain set, key uniqueness,
+    referential FK) each emit an exact violation count and a pass flag.
+    Planted corruptions exercise every kind: every 1000th order yields a
+    twin with NULL custkey + negated price + bogus priority; every
+    2000th a twin with a dangling FK (which also collides the unique
+    key) — so no constraint's pass lane is vacuously green.
+
+    Scale shape: the four row-local constraints fold into ONE aggregate
+    pass (no shuffle beyond the partial-agg combine); uniqueness is a
+    countDistinct (map-side partial dedup); the FK probe is one
+    equi-join against the dimension — broadcast when bounded, shuffle
+    otherwise. Violation COUNTS (not violating-row dumps) keep the
+    result bounded at any corpus size; the row-level drill-down is a
+    filter the consumer runs on the flagged constraint only."""
+    o = _t(spark, sf_dir, "orders")
+    bad1 = o.filter(F.col("o_orderkey") % 1000 == 1).select(
+        "o_orderkey", F.lit(None).cast("long").alias("o_custkey"),
+        "o_orderstatus", (-F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderdate", F.lit("X-BOGUS").alias("o_orderpriority"),
+    )
+    bad2 = o.filter(F.col("o_orderkey") % 2000 == 3).select(
+        "o_orderkey", F.lit(999999999).cast("long").alias("o_custkey"),
+        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+    )
+    corrupt = o.unionByName(bad1).unionByName(bad2)
+    prio = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    local = corrupt.agg(
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("nn"),
+        F.sum(
+            (F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") <= 0))
+            .cast("long")
+        ).alias("rng"),
+        F.sum(
+            (F.col("o_orderpriority").isNotNull()
+             & ~F.col("o_orderpriority").isin(prio)).cast("long")
+        ).alias("dom"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("uq"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    fk = (
+        corrupt.filter(F.col("o_custkey").isNotNull())
+        .join(F.broadcast(cust), corrupt.o_custkey == cust.c_custkey, "left")
+        .agg(F.sum(F.col("c_custkey").isNull().cast("long")).alias("fk"))
+    )
+    wide = local.crossJoin(fk)  # 1 row x 1 row — no data ever collects
+    return wide.select(
+        F.expr(
+            "stack(5,"
+            " 'not_null',  'o_custkey',       nn,"
+            " 'range_gt0', 'o_totalprice',    rng,"
+            " 'in_set',    'o_orderpriority', dom,"
+            " 'unique',    'o_orderkey',      uq,"
+            " 'fk',        'o_custkey',       fk"
+            ") as (kind, col, n_violations)"
+        )
+    ).select(
+        "kind", "col",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("pass"),
+    )

@@ -73,3 +73,58 @@ def test_mass_conservation_pinned(spark):
     o = pd.read_parquet("/root/testdata/sf0.01/orders.parquet")
     n_repeat = (o.groupby("o_custkey").size() >= 2).sum()
     assert int(out.n_events.sum()) == int(n_repeat)
+
+
+class TestDataContract:
+    def test_planted_violations_counted_exactly(self, spark):
+        from datasmith_spark.queries import QUERIES
+
+        import pandas as pd
+
+        out = {
+            r.kind: r
+            for r in QUERIES["q192_data_contract"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        assert set(out) == {"not_null", "range_gt0", "in_set", "unique", "fk"}
+        o = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+        n_bad1 = int((o.o_orderkey % 1000 == 1).sum())
+        n_bad2 = int((o.o_orderkey % 2000 == 3).sum())
+        # each bad1 twin carries the NULL custkey, negated price and bogus
+        # priority; each bad2 twin is the dangling FK and duplicate key
+        assert out["not_null"].n_violations == n_bad1
+        assert out["range_gt0"].n_violations == n_bad1
+        assert out["in_set"].n_violations == n_bad1
+        assert out["unique"].n_violations == n_bad1 + n_bad2
+        assert out["fk"].n_violations == n_bad2
+        assert not any(r.pass_ if hasattr(r, "pass_") else r["pass"] for r in out.values())
+
+    def test_clean_table_passes_every_constraint(self, spark, tmp_path):
+        """Without the plants (a corrupt-free orders table whose keys all
+        resolve), every lane must pass — checked by pointing the query at
+        a clean copy with keys excluded from the plant residues."""
+        import datetime as dt
+
+        path = str(tmp_path / "clean")
+        orders = spark.createDataFrame(
+            [
+                (i, 10 + i % 3, "O", 100.0 + i, dt.datetime(2024, 1, 1), "5-LOW")
+                for i in range(2, 30, 2)  # even keys: no %1000==1 / %2000==3 hits
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        )
+        cust = spark.createDataFrame(
+            [(10, "a", 1, 0.0, "BUILDING"), (11, "b", 1, 0.0, "AUTOMOBILE"),
+             (12, "c", 1, 0.0, "MACHINERY")],
+            "c_custkey long, c_name string, c_nationkey long, "
+            "c_acctbal double, c_mktsegment string",
+        )
+        orders.write.mode("overwrite").parquet(path + "/orders.parquet")
+        cust.write.mode("overwrite").parquet(path + "/customer.parquet")
+        from datasmith_spark.queries import QUERIES
+
+        out = QUERIES["q192_data_contract"](spark, path).toPandas()
+        assert (out.n_violations == 0).all()
+        assert out["pass"].all()
