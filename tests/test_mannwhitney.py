@@ -111,3 +111,68 @@ class TestSpearman:
         }
         assert not out["observed"].corr_pos
         assert out["planted"].corr_pos
+
+
+class TestRankStatProperties:
+    """Property tests: the engine's histogram-rank construction equals an
+    independent per-row average-rank reference on randomized samples."""
+
+    @staticmethod
+    def _ref_ranks2(values):
+        """Doubled average ranks by brute force (independent of the
+        histogram construction): 2*avg_rank = 2*(#less) + (#equal) + 1."""
+        import numpy as np
+
+        v = np.asarray(values)
+        return [int(2 * (v < x).sum() + (v == x).sum() + 1) for x in v]
+
+    def test_mw_matches_bruteforce_reference(self, spark):
+        import numpy as np
+
+        from datasmith_spark.queries import _mw_lane
+
+        rng = np.random.default_rng(42)
+        for trial in range(5):
+            na, nb = int(rng.integers(3, 30)), int(rng.integers(3, 30))
+            a = rng.integers(0, 12, na).tolist()  # small domain -> many ties
+            b = rng.integers(0, 12, nb).tolist()
+            rows = [("a", int(v)) for v in a] + [("b", int(v)) for v in b]
+            r = _mw_lane(spark.createDataFrame(rows, "half string, v long"), "t").collect()[0]
+            all_v = a + b
+            r2 = self._ref_ranks2(all_v)
+            want_r2a = sum(r2[:na])
+            assert r.r2_a == want_r2a, trial
+            assert r.u2_a == want_r2a - na * (na + 1)
+            # tie term
+            import collections
+
+            t = sum(c**3 - c for c in collections.Counter(all_v).values())
+            assert r.tie_cube == t
+
+    def test_spearman_matches_bruteforce_reference(self, spark):
+        import numpy as np
+
+        from datasmith_spark.queries import _spearman_lane
+
+        rng = np.random.default_rng(7)
+        for trial in range(5):
+            n = int(rng.integers(4, 40))
+            x = rng.integers(0, 10, n).tolist()
+            y = rng.integers(0, 10, n).tolist()
+            d = spark.createDataFrame(
+                [(int(a), int(b)) for a, b in zip(x, y)], "x long, y long"
+            )
+            r = _spearman_lane(d, "t").collect()[0]
+            rx = self._ref_ranks2(x)
+            ry = self._ref_ranks2(y)
+            assert r.sx == sum(rx) and r.sy == sum(ry), trial
+            assert r.sxx == sum(v * v for v in rx)
+            assert r.syy == sum(v * v for v in ry)
+            assert r.sxy == sum(p * q for p, q in zip(rx, ry))
+            # verdict consistent with float rho when clear of the boundary
+            fx = np.asarray(rx, dtype=float)
+            fy = np.asarray(ry, dtype=float)
+            if fx.std() > 0 and fy.std() > 0:
+                rho = float(np.corrcoef(fx, fy)[0, 1])
+                if abs(rho - 0.1) > 1e-6:  # away from the threshold
+                    assert r.corr_pos == (rho > 0.1), (trial, rho)
