@@ -9830,3 +9830,65 @@ def q192_data_contract(spark, sf_dir):
         F.col("n_violations").cast("long").alias("n_violations"),
         (F.col("n_violations") == 0).alias("pass"),
     )
+
+
+@register(
+    "q193_source_dup_matrix",
+    rf"""
+    WITH {_CORPUS_SQL},
+    {_MINHASH_SQL_BODY},
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.a AS doc_a, c.b AS doc_b, count(*) AS inter
+      FROM cand c
+      JOIN sh sa ON sa.id = c.a
+      JOIN sh sb ON sb.id = c.b AND sb.s = sa.s
+      GROUP BY c.a, c.b
+    ),
+    verified AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes za ON za.id = i.doc_a
+      JOIN sizes zb ON zb.id = i.doc_b
+      WHERE i.inter::DOUBLE / (za.sz + zb.sz - i.inter)::DOUBLE >= 0.6
+    ),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT least(s1.source, s2.source) AS source_a,
+           greatest(s1.source, s2.source) AS source_b,
+           count(*)::BIGINT AS n_pairs
+    FROM verified v
+    JOIN src s1 ON s1.doc_id = v.doc_a % 100000
+    JOIN src s2 ON s2.doc_id = v.doc_b % 100000
+    GROUP BY 1, 2
+    """,
+)
+def q193_source_dup_matrix(spark, sf_dir):
+    """Cross-SOURCE duplication matrix — the dashboard that turns the
+    pair-level near-dup lane (q22's verified Jaccard pairs over the
+    salted corpus) into a per-source-pair policy signal: which ingest
+    sources duplicate which (mirrors, scrapes of scrapes, license
+    laundering) and where a source-level dedup rule would pay. Pairs map
+    back to their base document's source (the salt offsets are id
+    arithmetic), the pair key is order-normalized (least/greatest), and
+    the count is exact.
+
+    Composes two verified lanes rather than re-deriving them: the pair
+    set IS q22's (same operators, same cap and threshold), the source
+    lookup is one broadcast-sized dimension join, the rollup map-side
+    combines. At 10^12 docs the matrix stays |sources|^2 rows."""
+    verified = QUERIES["q22_ngram_jaccard"](spark, sf_dir).select("doc_a", "doc_b")
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    s1 = src.select(F.col("doc_id").alias("k1"), F.col("source").alias("src1"))
+    s2 = src.select(F.col("doc_id").alias("k2"), F.col("source").alias("src2"))
+    return (
+        verified.withColumn("k1", F.col("doc_a") % 100000)
+        .withColumn("k2", F.col("doc_b") % 100000)
+        .join(F.broadcast(s1), "k1")
+        .join(F.broadcast(s2), "k2")
+        .select(
+            F.least("src1", "src2").alias("source_a"),
+            F.greatest("src1", "src2").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

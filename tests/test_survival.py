@@ -128,3 +128,38 @@ class TestDataContract:
         out = QUERIES["q192_data_contract"](spark, path).toPandas()
         assert (out.n_violations == 0).all()
         assert out["pass"].all()
+
+
+class TestSourceDupMatrix:
+    def test_matrix_mass_equals_pair_count_and_keys_ordered(self, spark):
+        from datasmith_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        mat = QUERIES["q193_source_dup_matrix"](spark, sf).toPandas()
+        pairs = QUERIES["q22_ngram_jaccard"](spark, sf).toPandas()
+        assert int(mat.n_pairs.sum()) == len(pairs) > 0
+        assert (mat.source_a <= mat.source_b).all()
+
+    def test_salted_copies_map_to_base_source(self, spark):
+        """A verified pair (d, d+100000) must land on (source(d),
+        source(d)) — the exact-copy diagonal."""
+        import pandas as pd
+
+        from datasmith_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        pairs = QUERIES["q22_ngram_jaccard"](spark, sf).toPandas()
+        docs = pd.read_parquet(f"{sf}/documents.parquet")[["doc_id", "source"]]
+        smap = dict(zip(docs.doc_id, docs.source))
+        diag = pairs[(pairs.doc_b % 100000) == (pairs.doc_a % 100000)]
+        assert len(diag) > 0
+        mat = QUERIES["q193_source_dup_matrix"](spark, sf).toPandas()
+        mat_idx = {(r.source_a, r.source_b): r.n_pairs for r in mat.itertuples()}
+        import collections
+
+        want_diag = collections.Counter(
+            (smap[int(r.doc_a) % 100000], smap[int(r.doc_a) % 100000])
+            for r in diag.itertuples()
+        )
+        for (sa, sb), n in want_diag.items():
+            assert mat_idx.get((sa, sb), 0) >= n
