@@ -9892,3 +9892,80 @@ def q193_source_dup_matrix(spark, sf_dir):
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+@register(
+    "q194_frequent_triples",
+    """
+    WITH pr AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    tri AS (
+      SELECT a.p AS part_a, b.p AS part_b, c.p AS part_c,
+             count(*)::BIGINT AS support
+      FROM pr a
+      JOIN pr b ON a.o = b.o AND a.p < b.p
+      JOIN pr c ON a.o = c.o AND b.p < c.p
+      GROUP BY 1, 2, 3
+    )
+    SELECT part_a, part_b, part_c, support FROM tri WHERE support >= 2
+    """,
+)
+def q194_frequent_triples(spark, sf_dir):
+    """Frequent 3-itemset mining (min support 2) over order baskets with
+    the APRIORI candidate prune — the level-3 extension of the pair
+    mining family (q116/q140): a triple can be frequent only if all
+    three sub-pairs are, so the Spark plan first computes the frequent
+    pairs, semi-joins baskets down to items that participate in one, and
+    only then generates triples — at 10^12 baskets the prune is the
+    difference between C(basket,3) blowup on the full catalog and on the
+    tiny frequent-pair support set. The ORACLE is deliberately the
+    brute-force enumeration: Apriori is a pure optimization, so pruned
+    and unpruned answers must be identical — which makes the value check
+    a proof the prune loses nothing (also pinned in pytest).
+
+    Per-basket fan-out stays bounded by basket size (TPC-H <= 7); every
+    join is an equi-join on the order key or an itemset semi-join."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = li.select("o", F.col("p").alias("pa"))
+    b = li.select("o", F.col("p").alias("pb"))
+    c = li.select("o", F.col("p").alias("pc"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p2 = pairs.filter(F.col("n") >= 2).select("pa", "pb")
+    freq_items = (
+        p2.select(F.col("pa").alias("p"))
+        .unionByName(p2.select(F.col("pb").alias("p")))
+        .distinct()
+    )
+    pruned = li.join(freq_items, "p", "left_semi")
+    pa = pruned.select("o", F.col("p").alias("part_a"))
+    pb = pruned.select("o", F.col("p").alias("part_b"))
+    pc = pruned.select("o", F.col("p").alias("part_c"))
+    tri = (
+        pa.join(pb, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .join(pc, "o")
+        .filter(F.col("part_b") < F.col("part_c"))
+        # Apriori: every sub-pair must be frequent (semi-joins against p2)
+        .join(
+            p2.withColumnsRenamed({"pa": "part_a", "pb": "part_b"}),
+            ["part_a", "part_b"], "left_semi",
+        )
+        .join(
+            p2.withColumnsRenamed({"pa": "part_a", "pb": "part_c"}),
+            ["part_a", "part_c"], "left_semi",
+        )
+        .join(
+            p2.withColumnsRenamed({"pa": "part_b", "pb": "part_c"}),
+            ["part_b", "part_c"], "left_semi",
+        )
+        .groupBy("part_a", "part_b", "part_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    return tri

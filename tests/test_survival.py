@@ -163,3 +163,50 @@ class TestSourceDupMatrix:
         )
         for (sa, sb), n in want_diag.items():
             assert mat_idx.get((sa, sb), 0) >= n
+
+
+class TestFrequentTriples:
+    def test_prune_is_lossless_vs_bruteforce(self, spark):
+        """Apriori-pruned plan == brute-force enumeration on a hand
+        corpus where the prune actually removes work (items in no
+        frequent pair must not suppress real triples)."""
+        import itertools
+
+        import collections
+
+        baskets = [
+            (1, [10, 20, 30]),
+            (2, [10, 20, 30, 99]),   # 99 appears once -> pruned item
+            (3, [10, 20, 40]),
+            (4, [50, 60]),           # isolated pair, support 1
+            (5, [10, 20, 30]),
+        ]
+        rows = [
+            (o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             __import__("datetime").datetime(2024, 1, 1))
+            for o, items in baskets for p in items
+        ]
+        li = spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            li.write.mode("overwrite").parquet(td + "/lineitem.parquet")
+            from datasmith_spark.queries import QUERIES
+
+            got = {
+                (r.part_a, r.part_b, r.part_c): r.support
+                for r in QUERIES["q194_frequent_triples"](spark, td).collect()
+            }
+        cnt = collections.Counter()
+        for _, items in baskets:
+            for t in itertools.combinations(sorted(set(items)), 3):
+                cnt[t] += 1
+        want = {t: n for t, n in cnt.items() if n >= 2}
+        assert got == want
+        assert got[(10, 20, 30)] == 3
