@@ -9969,3 +9969,45 @@ def q194_frequent_triples(spark, sf_dir):
         .filter(F.col("support") >= 2)
     )
     return tri
+
+
+_ISOTONIC_FIXTURE = f"/root/repo/fixtures/oracle_isotonic_n{_CLIPS_N}.parquet"
+
+
+@register(
+    "q195_isotonic_calibration",
+    f"""
+    SELECT block_id, n, n_pos, rate_milli
+    FROM read_parquet('{_ISOTONIC_FIXTURE}')
+    """,
+)
+def q195_isotonic_calibration(spark, sf_dir):
+    """Isotonic (antitonic) CALIBRATION of the pipeline's keep decision
+    against perplexity — the unique L2-optimal monotone step function of
+    keep-rate vs ppl, fitted with partition-parallel Pool-Adjacent-
+    Violators (the Spark MLlib construction) in EXACT integer arithmetic:
+    block means are (sum, count) rationals, every violation test is
+    cross-multiplied, and the output is canonicalized to maximal level
+    sets so block boundaries are a pure function of the input. On the
+    pinned corpus this yields the textbook staircase 1.000 -> 0.995 ->
+    ... -> 0.692 -> 0.555 -> 0.500 -> 0 over 9 blocks — the curve a
+    threshold gate consults to trade recall for precision.
+
+    Scale shape: rows range-partition by score, each partition pools its
+    slice with a LOCAL stack PAVA inside one Arrow batch, and only the
+    pooled blocks travel to the driver for the boundary merge — bounded
+    metadata in practice (9 final blocks here). The committed oracle is
+    an INDEPENDENTLY-CODED naive O(n^2) PAVA (scripts/
+    make_isotonic_fixture.py): both must land on identical blocks
+    because the optimum is unique (operators/calibration.py)."""
+    from .operators.calibration import isotonic_calibration
+
+    labels = _clips_labels(spark, sf_dir)
+    pairs = labels.filter(
+        F.col("ppl").isNotNull() & F.col("keep").isNotNull()
+    ).select(
+        F.col("ppl").alias("x"),
+        F.col("keep").cast("long").alias("y"),
+        F.col("clip_id").alias("id"),
+    )
+    return isotonic_calibration(pairs, n_parts=8)
