@@ -204,6 +204,68 @@ def stream_click_purchase_join(
     return click_purchase_join(_src("click"), _src("purchase"))
 
 
+def clips_contract(clips: DataFrame) -> DataFrame:
+    """Ingest data contract for the clip table — the check the pipeline's
+    own front door runs: per constraint kind the exact violation count
+    (null id, empty/null payload, non-positive or null sample rate,
+    out-of-range duration, unknown codec). One aggregate pass, stack()
+    assembly, no collect — shared verbatim by the batch gate and the
+    streaming monitor (stream_clips_contract)."""
+    from .core.audio import ITEMSIZE
+
+    codecs = list(ITEMSIZE)
+    agg = clips.agg(
+        F.sum(F.col("clip_id").isNull().cast("long")).alias("nid"),
+        F.sum(
+            (F.col("bytes").isNull() | (F.length("bytes") == 0)).cast("long")
+        ).alias("nbytes"),
+        F.sum(
+            (F.col("sr_hz").isNull() | (F.col("sr_hz") <= 0)).cast("long")
+        ).alias("nsr"),
+        F.sum(
+            (
+                F.col("dur_ms").isNull()
+                | (F.col("dur_ms") <= 0)
+                | (F.col("dur_ms") > 24 * 3600 * 1000)
+            ).cast("long")
+        ).alias("ndur"),
+        F.sum(
+            (F.col("codec").isNull() | ~F.col("codec").isin(codecs)).cast("long")
+        ).alias("ncodec"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5,"
+            " 'not_null', 'clip_id', nid,"
+            " 'nonempty', 'bytes',   nbytes,"
+            " 'positive', 'sr_hz',   nsr,"
+            " 'range',    'dur_ms',  ndur,"
+            " 'in_set',   'codec',   ncodec"
+            ") as (kind, col, n_violations)"
+        )
+    ).select(
+        "kind", "col",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("pass"),
+    )
+
+
+def stream_clips_contract(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Continuous data-contract MONITOR over the clip ingest stream: the
+    q192-family constraint kinds computed as an unwatermarked complete-
+    mode aggregation (5 output rows — bounded state by construction).
+    Violation counts are exact integers, so the incremental totals are
+    provably equal to the batch gate over the same files regardless of
+    micro-batch boundaries — the live dashboard a lakehouse ingest gate
+    alerts from (tests/test_streaming.py::
+    test_stream_clips_contract_matches_batch)."""
+    return clips_contract(stream_clips(spark, input_dir, max_files_per_trigger))
+
+
 def make_batch_sink(tl: TableLayer):
     """foreachBatch sink with idempotent-per-batch semantics.
 

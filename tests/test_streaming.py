@@ -995,3 +995,49 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert len(got) == len(want) > 0
     for c in want.columns:
         assert (got[c] == want[c]).all(), f"{c} mismatch"
+
+
+def test_stream_clips_contract_matches_batch(spark, clips_path, stream_dirs):
+    """Continuous ingest-contract monitor in complete mode equals the
+    batch gate exactly over the same files (integer counts — no drift
+    with the micro-batch schedule), and agrees with an independent
+    pandas recount."""
+    import pandas as pd
+
+    from datasmith_spark.core.audio import ITEMSIZE
+    from datasmith_spark.streaming import clips_contract, stream_clips_contract
+
+    inp, _ = stream_dirs
+    q = (
+        stream_clips_contract(spark, inp, max_files_per_trigger=4)
+        .writeStream.format("memory")
+        .queryName("contract_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.table("contract_stream")
+        .toPandas()
+        .sort_values("kind")
+        .reset_index(drop=True)
+    )
+    want = (
+        clips_contract(spark.read.parquet(inp))
+        .toPandas()
+        .sort_values("kind")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 5
+    for c in want.columns:
+        assert (got[c] == want[c]).all(), f"{c} mismatch"
+    # independent recount of two lanes on the raw files
+    raw = pd.read_parquet(inp)
+    w = want.set_index("kind")
+    assert w.loc["nonempty"].n_violations == int(
+        (raw.bytes.isna() | (raw.bytes.map(lambda b: b is not None and len(b) == 0))).sum()
+    )
+    assert w.loc["in_set"].n_violations == int(
+        (~raw.codec.isin(list(ITEMSIZE)) | raw.codec.isna()).sum()
+    )
