@@ -10011,3 +10011,100 @@ def q195_isotonic_calibration(spark, sf_dir):
         F.col("clip_id").alias("id"),
     )
     return isotonic_calibration(pairs, n_parts=8)
+
+
+@register(
+    "q196_survival_by_cohort",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rk
+      FROM orders
+    ),
+    horizon AS (SELECT max(d) AS h FROM ranked),
+    subj AS (
+      SELECT CASE WHEN substr(md5(CAST(f.o_custkey AS VARCHAR)), 1, 1) IN
+               ('0','1','2','3','4','5','6','7') THEN 'a' ELSE 'b' END AS cohort,
+             CAST(CASE WHEN s.d IS NOT NULL
+                  THEN date_diff('day', f.d, s.d)
+                  ELSE date_diff('day', f.d, h.h) END AS BIGINT) AS dur,
+             (s.d IS NOT NULL) AS event
+      FROM ranked f CROSS JOIN horizon h
+      LEFT JOIN ranked s ON s.o_custkey = f.o_custkey AND s.rk = 2
+      WHERE f.rk = 1
+    ),
+    hist AS (
+      SELECT cohort, dur, count(*)::BIGINT AS cnt,
+             CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+      FROM subj GROUP BY cohort, dur
+    ),
+    tot AS (SELECT cohort, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY cohort)
+    SELECT h.cohort, h.dur AS t,
+           CAST(t.n - coalesce(sum(h.cnt) OVER (PARTITION BY h.cohort
+             ORDER BY h.dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS BIGINT) AS n_risk,
+           h.n_events, h.n_censored
+    FROM hist h JOIN tot t ON t.cohort = h.cohort
+    QUALIFY h.n_events > 0
+    """,
+)
+def q196_survival_by_cohort(spark, sf_dir):
+    """TWO-COHORT survival risk tables — the log-rank exchange format: the
+    q191 censoring-aware construction stratified by a deterministic md5
+    customer cohort, one risk table per group aligned on shared event
+    times. This is the per-group (t, n_risk, n_events) input every
+    two-sample survival comparison (log-rank, Gehan-Wilcoxon) consumes —
+    emitted as exact integers so the downstream statistic can be built in
+    any engine; the cohort split is the drift family's md5 construction
+    (defined for arbitrary keys, identical bytes both engines). Windows
+    partition by cohort over the bounded distinct-duration domain."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("d"), F.asc("o_orderkey"))
+    ranked = o.withColumn("rk", F.row_number().over(w))
+    first = ranked.filter(F.col("rk") == 1).select(
+        "o_custkey", F.col("d").alias("d1")
+    )
+    second = ranked.filter(F.col("rk") == 2).select(
+        "o_custkey", F.col("d").alias("d2")
+    )
+    horizon = ranked.agg(F.max("d").alias("h"))
+    subj = (
+        first.join(second, "o_custkey", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.substring(
+                    F.md5(F.col("o_custkey").cast("string").cast("binary")), 1, 1
+                ).isin(*"01234567"),
+                F.lit("a"),
+            ).otherwise(F.lit("b")).alias("cohort"),
+            F.when(
+                F.col("d2").isNotNull(), F.datediff(F.col("d2"), F.col("d1"))
+            ).otherwise(F.datediff(F.col("h"), F.col("d1")))
+            .cast("long")
+            .alias("dur"),
+            F.col("d2").isNotNull().alias("event"),
+        )
+    )
+    hist = subj.groupBy("cohort", "dur").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("event").cast("long")).cast("long").alias("n_events"),
+        F.sum((~F.col("event")).cast("long")).cast("long").alias("n_censored"),
+    )
+    tot = hist.groupBy("cohort").agg(F.sum("cnt").cast("long").alias("n"))
+    wv = Window.partitionBy("cohort").orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        hist.join(F.broadcast(tot), "cohort")
+        .withColumn(
+            "n_risk",
+            (F.col("n") - F.coalesce(F.sum("cnt").over(wv), F.lit(0))).cast("long"),
+        )
+        .filter(F.col("n_events") > 0)
+        .select("cohort", F.col("dur").alias("t"), "n_risk", "n_events", "n_censored")
+    )

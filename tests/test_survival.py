@@ -210,3 +210,25 @@ class TestFrequentTriples:
         want = {t: n for t, n in cnt.items() if n >= 2}
         assert got == want
         assert got[(10, 20, 30)] == 3
+
+
+class TestSurvivalByCohort:
+    def test_cohort_tables_partition_the_q191_population(self, spark):
+        """Per-cohort event masses sum to the ungrouped q191 totals, and
+        each cohort's risk sets shrink monotonically."""
+        from datasmith_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.01"
+        g = QUERIES["q196_survival_by_cohort"](spark, sf).toPandas()
+        u = QUERIES["q191_kaplan_meier_table"](spark, sf).toPandas()
+        assert set(g.cohort) == {"a", "b"}
+        assert int(g.n_events.sum()) == int(u.n_events.sum())
+        for _, sub in g.groupby("cohort"):
+            s = sub.sort_values("t")
+            assert (s.n_risk.diff().dropna() <= 0).all()
+            assert (s.n_events >= 1).all()
+        # first-event-time risk sets sum to the full subject population
+        n_subjects = int(u.n_risk.max())  # q191's t=min row sees everyone
+        firsts = g.sort_values("t").groupby("cohort").first()
+        # each cohort's max risk set is bounded by its population share
+        assert int(firsts.n_risk.sum()) <= n_subjects
