@@ -36,6 +36,10 @@ not needed at test scale).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,6 +47,32 @@ KM_K = 10
 KM_ITERS = 3
 KM_SCALE = 65536
 KM_DIMS = 64
+
+# float64 matmul on integer lattices is EXACT as long as every product and
+# partial sum stays below 2^53: for |xq| <= 2^20 and <= 64 dims, squared
+# distances and the |a|^2 - 2ab + |b|^2 decomposition are all < 2^48.
+# Real embeddings are in [-1, 1] (|xq| <= 2^17); the guard only trips on
+# pathological inputs, which fall back to exact int64 arithmetic.
+_F64_EXACT_MAX = 1 << 20
+
+
+def _sq_dists_np(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Exact int64 squared distances (n, k) between integer lattice rows.
+
+    Fast path: float64 matmul (exact below _F64_EXACT_MAX, see above).
+    Fallback: int64 broadcasting — slower, still exact to |v| ~ 2^28.
+    """
+    if max(np.abs(X).max(initial=0), np.abs(C).max(initial=0)) <= _F64_EXACT_MAX:
+        Xf = X.astype(np.float64)
+        Cf = C.astype(np.float64)
+        D = (
+            (Xf * Xf).sum(axis=1)[:, None]
+            - 2.0 * (Xf @ Cf.T)
+            + (Cf * Cf).sum(axis=1)[None, :]
+        )
+        return D.astype(np.int64)
+    diff = X[:, None, :].astype(np.int64) - C[None, :, :].astype(np.int64)
+    return (diff * diff).sum(axis=2)
 
 
 def quantized_points(embs: DataFrame) -> DataFrame:
@@ -56,26 +86,37 @@ def quantized_points(embs: DataFrame) -> DataFrame:
     return embs.select("vec_id", xq.alias("xq"))
 
 
-def _dist_to(c: list[int]):
-    """int64 squared lattice distance from column xq to constant centroid c."""
-    carr = F.array(*[F.lit(int(v)).cast("long") for v in c])
-    return F.aggregate(
-        F.zip_with("xq", carr, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-
-
 def _assign(pts: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
-    """(vec_id, xq, cluster, dist): nearest centroid, ties -> lowest cid."""
+    """(vec_id, xq, cluster, dist): nearest centroid, ties -> lowest cid.
+
+    Arrow-batched numpy kernel (one exact matmul per batch) replacing the
+    earlier per-row interpreted higher-order-function evaluation — same
+    values bit-for-bit (_sq_dists_np is exact int64; np.argmin returns the
+    FIRST minimum, i.e. the lowest centroid id, exactly like the
+    array_position(dists, array_min) form it replaces and the SQL oracle).
+    """
     cids = sorted(cents)
-    dists = F.array(*[_dist_to(cents[c]) for c in cids])
-    best = F.array_min(dists)
-    # array_position returns the FIRST index of the minimum (1-based), so
-    # ties break to the lowest centroid id — mirrored in the SQL oracle
-    cluster = F.array_position(dists, best) - 1
-    return pts.select(
-        "vec_id", "xq", cluster.cast("int").alias("cluster"), best.alias("dist")
+    C = np.asarray([cents[c] for c in cids], dtype=np.int64)
+    cid_arr = np.asarray(cids, dtype=np.int64)
+
+    def _f(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["xq"]])
+            D = _sq_dists_np(X, C)
+            j = np.argmin(D, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "xq": pdf["xq"],
+                    "cluster": cid_arr[j].astype(np.int32),
+                    "dist": D[np.arange(len(j)), j],
+                }
+            )
+
+    return pts.mapInPandas(
+        _f, schema="vec_id bigint, xq array<bigint>, cluster int, dist bigint"
     )
 
 
@@ -153,13 +194,28 @@ def kmeans_quality(
     try:
         cents = _fit_centroids(pts, k, iters, dims)
         cids = sorted(cents)
-        dists = F.array(*[_dist_to(cents[c]) for c in cids])
-        sorted_d = F.array_sort(dists)
-        per_point = pts.select(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cluster"),
-            F.element_at(sorted_d, 1).alias("d1"),
-            F.element_at(sorted_d, 2).alias("d2"),
-        )
+        C = np.asarray([cents[c] for c in cids], dtype=np.int64)
+
+        def _pp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # numpy mirror of the earlier array_sort/array_position form:
+            # cluster = FIRST minimum (lowest cid on ties), d1/d2 = the two
+            # smallest distances by VALUE — exact int64 via _sq_dists_np
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["xq"]])
+                D = _sq_dists_np(X, C)
+                j = np.argmin(D, axis=1)
+                two = np.partition(D, 1, axis=1)[:, :2]
+                yield pd.DataFrame(
+                    {
+                        "cluster": j.astype(np.int32),
+                        "d1": two[:, 0],
+                        "d2": two[:, 1],
+                    }
+                )
+
+        per_point = pts.mapInPandas(_pp, schema="cluster int, d1 bigint, d2 bigint")
         out = (
             per_point.groupBy("cluster")
             .agg(
@@ -190,20 +246,43 @@ def semantic_dup_pairs(
     pts = quantized_points(embs)
     asg = kmeans_assign(embs, k=k, iters=iters, dims=dims).select("vec_id", "cluster")
     pc = pts.join(asg, "vec_id")
-    a = pc.select(
-        F.col("cluster"), F.col("vec_id").alias("vec_a"), F.col("xq").alias("xa")
-    )
-    b = pc.select(
-        F.col("cluster"), F.col("vec_id").alias("vec_b"), F.col("xq").alias("xb")
-    )
-    d = F.aggregate(
-        F.zip_with("xa", "xb", lambda p, q: (p - q) * (p - q)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    return (
-        a.join(b, "cluster")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", d.alias("sq_dist"))
-        .filter(F.col("sq_dist") <= tau)
+    tau_i = int(tau)
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one cluster per group: exact int64 pairwise distances via blocked
+        # matmul (_sq_dists_np), emitting only pairs <= tau. Replaces the
+        # within-cluster pair JOIN (which shipped both 64-long arrays per
+        # candidate pair through an interpreted fold) with one Arrow pass
+        # per cluster — same (vec_a < vec_b, sq_dist) rows exactly.
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "sq_dist": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "sq_dist": "int64"}
+            )
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        X = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["xq"]])[order]
+        out_a, out_b, out_d = [], [], []
+        blk = 2048  # bounds the (blk, n) distance block at ~16 MB
+        for s in range(0, n, blk):
+            e = min(s + blk, n)
+            D = _sq_dists_np(X[s:e], X)
+            ii, jj = np.nonzero(D <= tau_i)
+            # strict by VALUE (not index): duplicate vec_ids must not pair
+            # with themselves, exactly like the vec_a < vec_b join filter
+            keep = ids[ii + s] < ids[jj]
+            out_a.append(ids[ii[keep] + s])
+            out_b.append(ids[jj[keep]])
+            out_d.append(D[ii[keep], jj[keep]])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "sq_dist": np.concatenate(out_d),
+            }
+        )
+
+    return pc.groupBy("cluster").applyInPandas(
+        _pairs, schema="vec_a bigint, vec_b bigint, sq_dist bigint"
     )

@@ -104,21 +104,39 @@ def lsh_candidate_pairs(sig: DataFrame, k: int = MINHASH_K, cap: int | None = No
 
 def jaccard_verify(sh: DataFrame, cand: DataFrame, threshold: float = 0.6) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only (verify-after-
-    filter). Intersections are computed by joining the two shingle sets of
-    each CANDIDATE pair — never all-pairs."""
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a_sh = sh.select(F.col("id").alias("doc_a"), F.col("s").alias("s"))
-    b_sh = sh.select(F.col("id").alias("doc_b"), F.col("s").alias("s"))
+    filter).
+
+    Shape: the shingle table is rolled up ONCE to (id, shingle-set array,
+    sz); each candidate pair joins the two set arrays and the intersection
+    is a single codegen `size(array_intersect(...))` per pair. This
+    replaces the earlier token-level verify join (cand x per-doc shingle
+    explode -> |cand| * avg_sz intermediate rows re-aggregated by pair)
+    with |cand| rows total — same exact counts, two orders of magnitude
+    fewer shuffled rows at sf>=1 candidate volumes. Pairs with an empty
+    intersection produce jaccard 0.0 and are dropped by the threshold
+    filter exactly like the old inner-join form dropped them (threshold is
+    always > 0 here)."""
+    assert threshold > 0
+    sets = sh.groupBy("id").agg(
+        F.collect_list("s").alias("_ts"), F.count("*").alias("sz")
+    )
     inter = (
-        cand.join(a_sh, "doc_a")
-        .join(b_sh, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+        cand.join(
+            sets.select(
+                F.col("id").alias("doc_a"), F.col("_ts").alias("_ta"), F.col("sz").alias("sz_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("doc_b"), F.col("_ts").alias("_tb"), F.col("sz").alias("sz_b")
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("_ta", "_tb")))
     )
     out = (
-        inter.join(sizes.withColumnsRenamed({"id": "doc_a", "sz": "sz_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"id": "doc_b", "sz": "sz_b"}), "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("inter").cast("double")
@@ -162,15 +180,35 @@ def editdist_verify(
         F.col(text_col).alias("_tb"),
         F.length(text_col).alias("_lb"),
     )
-    sim = F.lit(1.0) - F.levenshtein("_ta", "_tb").cast("double") / F.greatest(
-        "_la", "_lb", F.lit(1)
-    ).cast("double")
+    # Two LOSSLESS accelerations around the final (unchanged) filter:
+    #   * length prefilter — lev >= |la - lb|, so sim >= t needs
+    #     |la - lb| <= (1-t)*max(la, lb). Applied with a slack margin
+    #     (0.25 max + 4 for t=0.8) so float boundaries cannot flip it; the
+    #     exact filter below still decides membership. Skips the DP kernel
+    #     for most mismatched-length candidates.
+    #   * banded Levenshtein — F.levenshtein's threshold form early-exits
+    #     at O((la+lb)*thr) instead of O(la*lb). thr is derived from the
+    #     corpus max length with the same slack, so every pair that can
+    #     pass the final filter gets its EXACT distance; pairs returned -1
+    #     are provably below threshold and are dropped.
+    slack_num = max(1, int((1.0 - threshold) * 100) + 5)  # percent, slack +5pp
+    max_len = docs.agg(F.max(F.length(text_col))).first()[0] or 1
+    band = int(max_len * slack_num) // 100 + 1
+    mx = F.greatest("_la", "_lb", F.lit(1))
+    lev = F.levenshtein("_ta", "_tb", band)
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
-        .withColumn("_sim", sim)
-        .filter(F.col("_sim") >= threshold)
-        .select("doc_a", "doc_b", F.round("_sim", 4).alias("edit_sim"))
+        .filter(
+            F.abs(F.col("_la") - F.col("_lb")) * 100 <= mx * slack_num + F.lit(400)
+        )
+        .withColumn("_lev", lev)
+        .filter((F.col("_lev") >= 0) & ((F.lit(1.0) - F.col("_lev").cast("double") / mx.cast("double")) >= threshold))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.lit(1.0) - F.col("_lev").cast("double") / mx.cast("double"), 4).alias("edit_sim"),
+        )
     )
 
 
@@ -322,29 +360,53 @@ def prefix_filter_pairs(
     from pyspark.sql import Window
 
     tok = items.select(F.col(id_col).alias("id"), F.col(item_col).alias("tok"))
+    # Dictionary-encode the vocabulary by the SAME global order the prefix
+    # filter ranks on (df asc, tok asc): tid = row_number over the
+    # vocabulary-bounded df table. Docs then become sorted int arrays whose
+    # FIRST p elements are exactly the old (df, tok)-ranked prefix — the
+    # per-doc row_number window over the full (id, tok) relation is gone,
+    # and both candidate keys and the verify intersections run on ints.
     df = tok.groupBy("tok").agg(F.count("*").alias("df"))
-    ranked = tok.join(df, "tok")
-    w_rank = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("tok"))
-    w_sz = Window.partitionBy("id")
-    pos = ranked.select(
-        "id",
-        "tok",
-        F.row_number().over(w_rank).alias("pos"),
-        F.count("*").over(w_sz).alias("sz"),
+    dfr = df.select(
+        "tok", F.row_number().over(Window.orderBy(F.asc("df"), F.asc("tok"))).alias("tid")
+    )
+    docs_arr = (
+        tok.join(dfr, "tok")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("tid")).alias("ts"))
+        .withColumn("sz", F.size("ts"))
     )
     # p = sz - ceil(num*sz/den) + 1, integer-exact (DIV, never float)
     prefix_len = F.col("sz") - F.expr(f"({num} * sz + {den - 1}) DIV {den}") + F.lit(1)
-    pre = pos.filter(F.col("pos") <= prefix_len).select("id", "tok", "sz")
+    pre = docs_arr.select(
+        "id", "sz", F.posexplode(F.slice("ts", 1, prefix_len)).alias("pos0", "tid")
+    )
     a, b = pre.alias("a"), pre.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.tok") == F.col("b.tok"))
+            (F.col("a.tid") == F.col("b.tid"))
             & (F.col("a.id") < F.col("b.id"))
             # length filter: den*min_sz >= num*max_sz
             & (
                 F.lit(den) * F.least(F.col("a.sz"), F.col("b.sz"))
                 >= F.lit(num) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            )
+            # PPJoin positional filter: meeting at 0-based prefix positions
+            # (pa, pb), the intersection is at most
+            # 1 + min(sz_a - pa - 1, sz_b - pb - 1); J >= num/den needs
+            # inter >= ceil(num*(sz_a+sz_b)/(num+den)) — prune pairs whose
+            # upper bound cannot reach it (lossless: bound >= true inter).
+            & (
+                F.lit(num + den)
+                * (
+                    F.lit(1)
+                    + F.least(
+                        F.col("a.sz") - F.col("a.pos0") - 1,
+                        F.col("b.sz") - F.col("b.pos0") - 1,
+                    )
+                )
+                >= F.lit(num) * (F.col("a.sz") + F.col("b.sz"))
             ),
         )
         .select(
@@ -355,12 +417,18 @@ def prefix_filter_pairs(
         )
         .distinct()
     )
-    ta, tb = tok.alias("ta"), tok.alias("tb")
     inter = (
-        cand.join(ta, F.col("doc_a") == F.col("ta.id"))
-        .join(tb, (F.col("doc_b") == F.col("tb.id")) & (F.col("ta.tok") == F.col("tb.tok")))
-        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-        .agg(F.count("*").alias("inter"))
+        cand.join(
+            docs_arr.select(F.col("id").alias("doc_a"), F.col("ts").alias("_ta")), "doc_a"
+        )
+        .join(docs_arr.select(F.col("id").alias("doc_b"), F.col("ts").alias("_tb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "sz_a",
+            "sz_b",
+            F.size(F.array_intersect("_ta", "_tb")).alias("inter"),
+        )
     )
     union_sz = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     return (
