@@ -75,12 +75,96 @@ def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
     Hash family: md5 of "<perm>|<shingle>"; the lexicographic min over hex
     digests is a valid (deterministic, well-mixed) min-hash and is
     reproducible in any engine with md5.
+
     """
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")).cast("binary"))).alias(f"s{i}")
         for i in range(k)
     ]
     return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_profiles(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = MINHASH_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_sets: bool = False,
+) -> DataFrame:
+    """Fused shingle+minhash: (id, s0..s{k-1}[, _ts, sz]) in ONE Arrow pass.
+
+    Value-identical to minhash_signatures(shingles(docs)) — the shuffle-free
+    fast path: a doc is one input row, so its signature completes inside the
+    batch and the explode -> groupBy shuffle of the full shingle multiset
+    disappears; a per-task md5 cache hashes each DISTINCT shingle once
+    (corpora repeat shingles heavily) instead of once per instance.
+
+    Exact-parity notes (every step mirrors the Column expressions of
+    shingles()/minhash_signatures() bit-for-bit on the bytes that matter):
+      * trim = strip of ASCII space only (Spark `trim` semantics);
+      * the split regex is Java's \\s class ([ \\t\\n\\x0b\\f\\r]) — NOT
+        Python's unicode-aware \\s — and keeps the leading empty token a
+        separator-initial string produces, exactly like F.split;
+      * shingle = " ".join of n consecutive tokens (concat_ws semantics on
+        non-null strings); docs with fewer than n tokens emit NO row;
+      * s_i = min over the doc's shingle SET of md5 hex of "<i>|<shingle>"
+        (UTF-8); hex strings compare bytewise in both engines.
+
+    with_sets=True additionally emits the sorted shingle-set array and its
+    size — the inputs jaccard_verify needs — so verify-consumers avoid a
+    second shingle pass entirely.
+    """
+    import hashlib
+    import re
+
+    sel = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    id_type = sel.schema["id"].dataType.simpleString()
+    schema = f"id {id_type}, " + ", ".join(f"s{i} string" for i in range(k))
+    if with_sets:
+        schema += ", _ts array<string>, sz bigint"
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    prefixes = [f"{i}|".encode("utf-8") for i in range(k)]
+
+    def _profiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            rows: list[list] = []
+            for did, text in zip(pdf["id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = ws.split(text.strip(" ").lower())
+                if len(toks) < n:
+                    continue
+                sset = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+                mins: list[str] = []
+                first = True
+                for s in sset:
+                    hs = cache.get(s)
+                    if hs is None:
+                        sb = s.encode("utf-8")
+                        hs = [hashlib.md5(p + sb).hexdigest() for p in prefixes]
+                        if len(cache) > 2_000_000:  # vocab blow-up guard
+                            cache.clear()
+                        cache[s] = hs
+                    if first:
+                        mins = list(hs)
+                        first = False
+                    else:
+                        for i in range(k):
+                            if hs[i] < mins[i]:
+                                mins[i] = hs[i]
+                row = [did, *mins]
+                if with_sets:
+                    ss = sorted(sset)
+                    row.extend([ss, len(ss)])
+                rows.append(row)
+            cols = ["id"] + [f"s{i}" for i in range(k)]
+            if with_sets:
+                cols += ["_ts", "sz"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return sel.mapInPandas(_profiles, schema=schema)
 
 
 def lsh_candidate_pairs(sig: DataFrame, k: int = MINHASH_K, cap: int | None = None) -> DataFrame:
@@ -116,10 +200,17 @@ def jaccard_verify(sh: DataFrame, cand: DataFrame, threshold: float = 0.6) -> Da
     intersection produce jaccard 0.0 and are dropped by the threshold
     filter exactly like the old inner-join form dropped them (threshold is
     always > 0 here)."""
-    assert threshold > 0
     sets = sh.groupBy("id").agg(
         F.collect_list("s").alias("_ts"), F.count("*").alias("sz")
     )
+    return jaccard_verify_sets(sets, cand, threshold)
+
+
+def jaccard_verify_sets(sets: DataFrame, cand: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """jaccard_verify over a prebuilt (id, _ts: array, sz) set table —
+    the entry point for callers that already hold per-doc shingle-set
+    arrays (minhash_profiles with_sets=True) and skip the rollup."""
+    assert threshold > 0
     inter = (
         cand.join(
             sets.select(
@@ -360,21 +451,42 @@ def prefix_filter_pairs(
     from pyspark.sql import Window
 
     tok = items.select(F.col(id_col).alias("id"), F.col(item_col).alias("tok"))
+    # One collect_set rollup is the ONLY full-width shuffle: it dedups
+    # map-side (so `items` no longer needs a pre-distinct pass — duplicate
+    # (id, item) rows are tolerated and collapse here) and every later step
+    # runs on the doc-count-sized set table. Materialized once because it
+    # feeds both the df count and the doc-array build (Spark re-executed
+    # shared subtrees once per consumer at sf1-scale inputs — measured 4x).
+    # explicit repartition before each checkpoint: AQE coalesces these
+    # small aggregates to ONE post-shuffle partition, and a checkpoint pins
+    # that — which would serialize the whole downstream candidate join on a
+    # single task (measured 60+ s single-task stages at sf1-scale inputs)
+    spark = items.sparkSession
+    n_par = min(spark.sparkContext.defaultParallelism, 64)
+    sets0 = (
+        tok.groupBy("id")
+        .agg(F.collect_set("tok").alias("_tokset"))
+        .repartition(n_par, "id")
+        .localCheckpoint(eager=True)
+    )
+    exploded = sets0.select("id", F.explode("_tokset").alias("tok"))
     # Dictionary-encode the vocabulary by the SAME global order the prefix
     # filter ranks on (df asc, tok asc): tid = row_number over the
     # vocabulary-bounded df table. Docs then become sorted int arrays whose
-    # FIRST p elements are exactly the old (df, tok)-ranked prefix — the
-    # per-doc row_number window over the full (id, tok) relation is gone,
-    # and both candidate keys and the verify intersections run on ints.
-    df = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    # FIRST p elements are exactly the (df, tok)-ranked prefix — no per-doc
+    # row_number window over the full (id, tok) relation, and both
+    # candidate keys and the verify intersections run on ints.
+    df = exploded.groupBy("tok").agg(F.count("*").alias("df"))
     dfr = df.select(
         "tok", F.row_number().over(Window.orderBy(F.asc("df"), F.asc("tok"))).alias("tid")
     )
     docs_arr = (
-        tok.join(dfr, "tok")
+        exploded.join(dfr, "tok")
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("tid")).alias("ts"))
         .withColumn("sz", F.size("ts"))
+        .repartition(n_par, "id")
+        .localCheckpoint(eager=True)
     )
     # p = sz - ceil(num*sz/den) + 1, integer-exact (DIV, never float)
     prefix_len = F.col("sz") - F.expr(f"({num} * sz + {den - 1}) DIV {den}") + F.lit(1)
@@ -415,8 +527,13 @@ def prefix_filter_pairs(
             F.col("a.sz").alias("sz_a"),
             F.col("b.sz").alias("sz_b"),
         )
-        .distinct()
     )
+    # NOTE: candidates are NOT deduped here — a pair meeting at several
+    # prefix tokens is verified once per meeting (measured ~1% duplicate
+    # rate on Zipf-ish corpora) and the duplicates collapse in the final
+    # distinct over the (tiny) qualifying output. This trades a full-width
+    # 5M-row dedup shuffle for a few percent of redundant array_intersect
+    # calls.
     inter = (
         cand.join(
             docs_arr.select(F.col("id").alias("doc_a"), F.col("ts").alias("_ta")), "doc_a"
@@ -438,4 +555,5 @@ def prefix_filter_pairs(
             "doc_b",
             F.round(F.col("inter").cast("double") / union_sz.cast("double"), 4).alias("jaccard"),
         )
+        .distinct()
     )

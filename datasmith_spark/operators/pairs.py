@@ -44,6 +44,18 @@ def capped_key_pairs(keyed: DataFrame, key: str, id_col: str, cap: int | None = 
     map-side combinable, uniform, and tiny next to the pair join it guards.
     """
     cap = pair_key_cap(cap)
+    # Materialize the (id, key) relation once, hash-partitioned by the join
+    # key: it feeds BOTH the stats groupBy and the pair self-join, and
+    # without a checkpoint Spark re-executes the entire upstream (shingle
+    # explode + signature aggregation for the LSH callers — the expensive
+    # half of every near-dup query) once per consumer. The explicit
+    # partition count also stops AQE from coalescing the small relation to
+    # one partition, which a checkpoint would otherwise pin for every
+    # downstream stage. Partitioning by `key` lets the groupBy and the
+    # self-join below reuse the exchange outright.
+    spark = keyed.sparkSession
+    n_par = min(spark.sparkContext.defaultParallelism, 64)
+    keyed = keyed.repartition(n_par, key).localCheckpoint(eager=True)
     stats = keyed.groupBy(key).agg(F.count("*").alias("_kc"), F.min(id_col).alias("_rep"))
     ks = keyed.join(stats, key)
     cold = ks.filter(F.col("_kc") <= cap)

@@ -472,22 +472,22 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard-verify over the same corpus. Same app-bounded cache
     discipline as _clips_post_decode; eager localCheckpoint truncates
     the lineage so consumers replan from the materialized pair table."""
-    from pyspark import StorageLevel
-
     from .operators.dedup import (
-        jaccard_verify,
+        jaccard_verify_sets,
         lsh_candidate_pairs,
-        minhash_signatures,
-        shingles,
+        minhash_profiles,
     )
 
     def build():
         corpus = _corpus(spark, sf_dir)
-        sh = shingles(corpus).persist(StorageLevel.MEMORY_AND_DISK)
-        cand = lsh_candidate_pairs(minhash_signatures(sh))
-        pairs = jaccard_verify(sh, cand, threshold=0.6).localCheckpoint(eager=True)
-        sh.unpersist()
-        return pairs
+        # fused one-pass profiles (signatures + shingle-set arrays),
+        # materialized once for the three consumers (bands, both verify
+        # sides) — replaces the persisted shingle explode entirely
+        prof = minhash_profiles(corpus, with_sets=True).localCheckpoint(eager=True)
+        cand = lsh_candidate_pairs(prof)
+        return jaccard_verify_sets(
+            prof.select("id", "_ts", "sz"), cand, threshold=0.6
+        ).localCheckpoint(eager=True)
 
     return _session_cached(_VERIFIED_PAIRS_CACHE, spark, sf_dir, build)
 
@@ -504,6 +504,20 @@ _CORPUS_SQL = """
 """
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism guard for small/unsplittable scans (guide
+    §2.5 input skew / §6 input splits): a single-row-group parquet file
+    scans as ONE task, serializing every downstream narrow op (explode,
+    hash, regex, Arrow UDF) until the first shuffle — measured 1-2 scan
+    tasks for the documents table at every sf. When the scan has fewer
+    partitions than the session's parallelism, round-robin repartition the
+    (small) input once; already well-partitioned inputs pass through
+    untouched, so on a real cluster with many input files this is a no-op.
+    """
+    n = min(spark.sparkContext.defaultParallelism, 64)
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     ex = d.filter(F.col("doc_id") < 100).select(
@@ -513,7 +527,10 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz17 zz18 zz19")).alias("text"),
     )
-    return d.unionByName(ex).unionByName(nr)
+    # one cheap round-robin exchange of the raw (doc_id, text) rows buys
+    # full-width parallelism for the shingle/minhash/simhash map work that
+    # every consumer of the corpus runs next
+    return _spread(spark, d.unionByName(ex).unionByName(nr))
 
 
 @register(
@@ -689,13 +706,14 @@ def q21_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-duplicate candidate pairs
     (shingle -> K minhashes in one groupBy -> band-digest join).
 
-    Shingles are NOT deduped here: min-hash is invariant to duplicate
-    shingles, so the explode feeds the signature groupBy directly — one
-    less wide shuffle than the q22 path (which needs true shingle sets)."""
-    from .operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
+    Signatures come from the fused one-pass profile kernel
+    (operators/dedup.minhash_profiles): a doc is one row, so its k min
+    hashes complete inside the Arrow batch — the shingle explode and its
+    groupBy shuffle are gone, and md5 runs once per distinct shingle per
+    task instead of once per instance."""
+    from .operators.dedup import lsh_candidate_pairs, minhash_profiles
 
-    sh = shingles(_corpus(spark, sf_dir), distinct=False)
-    return lsh_candidate_pairs(minhash_signatures(sh))
+    return lsh_candidate_pairs(minhash_profiles(_corpus(spark, sf_dir)))
 
 
 @register(
@@ -728,22 +746,19 @@ def q22_ngram_jaccard(spark, sf_dir):
     runs once, not once per DAG branch; at 10^12 docs this intermediate
     would be materialized (bucketed by id) for exactly the same reason.
 
-    The shingle cache is RELEASED before returning: the (small) result is
-    pinned via localCheckpoint (cuts the lineage back to the shingle table)
-    and the shingle persist is dropped, so a long-lived driver session that
-    runs all 34 queries does not keep the explode output in executor memory
-    for the rest of the run."""
-    from pyspark import StorageLevel
-
-    from .operators.dedup import jaccard_verify, lsh_candidate_pairs, minhash_signatures, shingles
+    The profile table (signatures + shingle-set arrays from the fused
+    one-pass kernel) feeds THREE consumers (bands, both verify sides) —
+    localCheckpoint materializes it once; the small result is pinned the
+    same way so a long-lived driver session does not keep intermediates in
+    executor memory for the rest of the run."""
+    from .operators.dedup import jaccard_verify_sets, lsh_candidate_pairs, minhash_profiles
 
     corpus = _corpus(spark, sf_dir)
-    sh = shingles(corpus).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = lsh_candidate_pairs(minhash_signatures(sh))
-    # SQL filters on the UNROUNDED ratio; mirror that exactly
-    out = jaccard_verify(sh, cand, threshold=0.6).localCheckpoint(eager=True)
-    sh.unpersist()
-    return out
+    prof = minhash_profiles(corpus, with_sets=True).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(prof)
+    return jaccard_verify_sets(
+        prof.select("id", "_ts", "sz"), cand, threshold=0.6
+    ).localCheckpoint(eager=True)
 
 
 @register(
@@ -1274,14 +1289,15 @@ def q34_capped_hotkey_pairs(spark, sf_dir):
     collapses to min-id star pairs while every below-cap key still yields
     exact all-pairs; the DuckDB oracle re-derives the IDENTICAL capped
     semantics in SQL, so the driver value-hashes the whole defense."""
-    from .operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
+    from .operators.dedup import lsh_candidate_pairs, minhash_profiles
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
     hot = spark.range(_HOT_N).select(
         (F.col("id") + 500000).alias("doc_id"), F.lit(_HOT_TEXT).alias("text")
     )
-    sh = shingles(docs.unionByName(hot), distinct=False)
-    return lsh_candidate_pairs(minhash_signatures(sh), cap=_HOT_CAP)
+    return lsh_candidate_pairs(
+        minhash_profiles(docs.unionByName(hot)), cap=_HOT_CAP
+    )
 
 
 def _ivf_cells_sql(dims: int = 64) -> tuple[str, str]:
@@ -2696,14 +2712,11 @@ def q62_text_curation_report(spark, sf_dir):
     explode (cuts the widest shuffle by the drop rate); dedup state is
     O(dup pairs); the final rollup is 4 rows. This is the q27 of the text
     side."""
-    from pyspark import StorageLevel
-
     from .operators.components import connected_components
     from .operators.dedup import (
-        jaccard_verify,
+        jaccard_verify_sets,
         lsh_candidate_pairs,
-        minhash_signatures,
-        shingles,
+        minhash_profiles,
     )
     from .operators.text_analysis import gopher_quality
 
@@ -2715,10 +2728,11 @@ def q62_text_curation_report(spark, sf_dir):
         .filter(F.col("keep"))
         .select("doc_id", "text")
     )
-    sh = shingles(kept).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = lsh_candidate_pairs(minhash_signatures(sh))
-    pairs = jaccard_verify(sh, cand, threshold=0.6).localCheckpoint(eager=True)
-    sh.unpersist()
+    prof = minhash_profiles(kept, with_sets=True).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(prof)
+    pairs = jaccard_verify_sets(
+        prof.select("id", "_ts", "sz"), cand, threshold=0.6
+    ).localCheckpoint(eager=True)
     cc = connected_components(pairs, "doc_a", "doc_b").withColumnsRenamed(
         {"id": "doc_id", "component": "cluster_id"}
     )
@@ -4055,15 +4069,10 @@ def q90_editdist_neardup(spark, sf_dir):
     mirrored in the oracle's shared SQL body); the quadratic DP runs only
     on that bounded sliver, never all-pairs. DuckDB's `levenshtein` is the
     same unit-cost character DP, so the oracle is value-exact."""
-    from .operators.dedup import (
-        editdist_verify,
-        lsh_candidate_pairs,
-        minhash_signatures,
-        shingles,
-    )
+    from .operators.dedup import editdist_verify, lsh_candidate_pairs, minhash_profiles
 
     corpus = _corpus(spark, sf_dir)
-    cand = lsh_candidate_pairs(minhash_signatures(shingles(corpus, distinct=False)))
+    cand = lsh_candidate_pairs(minhash_profiles(corpus))
     return editdist_verify(corpus, cand, threshold=0.8)
 
 
@@ -6935,7 +6944,7 @@ def q144_blocking_recall(spark, sf_dir):
     candidates restricted to the sample, modulo the hot-key cap that
     is itself part of what recall measures at scale). One row:
     truth/caught/candidate counts + recall, ONE division."""
-    from .operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
+    from .operators.dedup import lsh_candidate_pairs, minhash_profiles, shingles
 
     samp = _corpus(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
     sh = shingles(samp, distinct=True)
@@ -6956,9 +6965,9 @@ def q144_blocking_recall(spark, sf_dir):
         )
         .select("a", "b")
     )
-    cand = lsh_candidate_pairs(
-        minhash_signatures(shingles(samp, distinct=False))
-    ).withColumnsRenamed({"doc_a": "a", "doc_b": "b"})
+    cand = lsh_candidate_pairs(minhash_profiles(samp)).withColumnsRenamed(
+        {"doc_a": "a", "doc_b": "b"}
+    )
     caught = truth.join(cand, ["a", "b"], "left_semi")
     nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     nc = caught.agg(F.count(F.lit(1)).alias("n_caught"))
@@ -7529,18 +7538,15 @@ def q154_prefix_filter_pairs(spark, sf_dir):
     construction — the hot-key blowup the LSH band joins need
     capped_band_pairs for is pruned algebraically here. Verify runs on
     candidates only. See operators/dedup.py:prefix_filter_pairs."""
-    from pyspark import StorageLevel
-
     from .operators.dedup import prefix_filter_pairs, shingles
 
-    sh = (
-        shingles(_corpus(spark, sf_dir))
-        .select("id", F.col("s").alias("tok"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # distinct=False: the operator's own collect_set rollup dedups the
+    # shingle multiset map-side, so a pre-distinct pass (and the persist
+    # that amortized it) would only add a full-width shuffle
+    sh = shingles(_corpus(spark, sf_dir), distinct=False).select(
+        "id", F.col("s").alias("tok")
     )
-    out = prefix_filter_pairs(sh, threshold_num=7, threshold_den=10).localCheckpoint(eager=True)
-    sh.unpersist()
-    return out
+    return prefix_filter_pairs(sh, threshold_num=7, threshold_den=10)
 
 
 @register(
