@@ -81,33 +81,86 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / F.sqrt(dot_col(a, a) * dot_col(b, b))
 
 
+def _seq_dots_np(M: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Row-wise dot of M against v with the EXACT sequential-fold order of
+    dot_col / seq_dot_udf / DuckDB list_dot_product (np.cumsum accumulates
+    left-to-right one element at a time)."""
+    return np.cumsum(M * v, axis=1)[:, -1]
+
+
+def _panel_scores(
+    emb: DataFrame, panel: list, match_col: str | None = None
+) -> DataFrame:
+    """(query_id, neighbor_id, _cos_raw) for every (panel query, corpus
+    row) pair with query_id != neighbor_id — ONE Arrow pass over the
+    corpus against the broadcast-in-closure query panel, instead of a pair
+    join that ships both 64-float arrays per scored pair. _cos_raw is the
+    UNROUNDED IEEE double (sequential-fold dots, correctly-rounded divide
+    and sqrt — bit-identical to the Column expression it replaces); the
+    caller applies F.round in the JVM so HALF_UP rounding semantics stay
+    engine-side. With match_col set, panel entries are (id, emb, val) and
+    a corpus row is scored against a query only when its match_col equals
+    the query's val (the IVF nprobe=1 cell restriction)."""
+    qids = np.asarray([r[0] for r in panel], dtype=np.int64)
+    Q = (
+        np.asarray([np.asarray(r[1], dtype=np.float64) for r in panel])
+        if panel
+        else np.empty((0, 0))
+    )
+    q2 = np.cumsum(Q * Q, axis=1)[:, -1] if len(panel) else np.empty(0)
+    qmatch = [r[2] for r in panel] if (panel and match_col) else None
+    schema = "query_id bigint, neighbor_id bigint, _cos_raw double"
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf) or not len(qids):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            c2 = np.cumsum(M * M, axis=1)[:, -1]
+            mvals = pdf[match_col].to_numpy() if match_col else None
+            outs = []
+            for qi in range(len(qids)):
+                keep = ids != qids[qi]
+                if mvals is not None:
+                    keep &= mvals == qmatch[qi]
+                if not keep.any():
+                    continue
+                dots = _seq_dots_np(M[keep], Q[qi])
+                cos = dots / np.sqrt(q2[qi] * c2[keep])
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(int(keep.sum()), qids[qi]),
+                            "neighbor_id": ids[keep],
+                            "_cos_raw": cos,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    sel_cols = ["vec_id", "embedding"] + ([match_col] if match_col else [])
+    return emb.select(*sel_cols).mapInPandas(_score, schema=schema)
+
+
 def cosine_topk(emb: DataFrame, n_queries: int = 5, k: int = 3) -> DataFrame:
     """Exact top-k cosine neighbors for vec_id < n_queries.
 
-    Query side is tiny => broadcast nested-loop; corpus side streams.
-    Ranking uses the ROUNDED cosine with vec_id tie-break so the result set
-    is fully deterministic and oracle-reproducible.
+    The bounded query panel (n_queries rows — bounded metadata, like the
+    k-means init collect) is carried INTO one Arrow pass over the corpus
+    (_panel_scores), so only (query_id, neighbor_id, cos) rows ever cross
+    the boundary — not both embedding arrays per scored pair. Ranking uses
+    the ROUNDED cosine with vec_id tie-break so the result set is fully
+    deterministic and oracle-reproducible.
     """
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        seq_dot_udf(F.col("embedding"), F.col("embedding")).alias("q2"),
-    )
-    # self-dots once per vector, not once per pair (3x fewer folds; the
-    # cosine value is the same expression bit-for-bit)
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ce"),
-        seq_dot_udf(F.col("embedding"), F.col("embedding")).alias("c2"),
-    )
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos",
-            F.round(seq_dot_udf(F.col("qe"), F.col("ce")) / F.sqrt(F.col("q2") * F.col("c2")), 4),
-        )
-    )
+    panel = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    scored = _panel_scores(emb, panel).withColumn("cos", F.round("_cos_raw", 4))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -346,27 +399,13 @@ def ivf_ann_search(
         "vec_id",
         "embedding",
         cell_udf(F.col("embedding")).alias("cell"),
-        seq_dot_udf(F.col("embedding"), F.col("embedding")).alias("n2"),
     )
-    q = base.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        "cell",
-        F.col("n2").alias("q2"),
-    )
-    c = base.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ce"),
-        "cell",
-        F.col("n2").alias("c2"),
-    )
-    scored = (
-        q.join(c, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos",
-            F.round(seq_dot_udf(F.col("qe"), F.col("ce")) / F.sqrt(F.col("q2") * F.col("c2")), 4),
-        )
+    panel = [
+        (r["vec_id"], r["embedding"], r["cell"])
+        for r in base.filter(F.col("vec_id") < n_queries).collect()
+    ]
+    scored = _panel_scores(base, panel, match_col="cell").withColumn(
+        "cos", F.round("_cos_raw", 4)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -390,27 +429,13 @@ def lsh_ann_search(emb: DataFrame, n_queries: int = 20, k: int = 3, dims: int = 
         "vec_id",
         "embedding",
         lsh_sig_col(F.col("embedding"), planes).alias("bucket"),
-        seq_dot_udf(F.col("embedding"), F.col("embedding")).alias("n2"),
     )
-    q = base.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        "bucket",
-        F.col("n2").alias("q2"),
-    )
-    c = base.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ce"),
-        "bucket",
-        F.col("n2").alias("c2"),
-    )
-    scored = (
-        q.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos",
-            F.round(seq_dot_udf(F.col("qe"), F.col("ce")) / F.sqrt(F.col("q2") * F.col("c2")), 4),
-        )
+    panel = [
+        (r["vec_id"], r["embedding"], r["bucket"])
+        for r in base.filter(F.col("vec_id") < n_queries).collect()
+    ]
+    scored = _panel_scores(base, panel, match_col="bucket").withColumn(
+        "cos", F.round("_cos_raw", 4)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

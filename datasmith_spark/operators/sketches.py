@@ -436,11 +436,17 @@ def cms_heavy_hitters(
     stream is touched only by the sketch pass. true_cnt is emitted so the
     overestimate property itself is value-checked; a pure-sketch deploy
     at 10^12 keys drops it and keeps only the bounded passes."""
-    sketch = cms_sketch(keys, key, d=d, w=w)
+    # ONE map-side-combined groupBy is the only pass over the raw stream;
+    # the sketch is then folded from the exact per-key counts (cell value =
+    # sum of counts of the keys hashing there — identical to sketching the
+    # raw stream, by sum-through-groups), so the d-way explode and its d
+    # md5s per STREAM ITEM become d md5s per DISTINCT key.
     tf = keys.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("true_cnt"))
+    tf = tf.localCheckpoint(eager=True)  # feeds sketch build AND probe
     probe = tf.select(
         "k", "true_cnt", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j")
     ).withColumn("b", _cms_bucket(F.col("k"), F.col("j"), w))
+    sketch = probe.groupBy("j", "b").agg(F.sum("true_cnt").alias("c"))
     est = (
         probe.join(F.broadcast(sketch), ["j", "b"])
         .groupBy("k")

@@ -1749,7 +1749,9 @@ def q43_contamination_ngrams(spark, sf_dir):
     count (operators/text_analysis.py contamination_hits)."""
     from .operators.text_analysis import contamination_hits
 
-    return contamination_hits(_t(spark, sf_dir, "documents"), n=3, bench_mod=53)
+    return contamination_hits(
+        _spread(spark, _t(spark, sf_dir, "documents")), n=3, bench_mod=53
+    )
 
 
 @register(
@@ -3991,7 +3993,7 @@ def q88_cms_heavy_hitters(spark, sf_dir):
     from .operators.sketches import cms_heavy_hitters
 
     toks = (
-        _t(spark, sf_dir, "documents")
+        _spread(spark, _t(spark, sf_dir, "documents"))
         .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .filter(F.col("tok") != "")
     )
@@ -6520,13 +6522,35 @@ def q138_grid_neighbor_join(spark, sf_dir):
         (F.round(F.col("value") * 100).cast("bigint") % 1000).alias("x"),
         ((F.col("event_id") * 2654435761) % 1000).alias("y"),
     )
-    cell = p.withColumn("cx", F.floor(F.col("x") / 16)).withColumn(
-        "cy", F.floor(F.col("y") / 16)
+    # cell size = radius (8, was 16): 4x lower per-cell density, and the
+    # HALF-SPACE offset enumeration ((0,0),(1,0),(0,1),(1,1),(1,-1))
+    # visits each unordered cell pair once instead of the full 3x3
+    # neighborhood visiting it from both sides — together ~7x fewer
+    # candidate rows through the exact distance filter, identical output
+    # (pairs are re-ordered to id_a < id_b after the join; the (0,0)
+    # offset keeps the id ordering in the join condition as before).
+    cell = p.withColumn("cx", F.floor(F.col("x") / 8)).withColumn(
+        "cy", F.floor(F.col("y") / 8)
     )
+    offsets = [(0, 0), (1, 0), (0, 1), (1, 1), (1, -1)]
     probe = (
-        cell.withColumn("ncx", F.explode(F.array(*[F.col("cx") + d for d in (-1, 0, 1)])))
-        .withColumn("ncy", F.explode(F.array(*[F.col("cy") + d for d in (-1, 0, 1)])))
-        .select("event_id", "x", "y", "ncx", "ncy")
+        cell.select(
+            "event_id", "x", "y", "cx", "cy",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(dx).alias("dx"), F.lit(dy).alias("dy")
+                    )
+                    for dx, dy in offsets
+                ])
+            ).alias("_d"),
+        )
+        .select(
+            "event_id", "x", "y",
+            (F.col("cx") + F.col("_d.dx")).alias("ncx"),
+            (F.col("cy") + F.col("_d.dy")).alias("ncy"),
+            ((F.col("_d.dx") == 0) & (F.col("_d.dy") == 0)).alias("_same"),
+        )
     )
     build = cell.select(
         F.col("event_id").alias("id_b"), F.col("x").alias("xb"),
@@ -6535,14 +6559,14 @@ def q138_grid_neighbor_join(spark, sf_dir):
     pairs = probe.join(
         build,
         (F.col("ncx") == F.col("cx")) & (F.col("ncy") == F.col("cy"))
-        & (F.col("event_id") < F.col("id_b")),
+        & (~F.col("_same") | (F.col("event_id") < F.col("id_b"))),
     ).filter(
         (F.abs(F.col("x") - F.col("xb")) <= 8)
         & (F.abs(F.col("y") - F.col("yb")) <= 8)
     )
     return pairs.select(
-        F.col("event_id").alias("id_a"),
-        "id_b",
+        F.least(F.col("event_id"), F.col("id_b")).alias("id_a"),
+        F.greatest(F.col("event_id"), F.col("id_b")).alias("id_b"),
         F.greatest(
             F.abs(F.col("x") - F.col("xb")), F.abs(F.col("y") - F.col("yb"))
         ).alias("cheb"),
@@ -9221,8 +9245,18 @@ def q185_pagerank_copurchase(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
     wout = e.groupBy("u").agg(F.sum("w").cast("long").alias("wu"))
-    ew = e.join(wout, "u")
-    ranks = wout.select(F.col("u").alias("v"), F.lit(1000000).cast("long").alias("r"))
+    # materialize the weighted edge list once, partitioned by the iteration
+    # join key: every power iteration joins ew on u, and without the
+    # checkpoint the per-order pair build + two aggregations re-execute
+    # once per round (3x at 3 iterations). On a real cluster this is the
+    # standard write-once edge table of Pregel-on-DataFrames.
+    n_par = min(spark.sparkContext.defaultParallelism, 64)
+    ew = e.join(wout, "u").repartition(n_par, "u").localCheckpoint(eager=True)
+    # seed ranks from the materialized ew (same distinct u set as wout) so
+    # iteration 1 does not drag the edge-build lineage back in via wout
+    ranks = ew.select("u").distinct().select(
+        F.col("u").alias("v"), F.lit(1000000).cast("long").alias("r")
+    )
     for _ in range(3):
         contrib = ew.join(ranks.withColumnRenamed("v", "u"), "u").select(
             "v",
