@@ -57,8 +57,28 @@ def bpe_train_distributed(
     """Train n_merges BPE merges; returns [(rank, left, right, pair_count)].
 
     Matches core/bpe.bpe_train exactly (same tie-break, same overlap rule,
-    same early stop)."""
+    same early stop).
+
+    Scale-adaptive: the ONLY corpus-sized pass is word_counts; training
+    itself runs over the bounded distinct-word table. When that table is
+    small enough to collect (<= SPARK_GRAFT_BPE_LOCAL_VOCAB rows, default
+    2^16 — checked with one cheap count), the merge loop runs in-process
+    via the serial reference kernel (core/bpe.bpe_train), which pytest
+    pins as merge-for-merge identical to the distributed loop: this
+    replaces n_merges x (aggregate-job + rewrite-checkpoint-job) of
+    driver round trips over a tiny table with zero jobs. Larger
+    vocabularies keep the distributed per-round loop below — the
+    standard industrial split (distributed counting, single-node merge
+    training) either way."""
+    import os
+
     wc = word_counts(docs, text_col)
+    local_cap = int(os.environ.get("SPARK_GRAFT_BPE_LOCAL_VOCAB", str(1 << 16)))
+    if wc.limit(local_cap + 1).count() <= local_cap:
+        from ..core.bpe import bpe_train
+
+        table = {r["w"]: int(r["freq"]) for r in wc.collect()}
+        return bpe_train(table, n_merges)
     seqs = wc.select(
         F.concat(F.split("w", ""), F.array(F.lit(EOW))).alias("seq"), "freq"
     ).localCheckpoint(eager=True)

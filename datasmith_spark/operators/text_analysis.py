@@ -542,6 +542,15 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         docs.select(F.col("doc_id"), F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # tf feeds the df rollup AND the score join; materialize the
+        # (vocab x docs)-bounded table once instead of re-running the
+        # regex explode per consumer. Partitioned by doc_id so the top-k
+        # window below reuses the layout (and AQE cannot coalesce the
+        # checkpoint to one pinned partition).
+        .repartition(
+            min(docs.sparkSession.sparkContext.defaultParallelism, 64), "doc_id"
+        )
+        .localCheckpoint(eager=True)
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))

@@ -2495,6 +2495,9 @@ def q60_dup_spans(spark, sf_dir):
                 F.concat_ws(" ", *[F.col("_z").getField(str(j)) for j in range(k)])
             ).alias("span_md5"),
         )
+        # spans feed the shared-hash rollup AND the emit join; without the
+        # checkpoint the zip+md5 explode re-executes for both consumers
+        .localCheckpoint(eager=True)
     )
     shared = (
         spans.groupBy("span_md5")
@@ -6971,7 +6974,13 @@ def q144_blocking_recall(spark, sf_dir):
     from .operators.dedup import lsh_candidate_pairs, minhash_profiles, shingles
 
     samp = _corpus(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
-    sh = shingles(samp, distinct=True)
+    # the sampled shingle table feeds sizes + both sides of the truth
+    # self-join: materialize once, partitioned on the join key
+    sh = (
+        shingles(samp, distinct=True)
+        .repartition(min(spark.sparkContext.defaultParallelism, 64), "s")
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     ip = (
         sh.select(F.col("id").alias("a"), "s")
@@ -9964,25 +9973,35 @@ def q194_frequent_triples(spark, sf_dir):
 
     Per-basket fan-out stays bounded by basket size (TPC-H <= 7); every
     join is an equi-join on the order key or an itemset semi-join."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # distinct basket items materialized ONCE, hash-partitioned by the
+    # basket key: the pair and triple builds are o-keyed self-joins, so
+    # co-partitioning removes their exchanges outright (guide §2.4), and
+    # without the checkpoint the 6M-row scan+distinct re-executed once per
+    # self-join side (measured at replica scale).
+    n_par = min(spark.sparkContext.defaultParallelism, 64)
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .repartition(n_par, "o")
+        .localCheckpoint(eager=True)
+    )
     a = li.select("o", F.col("p").alias("pa"))
     b = li.select("o", F.col("p").alias("pb"))
-    c = li.select("o", F.col("p").alias("pc"))
     pairs = (
         a.join(b, "o")
         .filter(F.col("pa") < F.col("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    p2 = pairs.filter(F.col("n") >= 2).select("pa", "pb")
+    # p2 feeds four consumers (freq-item prune + three Apriori semi-joins)
+    p2 = pairs.filter(F.col("n") >= 2).select("pa", "pb").localCheckpoint(eager=True)
     freq_items = (
         p2.select(F.col("pa").alias("p"))
         .unionByName(p2.select(F.col("pb").alias("p")))
         .distinct()
     )
-    pruned = li.join(freq_items, "p", "left_semi")
+    pruned = li.join(freq_items, "p", "left_semi").localCheckpoint(eager=True)
     pa = pruned.select("o", F.col("p").alias("part_a"))
     pb = pruned.select("o", F.col("p").alias("part_b"))
     pc = pruned.select("o", F.col("p").alias("part_c"))
