@@ -100,3 +100,39 @@ def pps_sample(
             "rk",
         )
     )
+
+
+def with_global_rank(
+    df: DataFrame, order: list, rank_col: str = "_rk", n_parts: int | None = None
+) -> DataFrame:
+    """Exact 1-based row_number over a TOTAL order WITHOUT a
+    single-partition window — the boundary-rank decomposition the
+    entity-grain ranking queries (q48/q112/q145) need at 10^9+ rows:
+
+      1. range-repartition by the order columns (each partition owns a
+         contiguous key range, in order), materialized so the partition
+         layout — and spark_partition_id — is pinned;
+      2. local row_number per partition (ordinary partitioned window);
+      3. global rank = local rank + broadcast prefix-offset of the
+         partition row counts (a bounded n_parts-row side table).
+
+    `order` must be a total order (include a unique tiebreak column) or
+    ranks of ties are partition-placement-dependent — same contract as
+    the row_number window it replaces.
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = min(spark.sparkContext.defaultParallelism, 64)
+    d2 = df.repartitionByRange(n_parts, *order).localCheckpoint(eager=True)
+    d3 = d2.withColumn("_pid", F.spark_partition_id())
+    counts = d3.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order)
+    return (
+        d3.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, F.row_number().over(w_local) + F.col("_off"))
+        .drop("_pid", "_off")
+    )

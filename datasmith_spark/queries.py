@@ -1900,17 +1900,33 @@ def q48_curriculum_buckets(spark, sf_dir):
     deterministic total order) and report per-bucket stats — the standard
     "train on short/easy first" schedule assignment.
 
-    ntile needs a TOTAL order, which Spark executes as a single-partition
-    window — fine at fixture scale, skew-hostile at 100 TB. The scale plan
-    (documented, not a semantic change): compute the 8 exact boundary ranks
-    with a distributed sort + partition-offset prefix sums (or
-    percentile_approx boundaries when +-1-doc balance is acceptable),
-    broadcast the boundaries, and bucket map-side — the same two-phase shape
-    as q45's stratified-sample prefilter."""
-    docs = _t(spark, sf_dir, "documents")
-    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    ntile needs a TOTAL order; a plain window executes it on a single
+    partition — fine at fixture scale, skew-hostile at 100 TB. This runs
+    the two-phase shape instead (operators/sampling.with_global_rank:
+    range-repartitioned local ranks + broadcast partition offsets) and
+    derives the bucket from the exact rank with ntile's remainder-first
+    arithmetic — value-identical to the ntile window by construction."""
+    from .operators.sampling import with_global_rank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = with_global_rank(
+        docs, [F.col("n_chars").asc(), F.col("doc_id").asc()], "_rk"
+    )
+    n = ranked.count()  # bounded metadata: one scalar off the pinned table
+    q, r = divmod(n, 8)
+    rk = F.col("_rk")
+    # ntile(8): first r buckets hold q+1 rows, the rest q (remainder-first);
+    # bucket = ceil(rank / (q+1)) inside the fat head, else
+    # r + ceil((rank - r*(q+1)) / q). floor of a correctly-rounded double
+    # quotient of exact <2^52 integers is the exact integer floor here.
+    if q == 0:
+        bucket = rk
+    else:
+        bucket = F.when(
+            rk <= r * (q + 1), F.floor((rk + q) / F.lit(q + 1))
+        ).otherwise(r + F.floor((rk - r * (q + 1) + q - 1) / F.lit(q)))
     return (
-        docs.select("doc_id", "n_chars", F.ntile(8).over(w).alias("bucket"))
+        ranked.select("doc_id", "n_chars", bucket.cast("int").alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_docs"),
@@ -5055,10 +5071,12 @@ def q112_rfm_segments(spark, sf_dir):
     semantics needs a single frame). Best quartile = 1 (most recent /
     most frequent / highest spend). Segment code = r*100+f*10+m.
 
-    Scale note: the quartile windows run at ENTITY grain (one row per
-    user), 3 orders of magnitude below event grain; at 10^9 entities
-    swap row_number for a range-partitioned sort + partition-offset
-    rank (same integer formula)."""
+    Runs at ENTITY grain (one row per user) with the range-partitioned
+    sort + partition-offset rank (operators/sampling.with_global_rank) —
+    no single-partition window; same integer quartile formula on the
+    exact rank, so values are unchanged."""
+    from .operators.sampling import with_global_rank
+
     e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     m = e.groupBy("user_id").agg(
         F.datediff(
@@ -5068,18 +5086,21 @@ def q112_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("f_n"),
         F.sum(F.round(F.col("value") * 100).cast("bigint"))
         .cast("bigint").alias("m_cents"),
-    )
-    n = Window.partitionBy()
+    ).localCheckpoint(eager=True)  # feeds three independent rank passes
+    n = m.count()  # bounded: one scalar off the pinned entity table
 
-    def quart(order):
-        rk = F.row_number().over(Window.orderBy(*order))
-        return F.floor((rk - 1) * 4 / F.count(F.lit(1)).over(n)).cast("int") + 1
+    def quart(metric, order, name):
+        ranked = with_global_rank(m.select("user_id", metric), order, "_rk")
+        return ranked.select(
+            "user_id",
+            (F.floor((F.col("_rk") - 1) * 4 / F.lit(n)).cast("int") + 1).alias(name),
+        )
 
-    out = m.select(
-        "user_id", "r_days", "f_n", "m_cents",
-        quart([F.col("r_days").asc(), F.col("user_id").asc()]).alias("r_q"),
-        quart([F.col("f_n").desc(), F.col("user_id").asc()]).alias("f_q"),
-        quart([F.col("m_cents").desc(), F.col("user_id").asc()]).alias("m_q"),
+    rq = quart("r_days", [F.col("r_days").asc(), F.col("user_id").asc()], "r_q")
+    fq = quart("f_n", [F.col("f_n").desc(), F.col("user_id").asc()], "f_q")
+    mq = quart("m_cents", [F.col("m_cents").desc(), F.col("user_id").asc()], "m_q")
+    out = m.join(rq, "user_id").join(fq, "user_id").join(mq, "user_id").select(
+        "user_id", "r_days", "f_n", "m_cents", "r_q", "f_q", "m_q"
     )
     return out.withColumn(
         "segment", F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")
@@ -7043,28 +7064,28 @@ def q145_top_decile_share(spark, sf_dir):
     """Top-decile concentration: what share of total purchase value the
     top 10% of users hold — the one-number inequality readout (q126's
     Gini is the integral; this is the headline). Spend ranked on a
-    pinned (cents, user) order; k = ceil(n/10) computed IN the query;
-    exact-cent integer sums, ONE division. The global window runs at
-    USER grain (post-aggregate), not event grain."""
+    pinned (cents, user) order; k = ceil(n/10) computed from the bounded
+    user count; exact-cent integer sums, ONE division. Ranking runs as the
+    range-partitioned sort + partition-offset rank
+    (operators/sampling.with_global_rank) — no single-partition window."""
+    import math
+
+    from .operators.sampling import with_global_rank
+
     e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     s = e.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100)).cast("bigint").alias("cents")
     )
-    w = Window.orderBy(F.col("cents").desc(), F.col("user_id").asc())
-    wa = Window.partitionBy()
-    r = (
-        s.withColumn("rk", F.row_number().over(w))
-        .withColumn("n_users", F.count(F.lit(1)).over(wa))
-        .withColumn("total_cents", F.sum("cents").over(wa).cast("bigint"))
-    )
-    in_top = F.col("rk") <= F.ceil(F.col("n_users") / 10.0)
-    top = F.sum(F.when(in_top, F.col("cents")).otherwise(0)).cast("bigint")
+    r = with_global_rank(s, [F.col("cents").desc(), F.col("user_id").asc()], "rk")
+    n_users = r.count()  # bounded: one scalar off the pinned entity table
+    k = int(math.ceil(n_users / 10.0))
+    top = F.sum(F.when(F.col("rk") <= k, F.col("cents")).otherwise(0)).cast("bigint")
     return r.agg(
-        F.max("n_users").cast("bigint").alias("n_users"),
-        F.ceil(F.max("n_users") / 10.0).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.lit(k).cast("bigint").alias("k"),
         top.alias("top_cents"),
-        F.max("total_cents").cast("bigint").alias("total_cents"),
-        (top.cast("double") / F.max("total_cents").cast("double")).alias("share"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        (top.cast("double") / F.sum("cents").cast("double")).alias("share"),
     )
 
 
