@@ -6995,13 +6995,10 @@ def q144_blocking_recall(spark, sf_dir):
     from .operators.dedup import lsh_candidate_pairs, minhash_profiles, shingles
 
     samp = _corpus(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
-    # the sampled shingle table feeds sizes + both sides of the truth
-    # self-join: materialize once, partitioned on the join key
-    sh = (
-        shingles(samp, distinct=True)
-        .repartition(min(spark.sparkContext.defaultParallelism, 64), "s")
-        .localCheckpoint(eager=True)
-    )
+    # NOTE(r6): measured — checkpointing the sampled shingle table costs
+    # more in materialization jobs than the 10%-sample recompute it saves;
+    # the lazy form stays.
+    sh = shingles(samp, distinct=True)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     ip = (
         sh.select(F.col("id").alias("a"), "s")
@@ -9275,18 +9272,12 @@ def q185_pagerank_copurchase(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
     wout = e.groupBy("u").agg(F.sum("w").cast("long").alias("wu"))
-    # materialize the weighted edge list once, partitioned by the iteration
-    # join key: every power iteration joins ew on u, and without the
-    # checkpoint the per-order pair build + two aggregations re-execute
-    # once per round (3x at 3 iterations). On a real cluster this is the
-    # standard write-once edge table of Pregel-on-DataFrames.
-    n_par = min(spark.sparkContext.defaultParallelism, 64)
-    ew = e.join(wout, "u").repartition(n_par, "u").localCheckpoint(eager=True)
-    # seed ranks from the materialized ew (same distinct u set as wout) so
-    # iteration 1 does not drag the edge-build lineage back in via wout
-    ranks = ew.select("u").distinct().select(
-        F.col("u").alias("v"), F.lit(1000000).cast("long").alias("r")
-    )
+    # NOTE(r6): measured — an eager checkpoint of ew here is a wash at
+    # bench scale (Spark reuses the edge-build exchange across the three
+    # unrolled iterations), so the lazy form stays; on a real cluster the
+    # edge list would be written once as a table (Pregel-on-DataFrames).
+    ew = e.join(wout, "u")
+    ranks = wout.select(F.col("u").alias("v"), F.lit(1000000).cast("long").alias("r"))
     for _ in range(3):
         contrib = ew.join(ranks.withColumnRenamed("v", "u"), "u").select(
             "v",
