@@ -38,6 +38,16 @@ def _preload() -> None:
         # never block worker startup on artifact problems; workers will
         # rebuild lazily (correctness unaffected, only warmup cost)
         pass
+    try:
+        # the modules every Arrow-UDF closure unpickles into the worker:
+        # without this, each worker pays the full import chain (queries.py
+        # pulls the whole operator surface) on its FIRST task of a lane —
+        # measured ~2.5 s x 32 workers of pure wait in the first
+        # profile-kernel stage of a session. COW-shared from here instead.
+        import datasmith_spark.queries  # noqa: F401
+        import datasmith_spark.streaming  # noqa: F401
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

@@ -287,6 +287,12 @@ def editdist_verify(
     band = int(max_len * slack_num) // 100 + 1
     mx = F.greatest("_la", "_lb", F.lit(1))
     lev = F.levenshtein("_ta", "_tb", band)
+    # explicit spread of the (byte-small, compute-heavy) candidate list:
+    # AQE coalesces it to ONE post-shuffle partition by size, which would
+    # run every Levenshtein DP on a single task (measured 10 s single-task
+    # stages at sf1-scale candidate volumes)
+    n_par = min(docs.sparkSession.sparkContext.defaultParallelism, 64)
+    cand = cand.repartition(n_par)
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
