@@ -335,7 +335,7 @@ def audio_neardup_pairs(
     from .pairs import capped_key_pairs
 
     kk = keys.select(F.col("clip_id").alias("id"), F.col("fp_key").alias("k"))
-    cand = capped_key_pairs(kk, "k", "id", cap).distinct()
+    cand = capped_key_pairs(kk, "k", "id", cap, materialize=False).distinct()
     sizes = kk.groupBy("id").agg(F.count("*").alias("sz"))
     a = kk.select(F.col("id").alias("a"), "k")
     b = kk.select(F.col("id").alias("b"), "k")

@@ -137,7 +137,7 @@ def image_neardup_pairs(
     from .pairs import capped_band_pairs
 
     h = hashes.select(F.col("img_id").alias("id"), *_BAND_COLS)
-    cand = capped_band_pairs(h, _BAND_COLS, "id", cap)
+    cand = capped_band_pairs(h, _BAND_COLS, "id", cap, materialize=False)
     ha = h.select(F.col("id").alias("a"), *[F.col(c).alias(f"{c}_a") for c in _BAND_COLS])
     hb = h.select(F.col("id").alias("b"), *[F.col(c).alias(f"{c}_b") for c in _BAND_COLS])
     dist = None

@@ -35,7 +35,13 @@ def pair_key_cap(cap: int | None = None) -> int:
     return cap if cap is not None else int(os.environ.get("SPARK_GRAFT_PAIR_KEY_CAP", "1024"))
 
 
-def capped_key_pairs(keyed: DataFrame, key: str, id_col: str, cap: int | None = None) -> DataFrame:
+def capped_key_pairs(
+    keyed: DataFrame,
+    key: str,
+    id_col: str,
+    cap: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
     """Same-key id pairs (a < b) with the hot-key defense described above.
 
     keyed: (id_col, key) rows, one per id-key membership. Output may contain
@@ -52,10 +58,14 @@ def capped_key_pairs(keyed: DataFrame, key: str, id_col: str, cap: int | None = 
     # partition count also stops AQE from coalescing the small relation to
     # one partition, which a checkpoint would otherwise pin for every
     # downstream stage. Partitioning by `key` lets the groupBy and the
-    # self-join below reuse the exchange outright.
-    spark = keyed.sparkSession
-    n_par = min(spark.sparkContext.defaultParallelism, 64)
-    keyed = keyed.repartition(n_par, key).localCheckpoint(eager=True)
+    # self-join below reuse the exchange outright. Callers whose keyed
+    # relation is already materialized (session-cached fingerprint key
+    # tables) pass materialize=False — for them the checkpoint would only
+    # duplicate cheap cached reads into an extra write pass.
+    if materialize:
+        spark = keyed.sparkSession
+        n_par = min(spark.sparkContext.defaultParallelism, 64)
+        keyed = keyed.repartition(n_par, key).localCheckpoint(eager=True)
     stats = keyed.groupBy(key).agg(F.count("*").alias("_kc"), F.min(id_col).alias("_rep"))
     ks = keyed.join(stats, key)
     cold = ks.filter(F.col("_kc") <= cap)
@@ -70,7 +80,11 @@ def capped_key_pairs(keyed: DataFrame, key: str, id_col: str, cap: int | None = 
 
 
 def capped_band_pairs(
-    bands: DataFrame, band_cols: list[str], id_col: str, cap: int | None = None
+    bands: DataFrame,
+    band_cols: list[str],
+    id_col: str,
+    cap: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Distinct (a, b) pairs of ids agreeing on ANY of the band columns,
     protected by the hot-key cap.
@@ -88,4 +102,4 @@ def capped_band_pairs(
             F.array(*[F.concat(F.lit(f"{i}#"), F.col(c)) for i, c in enumerate(band_cols)])
         ).alias("_bk"),
     ).filter(F.col("_bk").isNotNull())
-    return capped_key_pairs(melted, "_bk", id_col, cap).distinct()
+    return capped_key_pairs(melted, "_bk", id_col, cap, materialize=materialize).distinct()

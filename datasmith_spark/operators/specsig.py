@@ -158,7 +158,7 @@ def speed_neardup_pairs(sigs: DataFrame, cap: int | None = None) -> DataFrame:
                               div({SS_QR} * p.a, p.b),
                               div({SS_QR} * p.a, p.b) + 1) END)))) AS k""",
     )
-    cand = capped_key_pairs(melt, "k", "id", cap=cap).distinct()
+    cand = capped_key_pairs(melt, "k", "id", cap=cap, materialize=False).distinct()
     sa = scoped.select(F.col("clip_id").alias("a"), F.col("peaks").alias("_pa"), F.col("k").alias("k_a"))
     sb = scoped.select(F.col("clip_id").alias("b"), F.col("peaks").alias("_pb"), F.col("k").alias("k_b"))
     verified = (
