@@ -1909,10 +1909,11 @@ def q48_curriculum_buckets(spark, sf_dir):
     from .operators.sampling import with_global_rank
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n = docs.count()  # bounded metadata: one cheap count-star scan
+    n_parts = max(1, min(n // 2_000_000 + 1, spark.sparkContext.defaultParallelism))
     ranked = with_global_rank(
-        docs, [F.col("n_chars").asc(), F.col("doc_id").asc()], "_rk"
+        docs, [F.col("n_chars").asc(), F.col("doc_id").asc()], "_rk", n_parts=n_parts
     )
-    n = ranked.count()  # bounded metadata: one scalar off the pinned table
     q, r = divmod(n, 8)
     rk = F.col("_rk")
     # ntile(8): first r buckets hold q+1 rows, the rest q (remainder-first);
@@ -5088,9 +5089,12 @@ def q112_rfm_segments(spark, sf_dir):
         .cast("bigint").alias("m_cents"),
     ).localCheckpoint(eager=True)  # feeds three independent rank passes
     n = m.count()  # bounded: one scalar off the pinned entity table
+    n_parts = max(1, min(n // 2_000_000 + 1, spark.sparkContext.defaultParallelism))
 
     def quart(metric, order, name):
-        ranked = with_global_rank(m.select("user_id", metric), order, "_rk")
+        ranked = with_global_rank(
+            m.select("user_id", metric), order, "_rk", n_parts=n_parts
+        )
         return ranked.select(
             "user_id",
             (F.floor((F.col("_rk") - 1) * 4 / F.lit(n)).cast("int") + 1).alias(name),
