@@ -239,7 +239,13 @@ def xcorr_lag(x: np.ndarray, y: np.ndarray, max_lag: int) -> tuple[int, float]:
         raise ValueError(f"max_lag must be >= 0: {max_lag}")
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
-    n = int(len(x) + max(len(y), len(x) + max_lag))  # no circular alias in [0, max_lag]
+    # tight alias-free bound: every c[l] term for l <= max_lag indexes
+    # y[n+l] with n < len(x), so n+l < len(x) + max_lag rules out circular
+    # wrap as long as nfft also covers y un-truncated — ~2x smaller FFTs
+    # than the earlier len(x) + max(...) bound, same exact linear sums
+    # (integer-stable argmax; the committed q156 fixture re-verifies every
+    # estimate bit-for-bit)
+    n = int(max(len(y), len(x) + max_lag))
     nfft = 1
     while nfft < n:
         nfft <<= 1
